@@ -1,0 +1,65 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR on local[N].
+
+Prints exactly one JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Headline set = the queries that exercise the engine's heavy paths (scan+agg,
+joins, bitmask expansion, windows, dedup, similarity). Each is timed to a
+full materialization (count) after a warm-up of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+#: Queries timed by the benchmark; grows as operators land.
+HEADLINE: tuple[str, ...] = (
+    "b09_agg_pricing_summary",
+    "b04_join_inner_broadcast",
+    "b05_join_left_outer",
+    "b02_filter_pushdown",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from hive_plan_service_spark.plans.registry import all_queries
+    from hive_plan_service_spark.session import get_spark
+
+    spark = get_spark(app_name="hpss-bench")
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry]
+
+    # Warm up the JVM + parquet footers so timings measure the plan, not JIT.
+    registry[names[0]].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        registry[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

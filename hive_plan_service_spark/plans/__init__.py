@@ -1,0 +1,11 @@
+"""Query inventory — importing this package populates the registry."""
+
+import hive_plan_service_spark.plans.relational  # noqa: F401
+
+from hive_plan_service_spark.plans.registry import (  # noqa: F401
+    Query,
+    all_queries,
+    oracle_sqls,
+    query_fns,
+    register,
+)

@@ -1,0 +1,72 @@
+"""SparkSession construction and runtime tuning.
+
+The engine targets a 1000-executor cluster at 100 TB; locally it runs in
+``local[N]`` mode. Everything that must hold in both worlds (AQE, ANSI,
+UTC timestamps, sane shuffle parallelism) is set here. ``tune`` applies
+the runtime-settable subset to an *externally created* session (the
+driver hands us one), so query results are environment-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+APP_NAME = "hive-plan-service-spark"
+
+#: Conf that can be changed on a live session (spark.conf.set).
+_RUNTIME_CONF: dict[str, str] = {
+    # Timestamps must be session-TZ-independent: the DuckDB oracle treats
+    # parquet timestamps as UTC-naive, so the engine pins UTC.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime partition coalescing, skew-join splitting, join-strategy
+    # switching — the 100 TB insurance policy.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas-UDF / toPandas edge.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Small dims (region/nation/supplier/plans) must broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    # The events fixture stores TIMESTAMP(NANOS) parquet, which Spark has
+    # no native type for: read as LongType nanos, converted (losslessly —
+    # the fixture is µs-aligned) to TimestampType in the catalog.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime conf to a session we did not necessarily build."""
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime conf on some builds: keep going
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(max(8, default_parallelism()))
+        )
+    except Exception:
+        pass
+    return spark
+
+
+def get_spark(app_name: str = APP_NAME, cpus: int | None = None) -> SparkSession:
+    n = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", str(max(8, n)))
+    )
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)
