@@ -1,5 +1,6 @@
 """Query inventory — importing this package populates the registry."""
 
+import hive_plan_service_spark.plans.reference_ops  # noqa: F401
 import hive_plan_service_spark.plans.relational  # noqa: F401
 
 from hive_plan_service_spark.plans.registry import (  # noqa: F401

@@ -1,0 +1,224 @@
+"""Reference-surface operators (SURVEY.md §2.A, A1–A15).
+
+Each query re-expresses one behavior of titan/hive-plan-service
+(citations per query) over the derived ``plans``/``plan_groups``/
+``counter_events`` views (FIXTURES.md §B), so the DuckDB oracle computes
+the same shapes from identical parquet. The service-level composition
+(A5–A8, A13–A15) lives in ``hive_plan_service_spark.api``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_plan_service_spark.operators.bitmask import (
+    expand_groups_flat,
+    expand_groups_nested,
+)
+from hive_plan_service_spark.operators.counter import current_counter_value
+from hive_plan_service_spark.plans.registry import register
+from hive_plan_service_spark.sources.catalog import (
+    ORACLE_COUNTER_EVENTS_CTE,
+    ORACLE_PLAN_GROUPS_CTE,
+    ORACLE_PLANS_CTE,
+    register_tables,
+)
+
+_FLAT_EXPANSION_SQL = f"""
+WITH {ORACLE_PLANS_CTE},
+{ORACLE_PLAN_GROUPS_CTE}
+SELECT g.id AS group_id, g.title AS group_title, g.mask,
+       p.id AS plan_id, p.title AS plan_title, p.optional
+FROM plan_groups_d g
+JOIN plans_d p ON (g.mask & p.id) <> 0
+"""
+
+
+# --------------------------------------------------------------------------
+# A3 — bitmask-expansion join (src/plan-processor.ts:55–66), flat form.
+# The oracle exploits that plan ids are single bits: mask & id <> 0.
+# --------------------------------------------------------------------------
+@register(
+    "a03_bitmask_expand_join",
+    oracle=_FLAT_EXPANSION_SQL,
+    doc="Flagship reference op: mask → member plans, exploded (intended 64-bit semantics).",
+    tags=("A3",),
+)
+def a03_bitmask_expand_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return expand_groups_flat(spark.table("plan_groups"), spark.table("plans"))
+
+
+# --------------------------------------------------------------------------
+# A3 invariant — re-aggregating member plan ids must reconstruct the mask
+# exactly (proves each member appears exactly once, all 64 bits live).
+# --------------------------------------------------------------------------
+@register(
+    "a03_mask_roundtrip",
+    oracle=f"""
+WITH {ORACLE_PLANS_CTE},
+{ORACLE_PLAN_GROUPS_CTE}
+SELECT g.id AS group_id, g.mask,
+       BIT_OR(p.id) AS rebuilt_mask,
+       COUNT(*) AS n_plans
+FROM plan_groups_d g
+JOIN plans_d p ON (g.mask & p.id) <> 0
+GROUP BY g.id, g.mask
+""",
+    doc="Expansion inverse: bit_or(member ids) == mask, member count = popcount.",
+    tags=("A3",),
+)
+def a03_mask_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    flat = expand_groups_flat(spark.table("plan_groups"), spark.table("plans"))
+    return flat.groupBy("group_id", "mask").agg(
+        F.bit_or("plan_id").alias("rebuilt_mask"),
+        F.count(F.lit(1)).alias("n_plans"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A4 — keyed point lookup (src/plan-processor.ts:58 hget): broadcast probe.
+# --------------------------------------------------------------------------
+@register(
+    "a04_point_lookup",
+    oracle=f"""
+WITH {ORACLE_PLANS_CTE}
+SELECT id, title, optional FROM plans_d WHERE id IN (1, 4, 1024)
+""",
+    doc="hget-by-key as a broadcast-pruned scan (never a per-row driver probe).",
+    tags=("A4",),
+)
+def a04_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.table("plans").filter(F.col("id").isin(1, 4, 1024)).select(
+        "id", "title", "optional"
+    )
+
+
+# --------------------------------------------------------------------------
+# A5/A6 + A14 — materialize / refresh pipeline: write the denormalized
+# entity tables (stage 1 plans, stage 2 groups-joined-to-stage-1 — the
+# reference's only inter-operator ordering constraint, processor:79–80),
+# read them back, return the flattened result. Proves the parquet
+# round-trip of the nested ARRAY<STRUCT> shape.
+# --------------------------------------------------------------------------
+@register(
+    "a05_materialize_roundtrip",
+    oracle=_FLAT_EXPANSION_SQL,
+    doc="Refresh job: overwrite-materialize entities (MULTI/EXEC ↔ job commit), read back, flatten.",
+    tags=("A5", "A6", "A14"),
+)
+def a05_materialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "hpss_materialized")
+    # stage 1: plan entities (processor:29–42)
+    plans = spark.table("plans")
+    plans.write.mode("overwrite").parquet(f"{out}/plan_entities")
+    # stage 2: group entities join *the materialized stage-1 output*
+    plans_materialized = spark.read.parquet(f"{out}/plan_entities")
+    nested = expand_groups_nested(spark.table("plan_groups"), plans_materialized)
+    nested.write.mode("overwrite").parquet(f"{out}/plan_group_entities")
+    back = spark.read.parquet(f"{out}/plan_group_entities")
+    return back.select(
+        F.col("id").alias("group_id"),
+        F.col("title").alias("group_title"),
+        "mask",
+        F.explode("plans").alias("p"),
+    ).select(
+        "group_id",
+        "group_title",
+        "mask",
+        F.col("p.id").alias("plan_id"),
+        F.col("p.title").alias("plan_title"),
+        F.col("p.optional").alias("optional"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A7 — full entity scan (src/plan-server.ts:30–38 getPlans).
+# --------------------------------------------------------------------------
+@register(
+    "a07_get_plans",
+    oracle=f"WITH {ORACLE_PLANS_CTE} SELECT id, title, optional FROM plans_d",
+    doc="getPlans: full scan of the plan entity view.",
+    tags=("A7",),
+)
+def a07_get_plans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.table("plans").select("id", "title", "optional")
+
+
+# --------------------------------------------------------------------------
+# A8 — full nested entity scan (getPlanGroups): the ARRAY<STRUCT> shape.
+# Rows-only: nested values round-trip through different pandas encodings
+# per engine, so the scalar-flat twins above carry the value check.
+# --------------------------------------------------------------------------
+@register(
+    "a08_get_plan_groups_nested",
+    oracle=None,
+    doc="getPlanGroups: nested plans ARRAY<STRUCT> per group (value-checked via a03/a05 flat twins).",
+    tags=("A8",),
+)
+def a08_get_plan_groups_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return expand_groups_nested(spark.table("plan_groups"), spark.table("plans"))
+
+
+# --------------------------------------------------------------------------
+# A9/A10 — INCR/DECR as an event-log aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "a09_counter_deltas",
+    oracle=f"""
+WITH {ORACLE_COUNTER_EVENTS_CTE}
+SELECT op, COUNT(*) AS n_events, CAST(SUM(delta) AS BIGINT) AS net_delta
+FROM counter_events_d
+GROUP BY op
+""",
+    doc="increase/decreaseJoinedCount: per-op event counts and net delta.",
+    tags=("A9", "A10"),
+)
+def a09_counter_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return (
+        spark.table("counter_events")
+        .groupBy("op")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("delta").cast("bigint").alias("net_delta"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A11/A12 — SET override + GET with null-default: the current counter value.
+# --------------------------------------------------------------------------
+@register(
+    "a11_counter_current_value",
+    oracle=f"""
+WITH {ORACLE_COUNTER_EVENTS_CTE},
+ls AS (
+  SELECT ts, event_id, set_value FROM counter_events_d
+  WHERE op = 'set' ORDER BY ts DESC, event_id DESC LIMIT 1
+)
+SELECT CAST(
+  COALESCE((SELECT set_value FROM ls), 0)
+  + COALESCE((SELECT SUM(d.delta) FROM counter_events_d d
+              WHERE d.op <> 'set'
+                AND ((SELECT COUNT(*) FROM ls) = 0
+                     OR d.ts > (SELECT ts FROM ls)
+                     OR (d.ts = (SELECT ts FROM ls)
+                         AND d.event_id > (SELECT event_id FROM ls)))), 0)
+  AS BIGINT) AS joined_count
+""",
+    doc="setJoinedCount last-writer-wins + getJoinedCount null→0 (server:62–83).",
+    tags=("A11", "A12"),
+)
+def a11_counter_current_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return current_counter_value(spark.table("counter_events"))
