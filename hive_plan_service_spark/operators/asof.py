@@ -1,0 +1,66 @@
+"""As-of join (B8) — latest right-side row at-or-before each left row.
+
+Spark has no native ASOF JOIN. The scalable form is NOT a range join
+(quadratic blowup) and NOT ``pd.merge_asof`` per group (Python
+serialization of the whole fact table): it is union + ordered window —
+tag both sides, union on (key, ts), and carry the last non-null right
+value forward with ``last(..., ignorenulls=True)``. One shuffle on the
+join key, linear work, spill-safe sort within partitions; this survives
+100 TB where a theta-join would not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    *,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Left rows + latest right ``value_cols`` with right.ts ≤ left.ts.
+
+    ``inclusive`` controls ties at equal timestamps: True matches a right
+    row with exactly-equal ts (DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``
+    semantics), False requires strictly-earlier.
+    """
+    lcols = [c for c in left.columns]
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(0 if inclusive else 1).alias("_side"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_r_{v}") for v in value_cols],
+    )
+    r = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != key],
+        F.col(key),
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(1 if inclusive else 0).alias("_side"),
+        *[F.col(v).alias(f"_r_{v}") for v in value_cols],
+    ).select(*lcols, "_asof_ts", "_side", *[f"_r_{v}" for v in value_cols])
+    # right rows sort before left rows at equal ts iff inclusive
+    w = (
+        W.partitionBy(key)
+        .orderBy(F.col("_asof_ts").asc(), F.col("_side").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    unioned = l.unionByName(r)
+    carried = unioned.select(
+        *lcols,
+        "_asof_ts",
+        "_side",
+        *[
+            F.last(f"_r_{v}", ignorenulls=True).over(w).alias(v)
+            for v in value_cols
+        ],
+    )
+    is_left = F.col("_side") == (0 if inclusive else 1)
+    return carried.filter(is_left).drop("_asof_ts", "_side")

@@ -274,3 +274,320 @@ def b09_agg_minmax_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.countDistinct("l_suppkey").alias("n_suppliers"),
     )
+
+
+# --------------------------------------------------------------------------
+# B7 — range/theta join: facts into value bands. Small band tables
+# broadcast (nested-loop probe stays in the JVM); a fact-fact range join
+# at 100 TB would instead bucketize the range key (see operators/asof.py
+# for the related as-of pattern).
+# --------------------------------------------------------------------------
+@register(
+    "b07_range_join_bands",
+    oracle="""
+      WITH bands(band, lo, hi) AS (
+        VALUES ('budget', 0.0, 500.0),
+               ('mid', 500.0, 1200.0),
+               ('premium', 1200.0, 1000000.0)
+      )
+      SELECT b.band, COUNT(*) AS n_parts,
+             CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM part p
+      JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+      GROUP BY b.band
+    """,
+    doc="Theta join on [lo, hi) intervals via broadcast nested loop.",
+    tags=("B7",),
+)
+def b07_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 500.0), ("mid", 500.0, 1200.0), ("premium", 1200.0, 1000000.0)],
+        "band string, lo double, hi double",
+    )
+    p = spark.table("part")
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+            "inner",
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dsum(money("p_retailprice"), "total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B8 — as-of join: for each purchase event, the latest click by the same
+# user at-or-before it. Union+window implementation (operators/asof.py);
+# the oracle uses DuckDB's native ASOF JOIN.
+# --------------------------------------------------------------------------
+@register(
+    "b08_asof_join_purchase_click",
+    oracle="""
+      SELECT p.event_id, p.user_id, c.event_id AS last_click_id
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="As-of join via single-shuffle union+window (no range explosion).",
+    tags=("B8",),
+)
+def b08_asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_plan_service_spark.operators.asof import asof_join
+
+    register_tables(spark, sf_dir)
+    ev = spark.table("events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["click_id"],
+        inclusive=True,
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("click_id").alias("last_click_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# B10 — rollup with grouping id (hierarchy totals in one pass).
+# --------------------------------------------------------------------------
+@register(
+    "b10_rollup",
+    oracle="""
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP: (status, priority) + per-status + grand total, tagged by grouping_id.",
+    tags=("B10",),
+)
+def b10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return (
+        spark.table("orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(money("o_totalprice"), "total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total")
+    )
+
+
+@register(
+    "b10_cube",
+    oracle="""
+      SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             COUNT(*) AS n
+      FROM lineitem
+      GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over two dims.",
+    tags=("B10",),
+)
+def b10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return (
+        spark.table("lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n")
+    )
+
+
+# --------------------------------------------------------------------------
+# B11 — approx count-distinct (HLL): the 100 TB answer to A9's exact
+# counter. Approximate ⇒ rows-only check (sketches differ per engine).
+# --------------------------------------------------------------------------
+@register(
+    "b11_approx_count_distinct",
+    oracle=None,
+    doc="approx_count_distinct(l_orderkey) per returnflag; HLL sketch, engine-specific values.",
+    tags=("B11",),
+)
+def b11_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return (
+        spark.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey").alias("approx_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B12 — window functions: ranking, analytic, running frame aggregate.
+# Running decimal sum is order-deterministic under the total order
+# (o_orderdate, o_orderkey).
+# --------------------------------------------------------------------------
+@register(
+    "b12_window_functions",
+    oracle="""
+      SELECT o_orderkey,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+             CAST(RANK() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC) AS BIGINT) AS price_rank,
+             CAST(LAG(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS prev_price,
+             CAST(LEAD(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS next_price,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_spend
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="row_number/rank/lag/lead + running sum over an ordered frame.",
+    tags=("B12",),
+)
+def b12_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    o = spark.table("orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    frame = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return o.select(
+        "o_orderkey",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(wr).cast("bigint").alias("price_rank"),
+        F.lag(money("o_totalprice")).over(w).cast("double").alias("prev_price"),
+        F.lead(money("o_totalprice")).over(w).cast("double").alias("next_price"),
+        F.sum(money("o_totalprice")).over(frame).cast("double").alias("running_spend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B13 — sort / limit / top-k. Global top-k uses TakeOrderedAndProject
+# (no full sort); per-group top-k is a rank filter. Tie-broken by key so
+# the result set is deterministic.
+# --------------------------------------------------------------------------
+@register(
+    "b13_global_topk",
+    oracle="""
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC
+      LIMIT 10
+    """,
+    doc="Global top-10 by price (deterministic tie-break) — TakeOrderedAndProject.",
+    tags=("B13",),
+)
+def b13_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return (
+        spark.table("orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "b13_topk_per_group",
+    oracle="""
+      SELECT c_custkey, o_orderkey, o_totalprice
+      FROM (
+        SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+      ) WHERE rn <= 3
+    """,
+    doc="Top-3 orders per customer via window rank filter.",
+    tags=("B13",),
+)
+def b13_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        spark.table("orders")
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# B14 — set operations over aligned schemas.
+# --------------------------------------------------------------------------
+@register(
+    "b14_set_ops",
+    oracle="""
+      SELECT 'union' AS op, k FROM (
+        SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer
+        UNION SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+      UNION ALL
+      SELECT 'intersect' AS op, k FROM (
+        SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer
+        INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+      UNION ALL
+      SELECT 'except' AS op, k FROM (
+        SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer
+        EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+    """,
+    doc="UNION/INTERSECT/EXCEPT (distinct variants), tagged into one result.",
+    tags=("B14",),
+)
+def b14_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    c = spark.table("customer").select(F.col("c_nationkey").cast("bigint").alias("k"))
+    s = spark.table("supplier").select(F.col("s_nationkey").cast("bigint").alias("k"))
+    return (
+        c.union(s).distinct().select(F.lit("union").alias("op"), "k")
+        .unionByName(c.intersect(s).select(F.lit("intersect").alias("op"), "k"))
+        .unionByName(c.subtract(s).select(F.lit("except").alias("op"), "k"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B15 — exact dedup by content key. ``dropDuplicates`` keeps an arbitrary
+# row, which is nondeterministic across engines/runs — the engine's exact
+# dedup is min-wins per key (deterministic, same single shuffle).
+# --------------------------------------------------------------------------
+@register(
+    "b15_dedup_exact",
+    oracle="""
+      SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS dup_count
+      FROM documents
+      GROUP BY text
+    """,
+    doc="Exact dedup on documents.text: deterministic min-doc_id winner + group size.",
+    tags=("B15",),
+)
+def b15_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return (
+        spark.table("documents")
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select("keep_doc_id", "dup_count")
+    )
