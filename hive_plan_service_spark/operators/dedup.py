@@ -1,0 +1,219 @@
+"""Deduplication operators (north-star: exact, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup).
+
+Scale shapes:
+
+* **exact** — one hash-groupBy on the content key (see B15).
+* **n-gram Jaccard** — explode distinct shingles, self-join on shingle,
+  count per pair. Exact but O(pairs sharing a shingle); the ground truth
+  for the approximate paths at test scale.
+* **MinHash-LSH** — per-row signature (array algebra, no shuffle), band
+  the signature, ONE shuffle on (band, band_hash) to bucket, pairs only
+  within buckets. This is the 100 TB path: cost is #near-dup candidates,
+  not #pairs.
+* **SimHash** — per-row 64-bit sketch, bucket by 16-bit chunks (any
+  chunk equal → candidate, Hamming ≤ threshold verify).
+* **embedding cosine** — blocked pairwise (here by label) with exact
+  sequential-fold cosine; LSH/IVF via operators.vectors for open-domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hive_plan_service_spark.operators.textops import (
+    minhash_signature,
+    shingles,
+    simhash64_expr,
+    token_hashes,
+    tokens,
+)
+
+
+def shingle_table(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingle) rows — distinct word n-grams per document."""
+    return docs.select(
+        F.col(id_col), F.explode(shingles(tokens(text_col), n)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jac ≥ threshold)."""
+    sh = shingle_table(docs, id_col=id_col, text_col=text_col, n=n)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "common",
+            (
+                F.col("common")
+                / (F.col("n_a") + F.col("n_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs with estimated Jaccard.
+
+    ``num_hashes`` minima per doc, split into ``bands`` bands of
+    ``num_hashes // bands`` rows; docs colliding on any full band are
+    candidates; the signature-agreement fraction estimates Jaccard.
+    """
+    rows = num_hashes // bands
+    sigs = docs.select(
+        F.col(id_col).alias("doc_id_"),
+        minhash_signature(shingles(tokens(text_col), n), num_hashes).alias("sig"),
+    )
+    banded = sigs.select(
+        "doc_id_",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda band: F.struct(
+                    band.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), band * rows + 1, rows),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id_", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    l = banded.select(
+        F.col("doc_id_").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    r = banded.select(
+        F.col("doc_id_").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    cand = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= est_threshold)
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: bucket by 16-bit chunks, verify Hamming."""
+    base = docs.select(F.col(id_col).alias("doc_id_"), tokens(text_col).alias("w"))
+    hashed = base.select(
+        "doc_id_",
+        token_hashes(F.col("w")).alias("hashes"),
+        F.size("w").alias("n_tokens"),
+    )
+    sketched = hashed.select(
+        "doc_id_", simhash64_expr("hashes", "n_tokens").alias("simhash")
+    )
+    # chunk value extraction needs a column shift amount → SQL expr
+    chunks = sketched.selectExpr(
+        "doc_id_",
+        "simhash",
+        "explode(transform(sequence(0, 3), c -> struct(c AS chunk, "
+        "(shiftright(simhash, c * 16) & 65535) AS val))) AS cc",
+    ).select("doc_id_", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"))
+    l = chunks.select(
+        F.col("doc_id_").alias("doc_a"), F.col("simhash").alias("sim_a"), "chunk", "val"
+    )
+    r = chunks.select(
+        F.col("doc_id_").alias("doc_b"), F.col("simhash").alias("sim_b"), "chunk", "val"
+    )
+    return (
+        l.join(r, ["chunk", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(
+                F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+            ).cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within blocking-key groups."""
+    from hive_plan_service_spark.operators.vectors import cosine
+
+    a = embeddings.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("_va"),
+        F.col(block_col).alias("_block"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col(block_col).alias("_block"),
+    )
+    return (
+        a.join(b, "_block")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(F.col("_va"), F.col("_vb")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

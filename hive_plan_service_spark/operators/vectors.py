@@ -1,0 +1,158 @@
+"""Vector similarity operators (SURVEY.md B28 + north-star ANN).
+
+Embeddings are ``ArrayType(FloatType)`` columns; all math is done in
+DOUBLE with *sequential left-fold* accumulation (``F.aggregate``), which
+is bit-reproducible across runs and engines — the dot product of two
+fixed arrays has one evaluation order, unlike a parallel float sum.
+
+Scale design:
+* brute-force top-k broadcasts the (small) query set against the corpus —
+  one pass, no shuffle of the corpus, TakeOrdered per query;
+* the IVF variant broadcasts K centroids, assigns each corpus vector to
+  its nearest centroid (one map pass), and probes only ``nprobe``
+  centroid buckets per query — the classic recall/throughput trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two float arrays, in DOUBLE."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    *,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (self-matches excluded).
+
+    Output: query_id, neighbor_id, cos, rank — rank tie-broken by
+    neighbor id so results are totally deterministic.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec).alias("_qvec")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec).alias("_cvec")
+    )
+    pairs = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = (
+        pairs.select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qvec"), F.col("_cvec")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (broadcast argmin).
+
+    argmin is ``min(struct(-cos, centroid_id))`` — one aggregation, ties
+    broken by centroid id, no window needed.
+    """
+    c = centroids.select(
+        F.col(centroid_id).alias("_cid"), F.col(vec).alias("_centroid")
+    )
+    scored = corpus.crossJoin(F.broadcast(c)).select(
+        *corpus.columns,
+        F.col("_cid"),
+        cosine(F.col(vec), F.col("_centroid")).alias("_cos"),
+    )
+    best = (
+        scored.groupBy(id_col)
+        .agg(F.min(F.struct(-F.col("_cos"), F.col("_cid"))).alias("_best"))
+        .select(id_col, F.col("_best._cid").alias(centroid_id))
+    )
+    return corpus.join(best, id_col)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus_assigned: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    *,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: probe only the ``nprobe`` nearest centroid buckets.
+
+    ``corpus_assigned`` must carry a ``centroid_id`` from :func:`ivf_assign`.
+    """
+    probe = (
+        cosine_topk(
+            queries,
+            centroids,
+            k=nprobe,
+            query_id=id_col,
+            corpus_id="centroid_id",
+            vec=vec,
+            exclude_self=False,
+        )
+        .select("query_id", F.col("neighbor_id").alias("centroid_id"))
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec).alias("_qvec"))
+    candidates = (
+        corpus_assigned.join(F.broadcast(probe), "centroid_id")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("_qvec"), F.col(vec)).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,342 @@
+"""LLM-training-data pipeline operators (SURVEY.md §2.B B27–B30 +
+north-star dedup / similarity / text-analysis / multimodal families).
+
+The exact variants (n-gram Jaccard, brute-force cosine, rolling-hash
+fingerprint) are oracle-checked; the sketch-based scale paths
+(MinHash-LSH, SimHash, IVF) use engine hashes and are rows-only, with
+pytest asserting they agree with their exact twins (tests/test_llm_ops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_plan_service_spark.operators import dedup as dd
+from hive_plan_service_spark.operators import multimodal as mm
+from hive_plan_service_spark.operators import vectors as vx
+from hive_plan_service_spark.operators.textops import (
+    LANG_STOPWORDS,
+    rolling_fingerprint,
+    stopword_hits,
+    tokens,
+)
+from hive_plan_service_spark.plans.registry import register
+from hive_plan_service_spark.sources.catalog import register_tables
+
+# Shared DuckDB fragments -----------------------------------------------------
+
+_DUCK_SHINGLES = """
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT d.doc_id,
+           concat_ws(' ', s.ws[t.i], s.ws[t.i+1], s.ws[t.i+2]) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) s
+    JOIN documents d USING (doc_id),
+    UNNEST(generate_series(1, greatest(len(s.ws) - 3, 0) + 1)) AS t(i)
+  )
+)
+"""
+
+_DUCK_COS = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64),"
+    " i -> {a}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE)), (x, y) -> x + y)"
+    " / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64),"
+    " i -> {a}.embedding[i]::DOUBLE * {a}.embedding[i]::DOUBLE)), (x, y) -> x + y))"
+    " * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64),"
+    " i -> {b}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE)), (x, y) -> x + y)))"
+)
+
+
+# --------------------------------------------------------------------------
+# B29 — text analysis: token stats.
+# --------------------------------------------------------------------------
+@register(
+    "b29_text_token_stats",
+    oracle="""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_regex_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars_actual,
+             CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_word
+      FROM documents
+    """,
+    doc="Token counting: whitespace + regex tokenizer + char stats.",
+    tags=("B29",),
+)
+def b29_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    d = spark.table("documents")
+    w = tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_words"),
+        F.regexp_count(F.col("text"), F.lit("[a-z0-9]+"))
+        .cast("bigint")
+        .alias("n_regex_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        (F.length("text").cast("double") / F.size(w)).alias("chars_per_word"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B29 — text quality scoring (length / stopword / long-word ratios).
+# --------------------------------------------------------------------------
+@register(
+    "b29_text_quality",
+    oracle="""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      )
+      SELECT doc_id,
+             CAST(len(list_filter(ws, w -> list_contains(
+               ['the','a','of','and','in','to','is'], w))) AS DOUBLE) / len(ws)
+               AS stopword_ratio,
+             CAST(len(list_filter(ws, w -> len(w) > 6)) AS DOUBLE) / len(ws)
+               AS long_word_ratio,
+             (len(ws) BETWEEN 20 AND 400) AS length_ok
+      FROM t
+    """,
+    doc="Quality signals: stopword ratio, long-word ratio, length gate.",
+    tags=("B29",),
+)
+def b29_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    d = spark.table("documents").select("doc_id", tokens("text").alias("ws"))
+    n = F.size("ws")
+    return d.select(
+        "doc_id",
+        (stopword_hits(F.col("ws"), LANG_STOPWORDS["en"]).cast("double") / n).alias(
+            "stopword_ratio"
+        ),
+        (
+            F.size(F.filter(F.col("ws"), lambda w: F.length(w) > 6)).cast("double")
+            / n
+        ).alias("long_word_ratio"),
+        n.between(20, 400).alias("length_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B29 — language-ID heuristic: stopword-hit argmax with fixed tiebreak.
+# --------------------------------------------------------------------------
+@register(
+    "b29_text_langid",
+    oracle="""
+      WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+      ), hits AS (
+        SELECT doc_id, lang,
+               len(list_filter(ws, w -> list_contains(['the','a','of','and','in','to','is'], w))) AS h_en,
+               len(list_filter(ws, w -> list_contains(['el','la','de','que','y','los','un'], w))) AS h_es,
+               len(list_filter(ws, w -> list_contains(['der','die','das','und','ist','ein','zu'], w))) AS h_de
+        FROM t
+      )
+      SELECT doc_id, lang AS claimed_lang,
+             CASE WHEN h_en >= h_es AND h_en >= h_de THEN 'en'
+                  WHEN h_es >= h_de THEN 'es'
+                  ELSE 'de' END AS predicted_lang,
+             CAST(h_en AS BIGINT) AS h_en
+      FROM hits
+    """,
+    doc="n-gram/stopword language-ID heuristic (deterministic argmax, en>es>de tiebreak).",
+    tags=("B29",),
+)
+def b29_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    d = spark.table("documents").select(
+        "doc_id", F.col("lang"), tokens("text").alias("ws")
+    )
+    h = {
+        code: stopword_hits(F.col("ws"), words)
+        for code, words in LANG_STOPWORDS.items()
+    }
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("claimed_lang"),
+        F.when((h["en"] >= h["es"]) & (h["en"] >= h["de"]), "en")
+        .when(h["es"] >= h["de"], "es")
+        .otherwise("de")
+        .alias("predicted_lang"),
+        h["en"].alias("h_en"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B29 — document fingerprint: engine-portable polynomial rolling hash.
+# --------------------------------------------------------------------------
+@register(
+    "b29_text_fingerprint",
+    oracle="""
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 2147483647) AS fingerprint
+      FROM documents
+    """,
+    doc="Rolling-hash fingerprint (mod 2^31-1), bit-identical cross-engine.",
+    tags=("B29",),
+)
+def b29_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.table("documents").select(
+        "doc_id", rolling_fingerprint("text").alias("fingerprint")
+    )
+
+
+# --------------------------------------------------------------------------
+# B27 — exact n-gram Jaccard near-dup pairs (ground truth for the sketches).
+# --------------------------------------------------------------------------
+@register(
+    "b27_dedup_jaccard_exact",
+    oracle=f"""
+      WITH {_DUCK_SHINGLES},
+      counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT p.doc_a, p.doc_b, p.common,
+             CAST(p.common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.common) AS jaccard
+      FROM pairs p
+      JOIN counts ca ON ca.doc_id = p.doc_a
+      JOIN counts cb ON cb.doc_id = p.doc_b
+      WHERE CAST(p.common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.common) >= 0.5
+    """,
+    doc="Exact word-3-gram Jaccard join, threshold 0.5.",
+    tags=("B27",),
+)
+def b27_dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return dd.jaccard_pairs(spark.table("documents"), threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# B27 — MinHash-LSH (the 100 TB path; engine-hash-based → rows-only,
+# exact-twin agreement asserted in pytest).
+# --------------------------------------------------------------------------
+@register(
+    "b27_dedup_minhash_lsh",
+    oracle=None,
+    doc="MinHash(16) + 4-band LSH candidate pairs with estimated Jaccard ≥ 0.5.",
+    tags=("B27",),
+)
+def b27_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return dd.minhash_lsh_pairs(spark.table("documents"))
+
+
+@register(
+    "b27_dedup_simhash",
+    oracle=None,
+    doc="SimHash64 near-dup pairs (16-bit chunk buckets, Hamming ≤ 3).",
+    tags=("B27",),
+)
+def b27_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return dd.simhash_pairs(spark.table("documents"))
+
+
+# --------------------------------------------------------------------------
+# B27 — embedding-cosine near-dup (blocked exact; oracle-checked).
+# --------------------------------------------------------------------------
+@register(
+    "b27_dedup_embedding_cosine",
+    oracle=f"""
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_DUCK_COS.format(a='a', b='b')} AS cos
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_DUCK_COS.format(a='a', b='b')} >= 0.35
+    """,
+    doc="Near-dup embeddings: label-blocked pairwise cosine ≥ 0.35 (sequential-fold exact).",
+    tags=("B27",),
+)
+def b27_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return dd.embedding_dup_pairs(spark.table("embeddings"), threshold=0.35)
+
+
+# --------------------------------------------------------------------------
+# B28 — brute-force top-k cosine similarity search (oracle-checked).
+# --------------------------------------------------------------------------
+@register(
+    "b28_cosine_topk",
+    oracle=f"""
+      WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DUCK_COS.format(a='q', b='c')} AS cos
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+      )
+      SELECT query_id, neighbor_id, cos, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored
+      ) WHERE rank <= 5
+    """,
+    doc="Exact top-5 cosine neighbors for query vectors (broadcast scan, rank tie-broken).",
+    tags=("B28",),
+)
+def b28_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return vx.cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
+
+
+@register(
+    "b28_ann_ivf",
+    oracle=None,
+    doc="IVF ANN: nearest-centroid buckets (vec_id %% 97 == 0 seeds), nprobe=2, top-5.",
+    tags=("B28",),
+)
+def b28_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    centroids = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = vx.ivf_assign(emb, centroids)
+    return vx.ivf_topk(
+        emb.filter(F.col("vec_id") < 5), assigned, centroids, k=5, nprobe=2
+    )
+
+
+# --------------------------------------------------------------------------
+# B30 — multimodal columns: binary payload + typed metadata.
+# --------------------------------------------------------------------------
+@register(
+    "b30_multimodal_meta",
+    oracle="""
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             'image/png' AS mime,
+             CAST(((doc_id % 1024) + 1024) % 1024 + 16 AS INT) AS width
+      FROM documents
+    """,
+    doc="Binary payload metadata: byte length + struct fields, parquet-typed.",
+    tags=("B30",),
+)
+def b30_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    payload = mm.attach_binary_payload(spark.table("documents"))
+    return payload.select(
+        "doc_id",
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.width").alias("width"),
+    )
+
+
+@register(
+    "b30_multimodal_decode",
+    oracle=None,
+    doc="mapInPandas decode stage over binary payloads (STUB codec, real plumbing).",
+    tags=("B30", "B26"),
+)
+def b30_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return mm.decode_features(mm.attach_binary_payload(spark.table("documents")))

@@ -1,0 +1,99 @@
+"""Semantic tests for the sketch-based LLM ops (no SQL oracle possible):
+the approximate paths must agree with their exact twins on the easy mass
+(identical documents), and the ANN path must recall a reasonable share of
+the brute-force neighbors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_plan_service_spark.operators import dedup as dd
+from hive_plan_service_spark.operators import vectors as vx
+from hive_plan_service_spark.sources.catalog import register_tables
+
+
+def _near_dup_truth(spark, threshold=0.9):
+    """High-jaccard ground-truth pairs (the fixture has ~0.9–0.99 near-dups)."""
+    return {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.jaccard_pairs(spark.table("documents"), threshold).collect()
+    }
+
+
+def test_minhash_lsh_recalls_near_dups(spark, sf_dir):
+    register_tables(spark, sf_dir)
+    truth = _near_dup_truth(spark)
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.minhash_lsh_pairs(spark.table("documents")).collect()
+    }
+    assert truth, "fixture should contain >=0.9-jaccard near-dups"
+    # 16 hashes / 4 bands: P(candidate | j=0.9) ≈ 0.99
+    assert len(truth & lsh) / len(truth) >= 0.9
+
+
+def test_simhash_recalls_near_dups(spark, sf_dir):
+    register_tables(spark, sf_dir)
+    truth = _near_dup_truth(spark)
+    sim = dd.simhash_pairs(spark.table("documents")).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in sim}
+    assert all(r["hamming"] <= 3 for r in sim)
+    assert truth, "fixture should contain >=0.9-jaccard near-dups"
+    # hamming ≤ 3 over 4 chunks ⇒ bucketing is lossless (pigeonhole);
+    # the recall bound is the sketch itself, empirically ~0.75 here
+    assert len(truth & pairs) / len(truth) >= 0.5
+
+
+def test_lsh_candidates_estimate_tracks_exact_jaccard(spark, sf_dir):
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dd.minhash_lsh_pairs(docs, est_threshold=0.5).collect()
+    }
+    # high-similarity truth should be recalled by the sketch
+    recalled = sum(1 for p in exact if p in lsh)
+    assert exact, "fixture should contain >0.8-jaccard pairs"
+    assert recalled / len(exact) >= 0.8
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    register_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in vx.cosine_topk(queries, emb, k=5).collect()
+    }
+    centroids = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = vx.ivf_assign(emb, centroids)
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in vx.ivf_topk(queries, assigned, centroids, k=5, nprobe=2).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.2, f"IVF recall collapsed: {recall}"
+
+
+def test_multimodal_decode_bytes(spark, sf_dir):
+    from hive_plan_service_spark.operators import multimodal as mmod
+
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents").limit(5)
+    out = {
+        r["doc_id"]: r
+        for r in mmod.decode_features(mmod.attach_binary_payload(docs)).collect()
+    }
+    for row in docs.collect():
+        payload = row["text"].encode("utf-8")
+        got = out[row["doc_id"]]
+        assert got["n_bytes"] == len(payload)
+        assert got["byte_sum"] == sum(payload)
+        assert got["mime"] == "image/png"
