@@ -28,7 +28,7 @@ from hive_plan_service_spark.sources.catalog import (
     register_tables,
 )
 
-_FLAT_EXPANSION_SQL = f"""
+FLAT_EXPANSION_SQL = f"""
 WITH {ORACLE_PLANS_CTE},
 {ORACLE_PLAN_GROUPS_CTE}
 SELECT g.id AS group_id, g.title AS group_title, g.mask,
@@ -44,7 +44,7 @@ JOIN plans_d p ON (g.mask & p.id) <> 0
 # --------------------------------------------------------------------------
 @register(
     "a03_bitmask_expand_join",
-    oracle=_FLAT_EXPANSION_SQL,
+    oracle=FLAT_EXPANSION_SQL,
     doc="Flagship reference op: mask → member plans, exploded (intended 64-bit semantics).",
     tags=("A3",),
 )
@@ -109,7 +109,7 @@ def a04_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "a05_materialize_roundtrip",
-    oracle=_FLAT_EXPANSION_SQL,
+    oracle=FLAT_EXPANSION_SQL,
     doc="Refresh job: overwrite-materialize entities (MULTI/EXEC ↔ job commit), read back, flatten.",
     tags=("A5", "A6", "A14"),
 )
@@ -198,9 +198,7 @@ def a09_counter_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # A11/A12 — SET override + GET with null-default: the current counter value.
 # --------------------------------------------------------------------------
-@register(
-    "a11_counter_current_value",
-    oracle=f"""
+COUNTER_CURRENT_VALUE_SQL = f"""
 WITH {ORACLE_COUNTER_EVENTS_CTE},
 ls AS (
   SELECT ts, event_id, set_value FROM counter_events_d
@@ -215,7 +213,12 @@ SELECT CAST(
                      OR (d.ts = (SELECT ts FROM ls)
                          AND d.event_id > (SELECT event_id FROM ls)))), 0)
   AS BIGINT) AS joined_count
-""",
+"""
+
+
+@register(
+    "a11_counter_current_value",
+    oracle=COUNTER_CURRENT_VALUE_SQL,
     doc="setJoinedCount last-writer-wins + getJoinedCount null→0 (server:62–83).",
     tags=("A11", "A12"),
 )

@@ -1,0 +1,138 @@
+"""Streaming surface (SURVEY.md §2.B B22–B25) as registered queries.
+
+Each query drives a real Structured Streaming query to completion over
+the events parquet (availableNow + memory/foreachBatch sinks) and
+returns the final batch result. Oracles verify stream/batch equivalence:
+with complete output and a full replay the streamed answer must equal
+the batch SQL over the same rows. Late-data drop behavior (append mode,
+advancing watermark) is exercised in tests/test_streaming.py, where the
+arrival order can be controlled.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_plan_service_spark.plans.reference_ops import (
+    COUNTER_CURRENT_VALUE_SQL,
+    FLAT_EXPANSION_SQL,
+)
+from hive_plan_service_spark.plans.registry import register
+from hive_plan_service_spark.sources.catalog import register_tables, table_path
+from hive_plan_service_spark.streaming.counter import streaming_counter_value
+from hive_plan_service_spark.streaming.refresh_sink import streaming_refresh
+from hive_plan_service_spark.streaming.source import events_stream
+from hive_plan_service_spark.streaming.windows import (
+    run_to_completion,
+    session_windows,
+    tumbling_window_agg,
+)
+
+
+def _workdir() -> str:
+    return tempfile.mkdtemp(prefix=f"hpss_stream_{uuid.uuid4().hex[:8]}_")
+
+
+# --------------------------------------------------------------------------
+# B22 — tumbling event-time window aggregate with watermark.
+# --------------------------------------------------------------------------
+@register(
+    "b22_stream_tumbling_window",
+    oracle="""
+      SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_epoch,
+             event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY 1, 2
+    """,
+    doc="Structured Streaming tumbling 1h windows == batch hour buckets on full replay.",
+    tags=("B22",),
+)
+def b22_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    stream = events_stream(spark, table_path(sf_dir, "events"))
+    return run_to_completion(tumbling_window_agg(stream, "1 hour"))
+
+
+# --------------------------------------------------------------------------
+# B23 — session windows (30 min gap) per user.
+# --------------------------------------------------------------------------
+@register(
+    "b23_stream_session_window",
+    oracle="""
+      WITH o AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ), s AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        FROM o
+      )
+      SELECT user_id,
+             CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+             COUNT(*) AS n_events
+      FROM s GROUP BY user_id, sid
+    """,
+    doc="session_window(ts, 30m) == gap-split sessionization in SQL (split at diff >= gap).",
+    tags=("B23",),
+)
+def b23_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    stream = events_stream(spark, table_path(sf_dir, "events"))
+    return run_to_completion(session_windows(stream, "30 minutes"))
+
+
+# --------------------------------------------------------------------------
+# B24 — stateful running counter as a stream (order-dependent fold →
+# foreachBatch log + replay; see streaming/counter.py).
+# --------------------------------------------------------------------------
+@register(
+    "b24_stream_counter_value",
+    oracle=COUNTER_CURRENT_VALUE_SQL,
+    doc="Streamed counter events reach the same last-writer-wins value as batch (A11/A12).",
+    tags=("B24",),
+)
+def b24_stream_counter_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return streaming_counter_value(
+        spark, table_path(sf_dir, "events"), _workdir()
+    )
+
+
+# --------------------------------------------------------------------------
+# B25 — refresh-as-a-stream: foreachBatch idempotent overwrite of the
+# materialized entity tables, then read back (flattened for the oracle).
+# --------------------------------------------------------------------------
+@register(
+    "b25_stream_refresh_sink",
+    oracle=FLAT_EXPANSION_SQL,
+    doc="foreachBatch upsert sink: streamed refresh materializes the same entities as batch.",
+    tags=("B25",),
+)
+def b25_stream_refresh_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    register_tables(spark, sf_dir)
+    nested = streaming_refresh(spark, table_path(sf_dir, "events"), _workdir())
+    return nested.select(
+        F.col("id").alias("group_id"),
+        F.col("title").alias("group_title"),
+        "mask",
+        F.explode("plans").alias("p"),
+    ).select(
+        "group_id",
+        "group_title",
+        "mask",
+        F.col("p.id").alias("plan_id"),
+        F.col("p.title").alias("plan_title"),
+        F.col("p.optional").alias("optional"),
+    )

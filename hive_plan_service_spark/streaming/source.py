@@ -1,0 +1,54 @@
+"""Streaming sources (SURVEY.md B22): file-backed event streams.
+
+The reference's refresh loop (§3.2) and counter mutations (§3.3) are
+point-in-time effects; their streaming generalization reads an
+append-only event feed. Locally that is the ``events`` parquet consumed
+through ``readStream`` (file source — each new file is a micro-batch);
+in production the same plan runs off Kafka/queue sources unchanged, since
+everything downstream is declarative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hive_plan_service_spark.session import tune
+
+#: File schema of the events parquet — ``ts`` arrives as BIGINT nanos
+#: (TIMESTAMP(NANOS) under nanosAsLong, see sources/catalog.py).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(
+    spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """``readStream`` over an events parquet path (file or directory).
+
+    ``max_files_per_trigger=1`` turns a multi-file directory into an
+    ordered sequence of micro-batches — how the watermark tests replay
+    late data.
+    """
+    import os
+
+    tune(spark)
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if os.path.isfile(path):
+        # the file source only accepts directories: stream the parent,
+        # filtered to exactly this file
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -1,0 +1,138 @@
+"""Watermark semantics under controlled arrival order.
+
+The oracle-checked streaming queries replay everything in one batch, so
+watermark drops can't surface there. Here we split the events into two
+files arriving out of order (recent first, old second) and stream with
+maxFilesPerTrigger=1: the second batch is entirely behind the watermark
+and must be dropped in append mode.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from hive_plan_service_spark.sources.catalog import register_tables, table_path
+from hive_plan_service_spark.streaming.source import events_stream
+from hive_plan_service_spark.streaming.windows import (
+    run_to_completion,
+    tumbling_window_agg,
+)
+
+
+def test_append_mode_watermark_guarantees(spark, sf_dir, tmp_path):
+    """Append-mode guarantees under out-of-order arrival.
+
+    Spark's watermark contract is one-directional: rows within the delay
+    are never dropped; rows beyond it MAY still be aggregated (observed:
+    Spark 4.1 aggregates a whole late file). The deterministic
+    guarantees we hold the engine to:
+
+    1. no window with end > final watermark is emitted (open windows
+       are withheld in append mode);
+    2. every window fully covered by in-watermark data is emitted and
+       its counts match the batch ground truth.
+    """
+    register_tables(spark, sf_dir)
+    ev = spark.read.parquet(table_path(sf_dir, "events"))
+    mid = ev.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+
+    feed = tmp_path / "feed"
+    os.makedirs(feed)
+    # recent half arrives FIRST → watermark advances past the old half
+    ev.filter(F.col("ts") >= mid).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "recent")
+    )
+    ev.filter(F.col("ts") < mid).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "old")
+    )
+
+    def _move(src: str, name: str) -> None:
+        part = next(
+            p for p in os.listdir(tmp_path / src) if p.endswith(".parquet")
+        )
+        os.rename(tmp_path / src / part, feed / name)
+
+    _move("recent", "0_recent.parquet")
+    time.sleep(1.1)  # file source orders by modification time
+    _move("old", "1_old.parquet")
+
+    stream = events_stream(spark, str(feed), max_files_per_trigger=1)
+    appended = run_to_completion(
+        tumbling_window_agg(stream, "1 hour", watermark="1 hour"),
+        output_mode="append",
+    )
+    full_df = (
+        spark.read.parquet(str(feed))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    full = {
+        (int(r["window"]["start"].timestamp()), r["event_type"]): r["n"]
+        for r in full_df.collect()
+    }
+    got = {
+        (r["window_start_epoch"], r["event_type"]): r["n"]
+        for r in appended.collect()
+    }
+    max_ts_ns = ev.agg(F.max("ts")).collect()[0][0]
+    final_wm = max_ts_ns // 1_000_000_000 - 3600  # max event time − delay
+
+    # (1) open windows (end > final watermark) are withheld
+    withheld = {k for k in got if k[0] + 3600 > final_wm}
+    assert not withheld, f"open windows leaked into append output: {withheld}"
+    # (2) emitted windows match the batch ground truth exactly
+    for k, n in got.items():
+        assert full[k] == n
+    # (3) every closed recent-half window was emitted (never-drop direction)
+    mid_epoch = mid // 1_000_000_000
+    expected_recent = {
+        k for k in full if k[0] >= mid_epoch + 3600 and k[0] + 3600 <= final_wm
+    }
+    assert expected_recent <= set(got)
+
+
+def test_stream_batch_equivalence_multi_batch(spark, sf_dir, tmp_path):
+    """In-order multi-batch replay with a generous watermark loses nothing."""
+    register_tables(spark, sf_dir)
+    ev = spark.read.parquet(table_path(sf_dir, "events"))
+    mid = ev.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+
+    feed = tmp_path / "feed2"
+    os.makedirs(feed)
+    ev.filter(F.col("ts") < mid).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "b0")
+    )
+    ev.filter(F.col("ts") >= mid).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "b1")
+    )
+    for i, src in enumerate(["b0", "b1"]):
+        part = next(
+            p for p in os.listdir(tmp_path / src) if p.endswith(".parquet")
+        )
+        os.rename(tmp_path / src / part, feed / f"{i}.parquet")
+        time.sleep(1.1)
+
+    stream = events_stream(spark, str(feed), max_files_per_trigger=1)
+    streamed = run_to_completion(
+        tumbling_window_agg(stream, "1 hour", watermark="30 days"),
+        output_mode="complete",
+    )
+    batch = (
+        spark.read.parquet(str(feed))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = {
+        (r["window_start_epoch"], r["event_type"]): r["n"]
+        for r in streamed.collect()
+    }
+    b = {
+        (int(r["window"]["start"].timestamp()), r["event_type"]): r["n"]
+        for r in batch.collect()
+    }
+    assert s == b
