@@ -22,18 +22,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hive_plan_service_spark.operators.textops import (
-    minhash_signature,
-    shingles,
-    simhash64_expr,
-    token_hashes,
-    tokens,
-)
+from hive_plan_service_spark.operators.textops import shingles, tokens
+
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-spread a relation before a CPU-bound per-row stage.
+
+    Tokenize/shingle/hash stages are compute-bound, and a small parquet
+    file arrives as one (unsplittable single-row-group) partition — at
+    any scale the rule is the same: pay one cheap shuffle of the raw rows
+    to use the whole cluster for the expensive stage. Never reduces an
+    already-wide relation.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, key)
 
 
 def shingle_table(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """(id, shingle) rows — distinct word n-grams per document."""
-    return docs.select(
+    return _spread(docs, id_col).select(
         F.col(id_col), F.explode(shingles(tokens(text_col), n)).alias("shingle")
     )
 
@@ -75,6 +84,40 @@ def jaccard_pairs(
     )
 
 
+def minhash_signatures(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(id, sig) MinHash signatures via explode + partial-aggregated mins.
+
+    Each shingle *string* is xxhash64'd exactly once; the ``num_hashes``
+    hash functions are cheap long-rehashes ``xxhash64(h, i)`` evaluated
+    as ``min()`` aggregates. Because a document's shingle rows stay in
+    the partition that exploded them, map-side combine reduces the
+    shuffle to ~#docs × num_hashes longs — this is what keeps MinHash
+    linear at corpus scale (the array-lambda formulation re-hashed every
+    shingle string per hash function: 60× slower at sf0.1).
+    """
+    sh = _spread(docs, id_col).select(
+        F.col(id_col).alias("doc_id_"),
+        F.explode(shingles(tokens(text_col), n)).alias("sh"),
+    )
+    hashed = sh.select("doc_id_", F.xxhash64("sh").alias("h"))
+    mins = hashed.groupBy("doc_id_").agg(
+        *[
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "doc_id_", F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     *,
@@ -92,9 +135,8 @@ def minhash_lsh_pairs(
     candidates; the signature-agreement fraction estimates Jaccard.
     """
     rows = num_hashes // bands
-    sigs = docs.select(
-        F.col(id_col).alias("doc_id_"),
-        minhash_signature(shingles(tokens(text_col), n), num_hashes).alias("sig"),
+    sigs = minhash_signatures(
+        docs, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes
     )
     banded = sigs.select(
         "doc_id_",
@@ -141,6 +183,39 @@ def minhash_lsh_pairs(
     )
 
 
+def simhash_sketches(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) 64-bit SimHash sketches via explode + bit-vote aggregates.
+
+    Tokens explode to (id, xxhash64(token)) rows — each token string
+    hashed exactly once — then 64 ``sum((h >> b) & 1)`` aggregates vote
+    per bit (map-side combined, one shuffle of ~#docs × 65 longs). The
+    array-lambda formulation would re-hash every token per bit after
+    Catalyst's CollapseProject inlines the projection into all 64
+    lambdas — the same 60× trap as MinHash.
+    """
+    ex = _spread(docs, id_col).select(
+        F.col(id_col).alias("doc_id_"), F.explode(tokens(text_col)).alias("w")
+    )
+    h = ex.select("doc_id_", F.xxhash64("w").alias("h"))
+    votes = h.groupBy("doc_id_").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.expr(f"shiftright(h, {b}) & 1")).alias(f"_o{b}")
+            for b in range(64)
+        ],
+    )
+    simhash = None
+    for b in range(64):
+        bit = F.when(
+            2 * F.col(f"_o{b}") > F.col("_n"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {b})"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        simhash = bit if simhash is None else simhash + bit
+    return votes.select("doc_id_", simhash.alias("simhash"))
+
+
 def simhash_pairs(
     docs: DataFrame,
     *,
@@ -148,16 +223,12 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-dup pairs: bucket by 16-bit chunks, verify Hamming."""
-    base = docs.select(F.col(id_col).alias("doc_id_"), tokens(text_col).alias("w"))
-    hashed = base.select(
-        "doc_id_",
-        token_hashes(F.col("w")).alias("hashes"),
-        F.size("w").alias("n_tokens"),
-    )
-    sketched = hashed.select(
-        "doc_id_", simhash64_expr("hashes", "n_tokens").alias("simhash")
-    )
+    """SimHash near-dup pairs: bucket by 16-bit chunks, verify Hamming.
+
+    Hamming ≤ 3 over 4 chunks ⇒ at least one chunk is identical
+    (pigeonhole), so chunk-bucketing is lossless for the verify filter.
+    """
+    sketched = simhash_sketches(docs, id_col=id_col, text_col=text_col)
     # chunk value extraction needs a column shift amount → SQL expr
     chunks = sketched.selectExpr(
         "doc_id_",

@@ -63,49 +63,14 @@ def rolling_fingerprint(text: Column | str) -> Column:
     )
 
 
-def minhash_signature(shingle_arr: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: array of ``num_hashes`` BIGINT minima.
-
-    h_i(s) = xxhash64(i ⊕ s); the signature is computed entirely
-    array-side per row — the only shuffle in MinHash-LSH dedup is the
-    band-bucket join that follows.
-    """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingle_arr,
-                lambda s: F.xxhash64(F.concat(i.cast("string"), F.lit("\x1f"), s)),
-            )
-        ),
-    )
-
-
-def simhash64_expr(hashes_col: str, n_col: str) -> Column:
-    """64-bit SimHash from a precomputed BIGINT token-hash array column.
-
-    bit b of the output is set iff the majority of token hashes have bit
-    b set (±1 weight voting). Pure array algebra — no shuffle, no UDF.
-    SQL-expr form because the shift amount is the lambda variable ``b``
-    (the PySpark ``shiftright`` wrapper only accepts literal shifts).
-    ``(h >> b) & 1`` extracts bit b correctly for negative hashes too —
-    sign extension only touches bits above the mask.
-    """
-    return F.expr(
-        f"""
-        aggregate(
-          sequence(0, 63),
-          CAST(0 AS BIGINT),
-          (acc, b) -> acc + IF(
-            2 * size(filter({hashes_col}, h -> (shiftright(h, b) & 1) = 1)) > {n_col},
-            shiftleft(CAST(1 AS BIGINT), b),
-            CAST(0 AS BIGINT)))
-        """
-    )
-
-
 def token_hashes(words: Column) -> Column:
-    """xxhash64 of each token — the input to SimHash/MinHash fast paths."""
+    """xxhash64 of each token — the input to sketch fast paths.
+
+    Caution: consuming this array from multiple lambda expressions lets
+    Catalyst's CollapseProject inline (= re-evaluate) the hashing per
+    consumer; the sketch operators in operators/dedup.py therefore use
+    the explode + partial-aggregate shape instead.
+    """
     return F.transform(words, lambda w: F.xxhash64(w))
 
 

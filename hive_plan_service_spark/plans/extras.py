@@ -1,0 +1,280 @@
+"""Closure completions: the operator variants SURVEY.md §2.B names that
+the first waves didn't cover — full outer join, GROUPING SETS, pivot,
+deterministic variance/stddev, grouped-map pandas UDF, map functions,
+interval arithmetic, seeded sampling, approximate percentiles.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_plan_service_spark.functions.exact import money
+from hive_plan_service_spark.plans.registry import register
+from hive_plan_service_spark.sources.catalog import register_tables
+
+
+# --------------------------------------------------------------------------
+# B5 — full outer join: suppliers vs customers per nation key.
+# --------------------------------------------------------------------------
+@register(
+    "b05_join_full_outer",
+    oracle="""
+      SELECT COALESCE(c.k, s.k) AS nationkey,
+             COALESCE(c.n_cust, 0) AS n_cust,
+             COALESCE(s.n_supp, 0) AS n_supp
+      FROM (SELECT CAST(c_nationkey AS BIGINT) AS k, COUNT(*) AS n_cust
+            FROM customer GROUP BY 1) c
+      FULL OUTER JOIN (SELECT CAST(s_nationkey AS BIGINT) AS k, COUNT(*) AS n_supp
+            FROM supplier GROUP BY 1) s
+        ON c.k = s.k
+    """,
+    doc="Full outer join with coalesced keys and zero-defaults on both sides.",
+    tags=("B5",),
+)
+def b05_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    c = (
+        spark.table("customer")
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        spark.table("supplier")
+        .groupBy(F.col("s_nationkey").cast("bigint").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, "k", "full").select(
+        F.col("k").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B10 — explicit GROUPING SETS (SQL form; rollup/cube are the shorthands).
+# --------------------------------------------------------------------------
+@register(
+    "b10_grouping_sets",
+    oracle="""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="GROUPING SETS with disjoint groupings in one pass.",
+    tags=("B10",),
+)
+def b10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# B9 — pivot: wide per-status order counts (oracle spells the CASEs).
+# --------------------------------------------------------------------------
+@register(
+    "b09_pivot",
+    oracle="""
+      SELECT o_orderpriority,
+             COALESCE(COUNT(*) FILTER (o_orderstatus = 'F'), 0) AS F,
+             COALESCE(COUNT(*) FILTER (o_orderstatus = 'O'), 0) AS O,
+             COALESCE(COUNT(*) FILTER (o_orderstatus = 'P'), 0) AS P
+      FROM orders GROUP BY o_orderpriority
+    """,
+    doc="pivot(status) -> one count column per status value.",
+    tags=("B9",),
+)
+def b09_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return (
+        spark.table("orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+# --------------------------------------------------------------------------
+# B9 — variance / stddev, deterministically: the builtins accumulate
+# doubles in shuffle order, so both sides compute from exact decimal sums
+# (Σx, Σx²) with identical IEEE ops after the cast.
+# --------------------------------------------------------------------------
+@register(
+    "b09_variance_stddev",
+    oracle="""
+      WITH s AS (
+        SELECT c_nationkey,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))
+                             * CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxx
+        FROM customer GROUP BY c_nationkey
+      )
+      SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+             (sxx - sx * sx / n) / (n - 1) AS var_samp_acctbal,
+             sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_acctbal
+      FROM s WHERE n > 1
+    """,
+    doc="Order-independent var_samp/stddev from exact Σx, Σx².",
+    tags=("B9",),
+)
+def b09_variance_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    bal = money("c_acctbal")
+    s = (
+        spark.table("customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(bal).cast("double").alias("sx"),
+            F.sum(bal * bal).cast("double").alias("sxx"),
+        )
+        .filter(F.col("n") > 1)
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    return s.select(
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        var.alias("var_samp_acctbal"),
+        F.sqrt(var).alias("stddev_acctbal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B26 — grouped-map pandas UDF (applyInPandas): per-nation rank of
+# customers. Integer output keeps the Arrow path value-checkable.
+# --------------------------------------------------------------------------
+@register(
+    "b26_grouped_map_rank",
+    oracle="""
+      SELECT c_custkey,
+             CAST(c_nationkey AS BIGINT) AS nationkey,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS bal_rank
+      FROM customer
+    """,
+    doc="applyInPandas per-group transform == window rank ground truth.",
+    tags=("B26",),
+)
+def b26_grouped_map_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["c_acctbal", "c_custkey"], ascending=[False, True]
+        ).reset_index(drop=True)
+        pdf["bal_rank"] = pdf.index + 1
+        return pdf[["c_custkey", "nationkey", "bal_rank"]]
+
+    return (
+        spark.table("customer")
+        .select(
+            "c_custkey",
+            F.col("c_nationkey").cast("bigint").alias("nationkey"),
+            "c_acctbal",
+        )
+        .groupBy("nationkey")
+        .applyInPandas(
+            rank_group, schema="c_custkey bigint, nationkey bigint, bal_rank bigint"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B19 — map functions: construct, extract, size.
+# --------------------------------------------------------------------------
+@register(
+    "b19_map_functions",
+    oracle="""
+      SELECT p_partkey,
+             CAST(p_size AS DOUBLE) AS size_val,
+             p_retailprice AS price_val,
+             CAST(2 AS BIGINT) AS map_n
+      FROM part
+    """,
+    doc="create_map / element_at / map_size (oracle computes the extracted values directly).",
+    tags=("B19",),
+)
+def b19_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    m = F.create_map(
+        F.lit("size"), F.col("p_size").cast("double"),
+        F.lit("price"), F.col("p_retailprice"),
+    )
+    return spark.table("part").select(
+        "p_partkey",
+        F.element_at(m, "size").alias("size_val"),
+        F.element_at(m, "price").alias("price_val"),
+        F.size(m).cast("bigint").alias("map_n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B17 — interval arithmetic: add_months / date_add with month clamping.
+# --------------------------------------------------------------------------
+@register(
+    "b17_interval_arithmetic",
+    oracle="""
+      SELECT o_orderkey,
+             CAST(FLOOR(epoch(o_orderdate + INTERVAL 3 MONTH)) AS BIGINT) AS plus_3mo_epoch,
+             CAST(FLOOR(epoch(CAST(o_orderdate AS DATE) + 10)) AS BIGINT) AS plus_10d_epoch
+      FROM orders
+    """,
+    doc="add_months (end-of-month clamped) and day arithmetic, epoch-compared.",
+    tags=("B17",),
+)
+def b17_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    o = spark.table("orders")
+    return o.select(
+        "o_orderkey",
+        F.unix_timestamp(F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH"))
+        .cast("bigint")
+        .alias("plus_3mo_epoch"),
+        F.unix_timestamp(
+            F.date_add(F.col("o_orderdate").cast("date"), 10).cast("timestamp")
+        )
+        .cast("bigint")
+        .alias("plus_10d_epoch"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B13 — seeded sampling: engine-deterministic, cross-engine-free (rows-only).
+# --------------------------------------------------------------------------
+@register(
+    "b13_sample_seeded",
+    oracle=None,
+    doc="Bernoulli sample(0.1, seed=42) — deterministic per engine, sampler-specific values.",
+    tags=("B13",),
+)
+def b13_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.table("orders").sample(0.1, seed=42).select("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# B11 — approximate percentiles (t-digest/GK sketches differ per engine).
+# --------------------------------------------------------------------------
+@register(
+    "b11_approx_percentile",
+    oracle=None,
+    doc="approx_percentile(totalprice, [0.5, 0.95]) — sketch-based, rows-only.",
+    tags=("B11",),
+)
+def b11_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return (
+        spark.table("orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx("o_totalprice", [0.5, 0.95]).alias("pctiles")
+        )
+    )

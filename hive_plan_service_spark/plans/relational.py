@@ -591,3 +591,105 @@ def b15_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("keep_doc_id", "dup_count")
     )
+
+
+# --------------------------------------------------------------------------
+# B4/B13 — shipping-priority join (TPC-H Q3 shape): dim-filtered broadcast
+# + fact-fact sort-merge join + agg + top-k. The bench headline for the
+# shuffle path.
+# --------------------------------------------------------------------------
+@register(
+    "b04_join_q3_shipping_priority",
+    oracle="""
+      SELECT l.l_orderkey AS o_orderkey,
+             CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE)
+               AS revenue,
+             CAST(FLOOR(epoch(o.o_orderdate)) AS BIGINT) AS orderdate_epoch
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-03-15'
+        AND l.l_shipdate > TIMESTAMP '1997-03-15'
+      GROUP BY l.l_orderkey, o.o_orderdate
+      ORDER BY revenue DESC, o_orderkey
+      LIMIT 10
+    """,
+    doc="Q3 shape: broadcast dim filter + SMJ fact join + agg + deterministic top-10.",
+    tags=("B4", "B9", "B13"),
+)
+def b04_join_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    c = spark.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = spark.table("orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15"))
+    )
+    li = spark.table("lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1997-03-15"))
+    )
+    revenue = money("l_extendedprice") * (1 - rate("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.unix_timestamp("o_orderdate").cast("bigint").alias("orderdate_epoch"),
+        )
+        .agg(dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "orderdate_epoch")
+    )
+
+
+# --------------------------------------------------------------------------
+# B4 — 5-way star join (TPC-H Q5 shape): the full dim-chain broadcast +
+# fact shuffle. Revenue per nation for one region/year.
+# --------------------------------------------------------------------------
+@register(
+    "b04_join_q5_local_supplier",
+    oracle="""
+      SELECT n.n_name AS nation,
+             CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE)
+               AS revenue,
+             COUNT(*) AS n_lineitems
+      FROM region r
+      JOIN nation n ON n.n_regionkey = r.r_regionkey
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1999-01-01'
+      GROUP BY n.n_name
+    """,
+    doc="Q5 shape: region->nation->customer dims broadcast, orders-lineitem shuffled once.",
+    tags=("B4", "B9"),
+)
+def b04_join_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    r = spark.table("region").filter(F.col("r_name") == "ASIA")
+    n = spark.table("nation")
+    c = spark.table("customer")
+    o = spark.table("orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1999-01-01")))
+    )
+    li = spark.table("lineitem")
+    revenue = money("l_extendedprice") * (1 - rate("l_discount"))
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dsum(revenue, "revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

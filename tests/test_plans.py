@@ -1,0 +1,81 @@
+"""Physical-plan hygiene: the plan shapes that make operators survive 100 TB.
+
+These assertions pin the Catalyst outcomes the engine's design relies on:
+filters and projections reach the parquet scan, dim joins broadcast,
+fact-fact joins avoid cartesian products, and the hot paths stay inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from hive_plan_service_spark.plans.registry import all_queries
+
+_Q = all_queries()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = _Q[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_projection_prunes_columns(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "b01_scan_projection")
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "p_partkey" in read and "p_name" in read and "p_size" in read
+    assert "p_retailprice" not in read and "p_brand" not in read
+
+
+def test_filters_push_to_parquet(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "b02_filter_pushdown")
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    for name in (
+        "b04_join_inner_broadcast",
+        "b04_join_q3_shipping_priority",
+        "a03_bitmask_expand_join",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast join"
+        assert "CartesianProduct" not in plan, f"{name} degraded to cartesian"
+
+
+def test_flagship_uses_partial_aggregation(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "b09_agg_pricing_summary")
+    # partial (map-side) + final HashAggregate pair around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan, "map-side combine missing"
+
+
+def test_no_cartesian_in_fact_joins(spark, sf_dir):
+    for name in ("b04_join_q5_local_supplier", "b05_join_left_outer", "b08_asof_join_purchase_click"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "b13_global_topk")
+    assert "TakeOrderedAndProject" in plan, "global top-k must not globally sort"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["b09_agg_pricing_summary", "b16_string_functions", "b19_array_functions"],
+)
+def test_scalar_paths_stay_jvm_side(spark, sf_dir, name):
+    """Built-in-function paths: vectorized parquet reader, no Python eval."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "Batched: true" in plan, f"{name} lost the vectorized reader"
+    assert "BatchEvalPython" not in plan, f"{name} fell back to row-python"
+    assert "ArrowEvalPython" not in plan, f"{name} unexpectedly routed via UDF"
