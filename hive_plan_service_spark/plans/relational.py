@@ -77,7 +77,7 @@ def b02_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b03_computed_projection",
     oracle="""
       SELECT o_orderkey,
-             CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS doubled,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS doubled,
              upper(o_orderstatus) AS status_uc,
              (o_orderkey % 7 = 0) AS lucky
       FROM orders
@@ -90,7 +90,7 @@ def b03_computed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = spark.table("orders")
     return o.select(
         "o_orderkey",
-        (money("o_totalprice") * 2).alias("doubled"),
+        (money("o_totalprice") * 2).cast("double").alias("doubled"),
         F.upper("o_orderstatus").alias("status_uc"),
         (F.col("o_orderkey") % 7 == 0).alias("lucky"),
     )

@@ -136,3 +136,19 @@ def b25_stream_refresh_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.title").alias("plan_title"),
         F.col("p.optional").alias("optional"),
     )
+
+
+# --------------------------------------------------------------------------
+# B24 (stateful-operator form) — applyInPandasWithState running counter.
+# --------------------------------------------------------------------------
+@register(
+    "b24_stateful_counter_applyinpandas",
+    oracle=COUNTER_CURRENT_VALUE_SQL,
+    doc="Keyed stateful operator (applyInPandasWithState) folding the command stream in arrival order.",
+    tags=("B24", "B26"),
+)
+def b24_stateful_counter_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_plan_service_spark.streaming.counter import stateful_counter_stream
+
+    register_tables(spark, sf_dir)
+    return stateful_counter_stream(spark, table_path(sf_dir, "events"))

@@ -57,6 +57,8 @@ def tune(spark: SparkSession) -> SparkSession:
 
 
 def get_spark(app_name: str = APP_NAME, cpus: int | None = None) -> SparkSession:
+    import tempfile
+
     n = cpus or default_parallelism()
     builder = (
         SparkSession.builder.master(f"local[{n}]")
@@ -64,6 +66,11 @@ def get_spark(app_name: str = APP_NAME, cpus: int | None = None) -> SparkSession
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(max(8, n)))
+        # keep saveAsTable (bucketing) artifacts out of the repo cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "hpss_warehouse"),
+        )
     )
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)

@@ -53,3 +53,50 @@ def streaming_counter_value(
     q.awaitTermination()
     log = spark.read.parquet(log_dir).drop("epoch")
     return current_counter_value(log)
+
+
+def stateful_counter_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """B24 via ``applyInPandasWithState``: the counter as a keyed stateful op.
+
+    The reference applies INCR/DECR/SET in *arrival order* (Redis command
+    stream, src/plan-server.ts:50–83); this operator reproduces exactly
+    that: per micro-batch, commands are sorted by (ts, event_id) and
+    folded into the state value — SET overwrites, deltas accumulate.
+    Emits the running value per batch; the last emission is the answer.
+    On a full single-batch replay this equals the batch last-writer-wins
+    fold (oracle-checked).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ce = counter_events_from(events_stream(spark, events_path)).withColumn(
+        "k", F.lit(1)
+    )
+
+    def fold(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        value, seq = state.get if state.exists else (0, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        for _, row in batch.iterrows():
+            if row["op"] == "set":
+                value = int(row["set_value"])
+            else:
+                value += int(row["delta"])
+        seq += 1
+        state.update((value, seq))
+        yield pd.DataFrame({"seq": [seq], "joined_count": [value]})
+
+    out = ce.groupBy("k").applyInPandasWithState(
+        fold,
+        outputStructType="seq bigint, joined_count bigint",
+        stateStructType="value bigint, seq bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    from hive_plan_service_spark.streaming.windows import run_to_completion
+
+    emitted = run_to_completion(out, output_mode="update")
+    last = emitted.orderBy(F.col("seq").desc()).limit(1)
+    return last.select(F.col("joined_count").cast("bigint").alias("joined_count"))
