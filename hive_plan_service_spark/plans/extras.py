@@ -83,9 +83,9 @@ def b10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b09_pivot",
     oracle="""
       SELECT o_orderpriority,
-             COALESCE(COUNT(*) FILTER (o_orderstatus = 'F'), 0) AS F,
-             COALESCE(COUNT(*) FILTER (o_orderstatus = 'O'), 0) AS O,
-             COALESCE(COUNT(*) FILTER (o_orderstatus = 'P'), 0) AS P
+             COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS F,
+             COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS O,
+             COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS P
       FROM orders GROUP BY o_orderpriority
     """,
     doc="pivot(status) -> one count column per status value.",
