@@ -278,3 +278,79 @@ def b11_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("o_totalprice", [0.5, 0.95]).alias("pctiles")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A5/A6 (true-upsert form) — batch MERGE emulation: source rows replace
+# same-key target rows. Here: re-price the first 50 parts by +10%.
+# --------------------------------------------------------------------------
+@register(
+    "b25_batch_merge_upsert",
+    oracle="""
+      SELECT p_partkey,
+             CAST(CASE WHEN p_partkey < 50
+                  THEN CAST(p_retailprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1))
+                  ELSE CAST(p_retailprice AS DECIMAL(18,2)) END AS DOUBLE) AS price,
+             (p_partkey < 50) AS updated
+      FROM part
+    """,
+    doc="MERGE-style keyed upsert (anti-join + union) — hset-by-key semantics.",
+    tags=("A5", "A6", "B25"),
+)
+def b25_batch_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_plan_service_spark.operators.merge import merge_upsert
+
+    register_tables(spark, sf_dir)
+    target = spark.table("part").select(
+        "p_partkey",
+        money("p_retailprice").cast("double").alias("price"),
+        F.lit(False).alias("updated"),
+    )
+    source = (
+        spark.table("part")
+        .filter(F.col("p_partkey") < 50)
+        .select(
+            "p_partkey",
+            (money("p_retailprice") * F.lit(1.1).cast("decimal(3,1)"))
+            .cast("double")
+            .alias("price"),
+            F.lit(True).alias("updated"),
+        )
+    )
+    return merge_upsert(target, source, "p_partkey")
+
+
+# --------------------------------------------------------------------------
+# B1/B2 — partitioned layout + static partition pruning: write events
+# partitioned by day, read back with a day filter. The filter must prune
+# at the directory level (PartitionFilters, checked in tests/test_plans.py).
+# --------------------------------------------------------------------------
+@register(
+    "b01_partitioned_prune",
+    oracle="""
+      SELECT event_id, event_type, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day_bucket
+      FROM events
+      WHERE CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)
+            BETWEEN 19725 AND 19729
+    """,
+    doc="Hive-partitioned parquet write + partition-pruned read (day key).",
+    tags=("B1", "B2"),
+)
+def b01_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    register_tables(spark, sf_dir)
+    out = os.path.join(
+        tempfile.gettempdir(), f"hpss_part_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    ev = spark.table("events").withColumn(
+        "day_bucket", F.expr("unix_timestamp(ts) div 86400")
+    )
+    ev.select("event_id", "event_type", "day_bucket").write.mode(
+        "overwrite"
+    ).partitionBy("day_bucket").parquet(out)
+    back = spark.read.parquet(out)
+    return back.filter(F.col("day_bucket").between(19725, 19729)).select(
+        "event_id", "event_type", F.col("day_bucket").cast("bigint").alias("day_bucket")
+    )

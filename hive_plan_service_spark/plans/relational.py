@@ -27,7 +27,7 @@ from hive_plan_service_spark.sources.catalog import register_tables
       FROM part
     """,
     doc="Parquet scan with column pruning — ReadSchema must show 3 cols.",
-    tags=("B1",),
+    tags=("A1", "A2", "B1"),
 )
 def b01_scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)

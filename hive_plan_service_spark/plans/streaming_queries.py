@@ -116,7 +116,7 @@ def b24_stream_counter_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b25_stream_refresh_sink",
     oracle=FLAT_EXPANSION_SQL,
     doc="foreachBatch upsert sink: streamed refresh materializes the same entities as batch.",
-    tags=("B25",),
+    tags=("A13", "B25"),
 )
 def b25_stream_refresh_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F

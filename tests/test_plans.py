@@ -79,3 +79,10 @@ def test_scalar_paths_stay_jvm_side(spark, sf_dir, name):
     assert "Batched: true" in plan, f"{name} lost the vectorized reader"
     assert "BatchEvalPython" not in plan, f"{name} fell back to row-python"
     assert "ArrowEvalPython" not in plan, f"{name} unexpectedly routed via UDF"
+
+
+def test_partitioned_read_prunes_directories(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "b01_partitioned_prune")
+    assert "PartitionFilters" in plan
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "day_bucket" in pf, "day filter did not reach partition pruning"
