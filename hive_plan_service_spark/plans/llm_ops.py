@@ -340,3 +340,74 @@ def b30_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b30_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
     return mm.decode_features(mm.attach_binary_payload(spark.table("documents")))
+
+
+# --------------------------------------------------------------------------
+# The composed training-data pipeline: quality gate → language ID →
+# near-dup removal (greedy min-id winner) → fingerprinted clean corpus.
+# One declarative plan end-to-end — Catalyst fuses the scalar stages and
+# the only shuffles are the dedup join's.
+# --------------------------------------------------------------------------
+@register(
+    "llm_corpus_clean_pipeline",
+    oracle=f"""
+      WITH {_DUCK_SHINGLES},
+      counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      dup_losers AS (
+        SELECT DISTINCT b.doc_id AS doc_id
+        FROM sh a
+        JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN counts ca ON ca.doc_id = a.doc_id
+        JOIN counts cb ON cb.doc_id = b.doc_id
+        GROUP BY a.doc_id, b.doc_id, ca.n_sh, cb.n_sh
+        HAVING CAST(COUNT(*) AS DOUBLE) / (ca.n_sh + cb.n_sh - COUNT(*)) >= 0.9
+      ),
+      quality AS (
+        SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+      )
+      SELECT q.doc_id,
+             CAST(len(q.ws) AS BIGINT) AS n_words,
+             CASE WHEN len(list_filter(q.ws, w -> list_contains(['the','a','of','and','in','to','is'], w)))
+                       >= len(list_filter(q.ws, w -> list_contains(['el','la','de','que','y','los','un'], w)))
+                   AND len(list_filter(q.ws, w -> list_contains(['the','a','of','and','in','to','is'], w)))
+                       >= len(list_filter(q.ws, w -> list_contains(['der','die','das','und','ist','ein','zu'], w)))
+                  THEN 'en'
+                  WHEN len(list_filter(q.ws, w -> list_contains(['el','la','de','que','y','los','un'], w)))
+                       >= len(list_filter(q.ws, w -> list_contains(['der','die','das','und','ist','ein','zu'], w)))
+                  THEN 'es' ELSE 'de' END AS predicted_lang,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(q.text, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 2147483647) AS fingerprint
+      FROM quality q
+      WHERE len(q.ws) BETWEEN 20 AND 400
+        AND q.doc_id NOT IN (SELECT doc_id FROM dup_losers)
+    """,
+    doc="Composed pipeline: length gate + langid + jaccard-0.9 dedup (min-id wins) + fingerprint.",
+    tags=("B15", "B27", "B29"),
+)
+def llm_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    losers = (
+        dd.jaccard_pairs(docs, threshold=0.9)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    base = docs.select("doc_id", "text", tokens("text").alias("ws"))
+    gated = base.filter(F.size("ws").between(20, 400))
+    survivors = gated.join(losers, "doc_id", "left_anti")
+    h = {
+        code: stopword_hits(F.col("ws"), words)
+        for code, words in LANG_STOPWORDS.items()
+    }
+    return survivors.select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_words"),
+        F.when((h["en"] >= h["es"]) & (h["en"] >= h["de"]), "en")
+        .when(h["es"] >= h["de"], "es")
+        .otherwise("de")
+        .alias("predicted_lang"),
+        rolling_fingerprint("text").alias("fingerprint"),
+    )

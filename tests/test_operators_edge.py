@@ -1,0 +1,134 @@
+"""Per-operator edge cases (SURVEY.md §5.4) on tiny in-memory relations:
+empty/full masks, 64-bit liveness, counter corner states, as-of tie
+semantics, merge idempotence.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from hive_plan_service_spark.operators.asof import asof_join
+from hive_plan_service_spark.operators.bitmask import (
+    expand_groups_flat,
+    expand_groups_nested,
+)
+from hive_plan_service_spark.operators.counter import current_counter_value
+from hive_plan_service_spark.operators.merge import merge_upsert
+
+PLAN_SCHEMA = "id bigint, title string, optional boolean"
+GROUP_SCHEMA = "id bigint, title string, mask bigint"
+CE_SCHEMA = "ts timestamp, event_id bigint, op string, delta bigint, set_value bigint"
+
+
+def _bit(b: int) -> int:
+    """1<<b as a signed 64-bit value (bit 63 is the sign bit)."""
+    return (1 << b) - (1 << 64) if b == 63 else 1 << b
+
+
+def _plans(spark, bits):
+    return spark.createDataFrame(
+        [(_bit(b), f"plan_{b}", b % 2 == 0) for b in bits], PLAN_SCHEMA
+    )
+
+
+def test_bitmask_empty_mask_yields_no_members(spark):
+    groups = spark.createDataFrame([(1, "empty", 0)], GROUP_SCHEMA)
+    out = expand_groups_flat(groups, _plans(spark, range(64)))
+    assert out.count() == 0
+    # and the nested form omits the group entirely (inner join semantics,
+    # matching the reference's never-written empty plans array edge)
+    assert expand_groups_nested(groups, _plans(spark, range(64))).count() == 0
+
+
+def test_bitmask_all_64_bits_live(spark):
+    # -1 = all 64 bits set; the reference's 32-bit loop could never do this
+    groups = spark.createDataFrame([(1, "all", -1)], GROUP_SCHEMA)
+    out = expand_groups_flat(groups, _plans(spark, range(64)))
+    assert out.count() == 64
+    ids = sorted(r["plan_id"] for r in out.collect())
+    assert ids == sorted(_bit(b) for b in range(64))  # incl. negative 1<<63
+
+
+def test_bitmask_high_bit_only(spark):
+    groups = spark.createDataFrame([(1, "hi", 1 << 62)], GROUP_SCHEMA)
+    out = expand_groups_flat(groups, _plans(spark, [62]))
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["plan_id"] == 1 << 62
+
+
+def test_bitmask_missing_plan_is_skipped(spark):
+    # bit set but no plan with that id → skipped (processor:59 `if (pkt)`)
+    groups = spark.createDataFrame([(1, "g", 0b110)], GROUP_SCHEMA)
+    out = expand_groups_flat(groups, _plans(spark, [1]))  # plan 2 only
+    assert [r["plan_id"] for r in out.collect()] == [2]
+
+
+def _ce(spark, rows):
+    return spark.createDataFrame(
+        [
+            (datetime(2024, 1, 1, 0, 0, s), i, op, d, sv)
+            for s, (i, op, d, sv) in enumerate(rows)
+        ],
+        CE_SCHEMA,
+    )
+
+
+def test_counter_empty_log_is_zero(spark):
+    empty = spark.createDataFrame([], CE_SCHEMA)
+    assert current_counter_value(empty).collect()[0]["joined_count"] == 0
+
+
+def test_counter_deltas_only(spark):
+    ce = _ce(spark, [(1, "incr", 1, None), (2, "incr", 1, None), (3, "decr", -1, None)])
+    assert current_counter_value(ce).collect()[0]["joined_count"] == 1
+
+
+def test_counter_set_overrides_prior_deltas(spark):
+    ce = _ce(
+        spark,
+        [
+            (1, "incr", 1, None),
+            (2, "incr", 1, None),
+            (3, "set", 0, 100),
+            (4, "incr", 1, None),
+            (5, "decr", -1, None),
+            (6, "incr", 1, None),
+        ],
+    )
+    assert current_counter_value(ce).collect()[0]["joined_count"] == 101
+
+
+def test_counter_last_set_wins(spark):
+    ce = _ce(spark, [(1, "set", 0, 5), (2, "set", 0, 7), (3, "incr", 1, None)])
+    assert current_counter_value(ce).collect()[0]["joined_count"] == 8
+
+
+def test_asof_inclusive_vs_strict_ties(spark):
+    left = spark.createDataFrame([(1, datetime(2024, 1, 1, 12))], "k int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 12), 42)], "k int, ts timestamp, v int"
+    )
+    inc = asof_join(left, right, "k", "ts", "ts", ["v"], inclusive=True).collect()
+    assert inc[0]["v"] == 42  # equal ts matches when inclusive
+    strict = asof_join(left, right, "k", "ts", "ts", ["v"], inclusive=False).collect()
+    assert strict[0]["v"] is None  # strictly-earlier required
+
+
+def test_asof_no_earlier_right_row_is_null(spark):
+    left = spark.createDataFrame([(1, datetime(2024, 1, 1, 10))], "k int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 11), 9)], "k int, ts timestamp, v int"
+    )
+    out = asof_join(left, right, "k", "ts", "ts", ["v"]).collect()
+    assert out[0]["v"] is None
+
+
+def test_merge_upsert_idempotent(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    source = spark.createDataFrame([(2, "B"), (3, "C")], "k int, v string")
+    once = merge_upsert(target, source, "k")
+    twice = merge_upsert(once, source, "k")
+    assert sorted(map(tuple, once.collect())) == [(1, "a"), (2, "B"), (3, "C")]
+    assert sorted(map(tuple, twice.collect())) == sorted(map(tuple, once.collect()))
