@@ -44,11 +44,13 @@ def main() -> None:
     registry = all_queries()
     names = [n for n in HEADLINE if n in registry]
 
-    # Warm up each query once: whole-stage codegen compilation and JVM JIT
-    # are one-time costs a long-lived cluster amortizes; steady-state is
-    # what a 100 TB run sees.
-    for name in names:
-        registry[name].fn(spark, sf_dir).count()
+    # Warm up each query twice: whole-stage codegen compilation and JVM
+    # JIT tiering are one-time costs a long-lived cluster amortizes;
+    # steady-state is what a 100 TB run sees (run 2 is often still
+    # mid-tier-compilation for the widest generated plans).
+    for _ in range(2):
+        for name in names:
+            registry[name].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in names:

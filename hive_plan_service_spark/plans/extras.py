@@ -354,3 +354,65 @@ def b01_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.filter(F.col("day_bucket").between(19725, 19729)).select(
         "event_id", "event_type", F.col("day_bucket").cast("bigint").alias("day_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# B6/B9 — correlated scalar subquery: Catalyst decorrelates it into an
+# aggregate + join (RewriteCorrelatedScalarSubquery, SURVEY.md §4) — no
+# per-row re-execution.
+# --------------------------------------------------------------------------
+@register(
+    "b06_correlated_subquery",
+    oracle="""
+      SELECT c_custkey, c_nationkey
+      FROM customer c
+      WHERE c.c_acctbal > (
+        SELECT AVG(c2.c_acctbal) FROM customer c2
+        WHERE c2.c_nationkey = c.c_nationkey
+      )
+    """,
+    doc="Correlated scalar subquery, decorrelated by Catalyst into agg+join.",
+    tags=("B6", "B9"),
+)
+def b06_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey
+        FROM customer c
+        WHERE c.c_acctbal > (
+          SELECT AVG(c2.c_acctbal) FROM customer c2
+          WHERE c2.c_nationkey = c.c_nationkey
+        )
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# B9/B18 — histogram via width_bucket: fixed-width binning in one pass.
+# --------------------------------------------------------------------------
+@register(
+    "b09_histogram_width_bucket",
+    oracle="""
+      -- DuckDB 1.0 has no width_bucket: same semantics spelled manually
+      -- (bucket 1..24 for [lo, hi), 0 below, 25 at/above hi)
+      SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                       WHEN o_totalprice >= 600000 THEN 25
+                       ELSE FLOOR(o_totalprice / 25000) + 1 END AS BIGINT) AS bucket,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1
+    """,
+    doc="Fixed-width histogram: width_bucket + count per bin.",
+    tags=("B9", "B18"),
+)
+def b09_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return (
+        spark.table("orders")
+        .groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(24))
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis): the distributed operators must agree
+with trivially-correct single-threaded Python models on random inputs.
+Few examples, batched into single Spark jobs — each example is a full
+plan execution.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hive_plan_service_spark.operators.bitmask import expand_groups_flat
+from hive_plan_service_spark.operators.counter import current_counter_value
+
+_spark = None
+
+
+def _get_spark():
+    # hypothesis drives many examples through one function; reuse the
+    # session fixture by grabbing the active session pytest created.
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    assert s is not None
+    return s
+
+
+PLAN_SCHEMA = "id bigint, title string, optional boolean"
+GROUP_SCHEMA = "id bigint, title string, mask bigint"
+CE_SCHEMA = "ts timestamp, event_id bigint, op string, delta bigint, set_value bigint"
+
+
+def _signed64(mask: int) -> int:
+    return mask - (1 << 64) if mask >= (1 << 63) else mask
+
+
+@settings(max_examples=8, deadline=None)
+@given(masks=st.lists(st.integers(0, (1 << 64) - 1), min_size=1, max_size=5))
+def test_bitmask_expansion_matches_python_model(spark, masks):
+    s = _get_spark()
+    plans = s.createDataFrame(
+        [(_signed64(1 << b), f"p{b}", True) for b in range(64)], PLAN_SCHEMA
+    )
+    groups = s.createDataFrame(
+        [(i, f"g{i}", _signed64(m)) for i, m in enumerate(masks)], GROUP_SCHEMA
+    )
+    got = {
+        (r["group_id"], r["plan_id"])
+        for r in expand_groups_flat(groups, plans).collect()
+    }
+    want = {
+        (i, _signed64(1 << b))
+        for i, m in enumerate(masks)
+        for b in range(64)
+        if (m >> b) & 1
+    }
+    assert got == want
+
+
+_OPS = st.sampled_from(["incr", "decr", "set"])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    seq=st.lists(
+        st.tuples(_OPS, st.integers(0, 1000)), min_size=0, max_size=30
+    )
+)
+def test_counter_fold_matches_python_model(spark, seq):
+    s = _get_spark()
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i, (op, v) in enumerate(seq):
+        delta = 1 if op == "incr" else (-1 if op == "decr" else 0)
+        rows.append(
+            (t0 + timedelta(seconds=i), i, op, delta, v if op == "set" else None)
+        )
+    df = s.createDataFrame(rows, CE_SCHEMA) if rows else s.createDataFrame([], CE_SCHEMA)
+    got = current_counter_value(df).collect()[0]["joined_count"]
+    # Python model: last-writer-wins + subsequent deltas
+    value = 0
+    for op, v in seq:
+        if op == "set":
+            value = v
+        elif op == "incr":
+            value += 1
+        else:
+            value -= 1
+    assert got == value
