@@ -411,3 +411,108 @@ def llm_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("predicted_lang"),
         rolling_fingerprint("text").alias("fingerprint"),
     )
+
+
+# --------------------------------------------------------------------------
+# B29 — TF-IDF top terms per document. Log-free scoring (tf × N/df as an
+# exact rational in doubles) keeps it oracle-checkable: ln() ulps differ
+# across libm builds. One explode + two aggregates + a rank filter.
+# --------------------------------------------------------------------------
+@register(
+    "b29_tfidf_top_terms",
+    oracle="""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      ),
+      tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.word,
+               CAST(tf.tf AS DOUBLE) * (SELECT n_docs FROM n) / df.df AS score
+        FROM tf JOIN df USING (word)
+      )
+      SELECT doc_id, word, score, rnk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, word) AS BIGINT) AS rnk
+        FROM scored
+      ) WHERE rnk <= 3
+    """,
+    doc="TF-IDF (log-free rational idf) top-3 terms per doc, rank tie-broken.",
+    tags=("B29",),
+)
+def b29_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar dimension, not a data-path collect
+    scored = tf.join(df, "word").select(
+        "doc_id",
+        "word",
+        (F.col("tf").cast("double") * F.lit(float(n_docs)) / F.col("df")).alias(
+            "score"
+        ),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "word", "score", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# B28/B30 — int8 embedding quantization: per-vector symmetric scale,
+# round-half-up via floor(x+0.5) (identical in both engines, unlike
+# round()'s half-even/half-away split on doubles). Array-free outputs.
+# --------------------------------------------------------------------------
+@register(
+    "b28_embedding_quantize_int8",
+    oracle="""
+      WITH s AS (
+        SELECT vec_id,
+               127.0 / list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
+        FROM embeddings
+      )
+      SELECT e.vec_id,
+             s.scale,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(e.embedding,
+                      x -> CAST(FLOOR(x::DOUBLE * s.scale + 0.5) AS BIGINT))),
+                  (a, b) -> a + b) AS BIGINT) AS q_sum,
+             CAST(list_max(list_transform(e.embedding,
+                    x -> abs(CAST(FLOOR(x::DOUBLE * s.scale + 0.5) AS BIGINT)))) AS BIGINT)
+               AS q_max_abs
+      FROM embeddings e JOIN s USING (vec_id)
+    """,
+    doc="Symmetric int8 quantization: scale, quantized sum, max |q| = 127.",
+    tags=("B28", "B30"),
+)
+def b28_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    e = spark.table("embeddings")
+    absd = F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    scale = (F.lit(127.0) / F.array_max(absd)).alias("scale")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.col("scale") + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    return (
+        e.select("vec_id", scale, "embedding")
+        .select(
+            "vec_id",
+            "scale",
+            F.aggregate(
+                q, F.lit(0).cast("bigint"), lambda a, b: a + b
+            ).alias("q_sum"),
+            F.array_max(F.transform(q, lambda v: F.abs(v))).cast("bigint").alias(
+                "q_max_abs"
+            ),
+        )
+    )

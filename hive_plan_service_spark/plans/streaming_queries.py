@@ -152,3 +152,55 @@ def b24_stateful_counter_applyinpandas(spark: SparkSession, sf_dir: str) -> Data
 
     register_tables(spark, sf_dir)
     return stateful_counter_stream(spark, table_path(sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# B22 — stream-stream interval join: each purchase joined to the same
+# user's clicks in the preceding hour. Both sides watermarked so the
+# join state is bounded; on a full single-batch replay the result equals
+# the batch interval join.
+# --------------------------------------------------------------------------
+@register(
+    "b22_stream_stream_join",
+    oracle="""
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 1 HOUR
+       AND c.ts <= p.ts
+    """,
+    doc="Watermarked stream-stream interval join == batch range join on full replay.",
+    tags=("B22",),
+)
+def b22_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    register_tables(spark, sf_dir)
+    ev = events_stream(spark, table_path(sf_dir, "events"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id")
+    return run_to_completion(joined, output_mode="append")
