@@ -516,3 +516,38 @@ def b28_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B28 — IVF with *trained* centroids: MLlib k-means (k-means|| init,
+# fixed seed) learns the coarse quantizer; assignment and probing reuse
+# the same broadcast-argmin operators as the hashed-seed variant.
+# Rows-only: k-means centers are float-accumulation-order dependent.
+# --------------------------------------------------------------------------
+@register(
+    "b28_ann_ivf_kmeans",
+    oracle=None,
+    doc="IVF-ANN over k-means-trained centroids (MLlib KMeans, seed=42), nprobe=2, top-5.",
+    tags=("B28",),
+)
+def b28_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    register_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    feat = emb.select(
+        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+    )
+    model = KMeans(k=8, seed=42, maxIter=5).fit(feat)
+    centroids = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in center])
+            for i, center in enumerate(model.clusterCenters())
+        ],
+        "centroid_id bigint, embedding array<float>",
+    )
+    assigned = vx.ivf_assign(emb, centroids)
+    return vx.ivf_topk(
+        emb.filter(F.col("vec_id") < 5), assigned, centroids, k=5, nprobe=2
+    )

@@ -97,3 +97,29 @@ def test_multimodal_decode_bytes(spark, sf_dir):
         assert got["n_bytes"] == len(payload)
         assert got["byte_sum"] == sum(payload)
         assert got["mime"] == "image/png"
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    register_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    approx = li.agg(F.approx_count_distinct("l_orderkey")).collect()[0][0]
+    exact = li.agg(F.countDistinct("l_orderkey")).collect()[0][0]
+    # default rsd is 5% *expected*; a single draw can exceed it
+    assert abs(approx - exact) / exact < 0.10
+
+
+def test_ivf_kmeans_recall(spark, sf_dir):
+    from hive_plan_service_spark.plans.registry import all_queries
+    from hive_plan_service_spark.operators import vectors as vx2
+
+    register_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in vx2.cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in all_queries()["b28_ann_ivf_kmeans"].fn(spark, sf_dir).collect()
+    }
+    assert len(truth & approx) / len(truth) >= 0.2
