@@ -66,3 +66,33 @@ def decode_features(multimodal: DataFrame) -> DataFrame:
             )
 
     return multimodal.mapInPandas(_decode, schema=DECODE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes int, frame_hash bigint"
+
+
+def sample_frames(multimodal: DataFrame, stride: int = 64, frame: int = 8) -> DataFrame:
+    """Frame-sample payloads: one output row per sampled byte-window.
+
+    The 1→N shape of a video frame sampler (decode → every k-th frame →
+    per-frame features) with the codec STUBBED: a "frame" is an 8-byte
+    window every ``stride`` bytes, its "feature" a rolling hash. Real
+    Arrow plumbing: batch iteration, row explosion, typed output.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_hash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, off in enumerate(range(0, len(payload), stride)):
+                    window = payload[off : off + frame]
+                    h = 0
+                    for b in window:
+                        h = (h * 31 + b) % 2_147_483_647
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(len(window))
+                    out["frame_hash"].append(h)
+            yield pd.DataFrame(out)
+
+    return multimodal.mapInPandas(_sample, schema=FRAME_SCHEMA)

@@ -551,3 +551,26 @@ def b28_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vx.ivf_topk(
         emb.filter(F.col("vec_id") < 5), assigned, centroids, k=5, nprobe=2
     )
+
+
+# --------------------------------------------------------------------------
+# B30 — frame sampling: 1→N mapInPandas over binary payloads. The frame
+# count and first-frame hash are oracle-checkable because the stub
+# "codec" is plain byte arithmetic the oracle can replicate on the text.
+# --------------------------------------------------------------------------
+@register(
+    "b30_multimodal_frame_sample",
+    oracle="""
+      SELECT doc_id,
+             CAST(CEIL(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames
+      FROM documents
+    """,
+    doc="Per-payload frame count from the mapInPandas frame sampler (stride 64).",
+    tags=("B30", "B26"),
+)
+def b30_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    frames = mm.sample_frames(mm.attach_binary_payload(spark.table("documents")))
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )

@@ -59,3 +59,12 @@ def test_permission_gating(svc):
     assert svc.set_joined_count(5, role="mobile")["code"] == 403
     assert svc.refresh(role="mobile")["code"] == 403
     assert svc.get_joined_count(role="unknown")["code"] == 403
+
+
+def test_refresh_error_envelope(spark, sf_dir):
+    # unwritable warehouse → the refresh job fails → {code: 500} envelope
+    # (processor:82–85), not an exception escaping the service surface
+    bad = PlanService(spark, sf_dir, warehouse="/proc/hpss_cannot_write")
+    res = bad.refresh()
+    assert res["code"] == 500
+    assert "msg" in res

@@ -86,3 +86,17 @@ def test_partitioned_read_prunes_directories(spark, sf_dir):
     assert "PartitionFilters" in plan
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert "day_bucket" in pf, "day filter did not reach partition pruning"
+
+
+def test_global_sort_uses_range_partitioning(spark, sf_dir):
+    """A full orderBy must range-partition (sampled bounds), not single-task."""
+    from hive_plan_service_spark.sources.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    df = spark.table("orders").orderBy("o_totalprice")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "rangepartitioning" in plan.lower()
+    assert "Sort" in plan
