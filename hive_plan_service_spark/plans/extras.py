@@ -416,3 +416,50 @@ def b09_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# B14 — UNION ALL (bag semantics, no dedup shuffle).
+# --------------------------------------------------------------------------
+@register(
+    "b14_union_all",
+    oracle="""
+      SELECT k FROM (
+        SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer
+        UNION ALL
+        SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+      )
+    """,
+    doc="Bag union — pure concatenation, no shuffle.",
+    tags=("B14",),
+)
+def b14_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    c = spark.table("customer").select(F.col("c_nationkey").cast("bigint").alias("k"))
+    s = spark.table("supplier").select(F.col("s_nationkey").cast("bigint").alias("k"))
+    return c.unionAll(s)
+
+
+# --------------------------------------------------------------------------
+# B13 — LIMIT/OFFSET pagination under a deterministic total order.
+# --------------------------------------------------------------------------
+@register(
+    "b13_limit_offset",
+    oracle="""
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 10 OFFSET 20
+    """,
+    doc="Keyset-free pagination: page 3 of the price ranking.",
+    tags=("B13",),
+)
+def b13_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return (
+        spark.table("orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(20)
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )

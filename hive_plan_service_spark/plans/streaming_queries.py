@@ -204,3 +204,39 @@ def b22_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("purchase_id", "click_id", "user_id")
     return run_to_completion(joined, output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# B22/B25 — continuous aggregate (hypertable-rollup analog): incrementally
+# maintained hourly rollup must equal the full batch aggregation.
+# --------------------------------------------------------------------------
+@register(
+    "b22_continuous_hourly_rollup",
+    oracle="""
+      SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+             event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY 1, 2
+    """,
+    doc="Incrementally-maintained hourly rollup (per-bucket dynamic overwrite) == full recompute.",
+    tags=("B22", "B25"),
+)
+def b22_continuous_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from hive_plan_service_spark.streaming.continuous_agg import (
+        ContinuousHourlyRollup,
+    )
+
+    register_tables(spark, sf_dir)
+    rollup = ContinuousHourlyRollup(
+        spark, table_path(sf_dir, "events"), _workdir()
+    ).run()
+    return rollup.select(
+        F.col("hour_bucket").cast("bigint").alias("hour_bucket"),
+        "event_type",
+        "n",
+        "total_value",
+    )

@@ -136,3 +136,51 @@ def test_stream_batch_equivalence_multi_batch(spark, sf_dir, tmp_path):
         for r in batch.collect()
     }
     assert s == b
+
+
+def test_continuous_rollup_incremental_equals_full(spark, sf_dir, tmp_path):
+    """Multi-batch incremental maintenance == full recompute (per prefix)."""
+    import os
+    import time as _time
+
+    from hive_plan_service_spark.streaming.continuous_agg import (
+        ContinuousHourlyRollup,
+    )
+
+    register_tables(spark, sf_dir)
+    ev = spark.read.parquet(table_path(sf_dir, "events"))
+    mid = ev.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    feed = tmp_path / "feed_rollup"
+    os.makedirs(feed)
+    for i, cond in enumerate([F.col("ts") < mid, F.col("ts") >= mid]):
+        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"half{i}")
+        )
+        part = next(
+            p for p in os.listdir(tmp_path / f"half{i}") if p.endswith(".parquet")
+        )
+        os.rename(tmp_path / f"half{i}" / part, feed / f"{i}.parquet")
+        _time.sleep(1.1)
+
+    rollup = ContinuousHourlyRollup(
+        spark, str(feed), str(tmp_path / "work")
+    ).run(max_files_per_trigger=1)
+    got = {
+        (r["hour_bucket"], r["event_type"]): (r["n"], r["total_value"])
+        for r in rollup.collect()
+    }
+    full = (
+        spark.read.parquet(str(feed))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("hour_bucket", F.expr("unix_timestamp(ts) div 3600"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("tv"),
+        )
+    )
+    want = {
+        (r["hour_bucket"], r["event_type"]): (r["n"], r["tv"])
+        for r in full.collect()
+    }
+    assert got == want
