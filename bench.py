@@ -32,6 +32,8 @@ HEADLINE: tuple[str, ...] = (
     "b28_cosine_topk",                # brute-force vector top-k
     "b29_text_token_stats",           # array-algebra text analysis
     "b22_stream_tumbling_window",     # structured streaming replay
+    "llm_corpus_clean_pipeline",      # composed training-data pipeline
+    "b22_continuous_hourly_rollup",   # incremental materialized rollup
 )
 
 

@@ -51,22 +51,28 @@ class ContinuousHourlyRollup:
         ).option("partitionOverwriteMode", "dynamic").partitionBy(
             "epoch"
         ).parquet(self.seen)
-        touched = [
-            r["hour_bucket"]
-            for r in batch_df.select(
-                F.expr("unix_timestamp(ts) div 3600").alias("hour_bucket")
+        # day-granular overwrite partitions: hour-partitioning would write
+        # hundreds of small directories per refresh; day dirs keep the
+        # file count (and the 100 TB metadata load) bounded
+        touched_days = (
+            batch_df.select(
+                F.expr("unix_timestamp(ts) div 86400").alias("day_bucket")
             )
             .distinct()
-            .collect()
-        ]
-        if not touched:
+        )
+        if touched_days.isEmpty():
             return
         all_seen = self.spark.read.parquet(self.seen)
-        fresh = _bucket_agg(all_seen).filter(F.col("hour_bucket").isin(touched))
+        fresh = (
+            _bucket_agg(all_seen)
+            .withColumn("day_bucket", F.expr("hour_bucket div 24"))
+            .join(F.broadcast(touched_days), "day_bucket")
+        )
         (
-            fresh.write.mode("overwrite")
+            fresh.repartition("day_bucket")  # one file per refreshed day dir
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("hour_bucket")
+            .partitionBy("day_bucket")
             .parquet(self.out)
         )
 

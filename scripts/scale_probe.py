@@ -1,0 +1,71 @@
+"""Scaling probe: exact Jaccard dedup vs MinHash-LSH as the corpus grows.
+
+Synthesizes N× corpora by unioning the documents table with shifted ids
+(near-dup structure preserved per copy), then times both dedup paths.
+The exact shingle self-join grows with candidate pairs; the LSH path
+stays ~linear in documents — the measured basis for the engine's claim
+that LSH is the 100 TB path. Not part of CI (minutes at high N).
+
+Usage: python scripts/scale_probe.py [multipliers...]  (default 1 2 4)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hive_plan_service_spark.operators import dedup as dd  # noqa: E402
+from hive_plan_service_spark.session import get_spark  # noqa: E402
+from hive_plan_service_spark.sources.catalog import register_tables  # noqa: E402
+
+
+def multiplied_docs(spark, mult: int):
+    base = spark.table("documents")
+    out = base
+    n = base.count()
+    for i in range(1, mult):
+        out = out.unionByName(
+            base.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
+        )
+    return out
+
+
+def main() -> None:
+    mults = [int(m) for m in sys.argv[1:]] or [1, 2, 4]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="hpss-scale-probe")
+    register_tables(spark, sf_dir)
+    results = []
+    for mult in mults:
+        docs = multiplied_docs(spark, mult)
+        n_docs = docs.count()
+        t0 = time.perf_counter()
+        lsh_pairs = dd.minhash_lsh_pairs(docs).count()
+        t_lsh = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        exact_pairs = dd.jaccard_pairs(docs, threshold=0.5).count()
+        t_exact = time.perf_counter() - t0
+        results.append(
+            {
+                "mult": mult,
+                "n_docs": n_docs,
+                "lsh_sec": round(t_lsh, 2),
+                "lsh_pairs": lsh_pairs,
+                "exact_sec": round(t_exact, 2),
+                "exact_pairs": exact_pairs,
+            }
+        )
+        print(json.dumps(results[-1]))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
