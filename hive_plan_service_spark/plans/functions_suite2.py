@@ -1,0 +1,193 @@
+"""Second scalar-function wave: fuzzy string matching, safe casts,
+analytic window values, array set algebra, unpivot — completing the
+B12/B16/B19/B21 families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from hive_plan_service_spark.plans.registry import register
+from hive_plan_service_spark.sources.catalog import register_tables
+
+
+# --------------------------------------------------------------------------
+# B16 — string wave 2: edit distance, translate, position, repeat/reverse,
+# left/right, prefixes. initcap is emulated per-word in the oracle
+# (DuckDB 1.0 lacks the builtin).
+# --------------------------------------------------------------------------
+@register(
+    "b16_string_functions_2",
+    oracle="""
+      SELECT p_partkey,
+             CAST(levenshtein(p_name, 'standard widget') AS BIGINT) AS edit_dist,
+             translate(p_name, 'aeiou', 'AEIOU') AS voweled,
+             CAST(position('widget' IN p_name) AS BIGINT) AS widget_at,
+             repeat(left(p_brand, 2), 2) AS brand_echo,
+             reverse(p_type) AS type_rev,
+             right(p_name, 6) AS name_tail,
+             starts_with(p_type, 'ECON') AS is_econ,
+             contains(p_name, 'small') AS has_small,
+             array_to_string(list_transform(string_split(p_name, ' '),
+               w -> upper(w[1]) || lower(w[2:])), ' ') AS name_title
+      FROM part
+    """,
+    doc="levenshtein/translate/position/repeat/reverse/left/right/prefix tests/initcap.",
+    tags=("B16",),
+)
+def b16_string_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    p = spark.table("part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", F.lit("standard widget"))
+        .cast("bigint")
+        .alias("edit_dist"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("voweled"),
+        F.instr("p_name", "widget").cast("bigint").alias("widget_at"),
+        F.repeat(F.substring("p_brand", 1, 2), 2).alias("brand_echo"),
+        F.reverse("p_type").alias("type_rev"),
+        F.substring(F.col("p_name"), -6, 6).alias("name_tail"),
+        F.startswith(F.col("p_type"), F.lit("ECON")).alias("is_econ"),
+        F.contains(F.col("p_name"), F.lit("small")).alias("has_small"),
+        F.initcap("p_name").alias("name_title"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B21 — safe casts & extrema: try_cast swallows bad input as NULL in both
+# engines (the non-throwing sibling of the ANSI casts in B21).
+# --------------------------------------------------------------------------
+@register(
+    "b21_try_cast_safe",
+    oracle="""
+      SELECT o_orderkey,
+             TRY_CAST(o_orderpriority AS INT) AS prio_int,
+             TRY_CAST(left(o_orderpriority, 1) AS INT) AS prio_digit,
+             CAST(greatest(o_orderkey % 10, 5) AS BIGINT) AS hi,
+             CAST(least(o_orderkey % 10, 5) AS BIGINT) AS lo
+      FROM orders
+    """,
+    doc="try_cast (bad input → NULL, no ANSI error) + greatest/least.",
+    tags=("B21",),
+)
+def b21_try_cast_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    o = spark.table("orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("int").alias("prio_int"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
+        F.greatest(F.col("o_orderkey") % 10, F.lit(5)).cast("bigint").alias("hi"),
+        F.least(F.col("o_orderkey") % 10, F.lit(5)).cast("bigint").alias("lo"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B12 — analytic value windows: first/last/nth over full frames, ntile,
+# percent_rank/cume_dist (rational formulas — identical doubles).
+# --------------------------------------------------------------------------
+@register(
+    "b12_analytic_value_windows",
+    oracle="""
+      SELECT o_orderkey,
+             first_value(o_orderkey) OVER w AS first_key,
+             last_value(o_orderkey)
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_key,
+             nth_value(o_orderkey, 2)
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_key,
+             CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cume
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="first/last/nth_value over unbounded frames, ntile, percent_rank, cume_dist.",
+    tags=("B12",),
+)
+def b12_analytic_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return spark.table("orders").select(
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(wf).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B19 — array set algebra, order-normalized via sort on both sides.
+# --------------------------------------------------------------------------
+@register(
+    "b19_array_set_algebra",
+    oracle="""
+      WITH t AS (
+        SELECT doc_id,
+               string_split(text, ' ')[1:6] AS a,
+               string_split(text, ' ')[4:9] AS b
+        FROM documents
+      )
+      SELECT doc_id,
+             -- DuckDB's list_sort of an empty list yields NULL; Spark's
+             -- concat_ws yields '' — align with COALESCE
+             COALESCE(array_to_string(list_sort(list_distinct(list_cat(a, b))), ','), '') AS union_sorted,
+             COALESCE(array_to_string(list_sort(list_distinct(list_intersect(a, b))), ','), '') AS intersect_sorted,
+             COALESCE(array_to_string(list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS except_sorted
+      FROM t
+    """,
+    doc="array_union/intersect/except, sort-normalized for cross-engine order.",
+    tags=("B19",),
+)
+def b19_array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    d = spark.table("documents")
+    words = F.split("text", " ")
+    a = F.slice(words, 1, 6)
+    b = F.slice(words, 4, 6)
+    return d.select(
+        "doc_id",
+        F.concat_ws(",", F.array_sort(F.array_union(a, b))).alias("union_sorted"),
+        F.concat_ws(",", F.array_sort(F.array_distinct(F.array_intersect(a, b)))).alias(
+            "intersect_sorted"
+        ),
+        F.concat_ws(",", F.array_sort(F.array_distinct(F.array_except(a, b)))).alias(
+            "except_sorted"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# B9 — unpivot/melt: wide → long.
+# --------------------------------------------------------------------------
+@register(
+    "b09_unpivot",
+    oracle="""
+      SELECT p_partkey, metric, value FROM (
+        SELECT p_partkey,
+               CAST(p_size AS DOUBLE) AS size,
+               p_retailprice AS price
+        FROM part
+      ) UNPIVOT (value FOR metric IN (size, price))
+    """,
+    doc="unpivot(melt): one row per (key, metric, value).",
+    tags=("B9",),
+)
+def b09_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    wide = spark.table("part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("price"),
+    )
+    return wide.unpivot("p_partkey", ["size", "price"], "metric", "value")
