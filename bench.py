@@ -37,41 +37,43 @@ HEADLINE: tuple[str, ...] = (
 )
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def run(spark, sf_dir: str, names: tuple[str, ...] = HEADLINE) -> dict:
+    """Time the named queries on an existing session; return the payload."""
     from hive_plan_service_spark.plans.registry import all_queries
-    from hive_plan_service_spark.session import get_spark
 
-    spark = get_spark(app_name="hpss-bench")
     registry = all_queries()
-    names = [n for n in HEADLINE if n in registry]
+    selected = [n for n in names if n in registry]
 
     # Warm up each query twice: whole-stage codegen compilation and JVM
     # JIT tiering are one-time costs a long-lived cluster amortizes;
     # steady-state is what a 100 TB run sees (run 2 is often still
     # mid-tier-compilation for the widest generated plans).
     for _ in range(2):
-        for name in names:
+        for name in selected:
             registry[name].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
-    for name in names:
+    for name in selected:
         t0 = time.perf_counter()
         registry[name].fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    return {
+        "metric": "headline_query_wall_clock_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from hive_plan_service_spark.session import get_spark
+
+    spark = get_spark(app_name="hpss-bench")
+    print(json.dumps(run(spark, sf_dir)))
     spark.stop()
 
 

@@ -1,0 +1,31 @@
+"""The driver parses bench.py's single JSON line — pin its shape."""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def test_bench_payload_shape(spark, sf_dir):
+    payload = bench.run(
+        spark, sf_dir, names=("b09_agg_pricing_summary", "b04_join_inner_broadcast")
+    )
+    encoded = json.dumps(payload)
+    decoded = json.loads(encoded)
+    assert set(decoded) == {"metric", "value", "unit", "queries", "sf"}
+    assert decoded["unit"] == "sec"
+    assert isinstance(decoded["value"], (int, float)) and decoded["value"] > 0
+    assert set(decoded["queries"]) == {
+        "b09_agg_pricing_summary",
+        "b04_join_inner_broadcast",
+    }
+    assert all(v >= 0 for v in decoded["queries"].values())
+    assert abs(sum(decoded["queries"].values()) - decoded["value"]) < 0.01
+
+
+def test_bench_headline_names_are_registered():
+    from hive_plan_service_spark.plans.registry import all_queries
+
+    missing = [n for n in bench.HEADLINE if n not in all_queries()]
+    assert not missing, f"bench names drifted from the registry: {missing}"
