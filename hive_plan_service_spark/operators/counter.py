@@ -52,3 +52,48 @@ def current_counter_value(counter_events: DataFrame) -> DataFrame:
     return base.crossJoin(summed).select(
         (F.col("base") + F.col("tail")).cast("bigint").alias("joined_count")
     )
+
+
+def keyed_counter_values(counter_events: DataFrame, key: str) -> DataFrame:
+    """Per-key counter values — the scale-out form of the global counter.
+
+    The reference holds ONE Redis counter; at 100 TB the same semantics
+    shard per key (e.g. per tenant): for each key, last SET wins and
+    later deltas accumulate. One window pass to attach each key's latest
+    SET, then an aggregate on the same partitioning (no second shuffle).
+    Output: key, joined_count.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key)
+    with_ls = counter_events.withColumn(
+        "_ls",
+        F.max(
+            F.when(
+                F.col("op") == "set",
+                F.struct("ts", "event_id", "set_value"),
+            )
+        ).over(w),
+    )
+    after_set = (
+        F.col("_ls").isNull()
+        | (F.col("ts") > F.col("_ls.ts"))
+        | ((F.col("ts") == F.col("_ls.ts")) & (F.col("event_id") > F.col("_ls.event_id")))
+    )
+    return (
+        with_ls.groupBy(key)
+        .agg(
+            (
+                F.coalesce(F.first("_ls.set_value"), F.lit(0))
+                + F.coalesce(
+                    F.sum(
+                        F.when((F.col("op") != "set") & after_set, F.col("delta"))
+                        .otherwise(F.lit(0))
+                    ),
+                    F.lit(0),
+                )
+            )
+            .cast("bigint")
+            .alias("joined_count")
+        )
+    )

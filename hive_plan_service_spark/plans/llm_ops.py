@@ -574,3 +574,99 @@ def b30_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_frames")
     )
+
+
+# --------------------------------------------------------------------------
+# Training-data prep: fixed-size document chunking with overlap. Chunks
+# of 32 words, stride 24 (8-word overlap) — array-slice algebra, one
+# explode, no Python.
+# --------------------------------------------------------------------------
+@register(
+    "llm_doc_chunking",
+    oracle="""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      )
+      SELECT doc_id,
+             CAST(u.i - 1 AS BIGINT) AS chunk_idx,
+             array_to_string(t.ws[(u.i - 1) * 24 + 1 : (u.i - 1) * 24 + 32], ' ')
+               AS chunk_text,
+             CAST(len(t.ws[(u.i - 1) * 24 + 1 : (u.i - 1) * 24 + 32]) AS BIGINT)
+               AS chunk_words
+      FROM t,
+      UNNEST(generate_series(1,
+        greatest(CAST(CEIL((len(t.ws) - 32) / 24.0) AS BIGINT) + 1, 1))) AS u(i)
+    """,
+    doc="Fixed-size chunking (32 words, stride 24): every word covered, tail kept.",
+    tags=("B29", "B19"),
+)
+def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    d = spark.table("documents").select("doc_id", tokens("text").alias("ws"))
+    n_chunks = F.greatest(
+        F.ceil((F.size("ws") - F.lit(32)) / F.lit(24.0)).cast("bigint") + 1,
+        F.lit(1).cast("bigint"),
+    )
+    chunked = d.select(
+        "doc_id",
+        "ws",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    piece = F.slice(
+        F.col("ws"), (F.col("chunk_idx") * 24 + 1).cast("int"), 32
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("bigint").alias("chunk_words"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data prep: sequence packing — contiguous greedy packing of
+# documents into fixed token budgets via a running-length cumsum (the
+# deterministic, shuffle-once form of pretraining sample packing).
+# --------------------------------------------------------------------------
+@register(
+    "llm_sequence_packing",
+    oracle="""
+      WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents
+      ),
+      c AS (
+        SELECT doc_id, n_words,
+               COALESCE(SUM(n_words) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        FROM t
+      )
+      SELECT doc_id,
+             CAST(n_words AS BIGINT) AS n_words,
+             CAST(before // 512 AS BIGINT) AS pack_id,
+             CAST(before % 512 AS BIGINT) AS pack_offset
+      FROM c
+    """,
+    doc="Sequence packing: cumsum-of-lengths // budget assigns docs to 512-word packs.",
+    tags=("B29", "B12"),
+)
+def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale note: a globally-ordered cumsum is a single window task — fine
+    # for a demo corpus, but production packing partitions by a shard key
+    # (W.partitionBy(shard).orderBy(doc_id)) so each shard packs
+    # independently in parallel; pack ids then namespace by shard.
+    from pyspark.sql import Window as W
+
+    register_tables(spark, sf_dir)
+    t = spark.table("documents").select(
+        "doc_id", F.size(tokens("text")).alias("n_words")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    c = t.withColumn("before", F.coalesce(F.sum("n_words").over(w), F.lit(0)))
+    return c.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.expr("before div 512").alias("pack_id"),
+        F.expr("before % 512").cast("bigint").alias("pack_offset"),
+    )

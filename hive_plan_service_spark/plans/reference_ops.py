@@ -225,3 +225,52 @@ SELECT CAST(
 def a11_counter_current_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
     return current_counter_value(spark.table("counter_events"))
+
+
+# --------------------------------------------------------------------------
+# A9–A12 scaled out: the counter sharded per user (the degenerate single
+# global counter is the key-less case above).
+# --------------------------------------------------------------------------
+@register(
+    "a11_counter_per_key",
+    oracle=f"""
+WITH ce AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'signup' THEN 'incr'
+                         WHEN 'error' THEN 'decr'
+                         ELSE 'set' END AS op,
+         CAST(CASE event_type WHEN 'signup' THEN 1
+                              WHEN 'error' THEN -1
+                              ELSE 0 END AS BIGINT) AS delta,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(FLOOR(value) AS BIGINT) END AS set_value
+  FROM events
+  WHERE event_type IN ('signup', 'error', 'purchase')
+),
+ls AS (
+  SELECT user_id,
+         max(ts) FILTER (WHERE op = 'set') AS ls_ts,
+         arg_max(set_value, ts) FILTER (WHERE op = 'set') AS ls_value
+  FROM ce GROUP BY user_id
+)
+SELECT c.user_id,
+       CAST(COALESCE(l.ls_value, 0)
+            + COALESCE(SUM(CASE WHEN c.op <> 'set'
+                                 AND (l.ls_ts IS NULL OR c.ts > l.ls_ts)
+                            THEN c.delta ELSE 0 END), 0) AS BIGINT)
+         AS joined_count
+FROM ce c LEFT JOIN ls l USING (user_id)
+GROUP BY c.user_id, l.ls_value
+""",
+    doc="Per-key counters: last-SET-wins + trailing deltas sharded by user (A9-A12 at scale).",
+    tags=("A9", "A10", "A11", "A12"),
+)
+def a11_counter_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_plan_service_spark.operators.counter import keyed_counter_values
+    from hive_plan_service_spark.sources.catalog import counter_events_from
+
+    register_tables(spark, sf_dir)
+    ce = counter_events_from(spark.table("events")).join(
+        spark.table("events").select("event_id", "user_id"), "event_id"
+    )
+    return keyed_counter_values(ce, "user_id")
