@@ -25,13 +25,18 @@ def asof_join(
     value_cols: list[str],
     *,
     inclusive: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left rows + latest right ``value_cols`` with right.ts ≤ left.ts.
+    """Left rows + the as-of right ``value_cols``.
 
-    ``inclusive`` controls ties at equal timestamps: True matches a right
-    row with exactly-equal ts (DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``
-    semantics), False requires strictly-earlier.
+    ``direction="backward"`` (default): latest right row with
+    right.ts ≤ left.ts — DuckDB ``ASOF JOIN`` / ``pd.merge_asof``
+    semantics. ``direction="forward"``: earliest right row with
+    right.ts ≥ left.ts (same machinery, traversal reversed).
+    ``inclusive`` controls ties at exactly-equal timestamps.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = [c for c in left.columns]
     l = left.select(
         *lcols,
@@ -46,10 +51,16 @@ def asof_join(
         F.lit(1 if inclusive else 0).alias("_side"),
         *[F.col(v).alias(f"_r_{v}") for v in value_cols],
     ).select(*lcols, "_asof_ts", "_side", *[f"_r_{v}" for v in value_cols])
+    # traversal order: ascending for backward, descending for forward;
     # right rows sort before left rows at equal ts iff inclusive
+    ts_order = (
+        F.col("_asof_ts").asc()
+        if direction == "backward"
+        else F.col("_asof_ts").desc()
+    )
     w = (
         W.partitionBy(key)
-        .orderBy(F.col("_asof_ts").asc(), F.col("_side").desc())
+        .orderBy(ts_order, F.col("_side").desc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     unioned = l.unionByName(r)

@@ -78,3 +78,17 @@ def test_ansi_mode_overflow_raises(spark, sf_dir):
             "SELECT CAST(9223372036854775807 AS BIGINT) + CAST(1 AS BIGINT)"
         ).collect()
     assert "overflow" in str(ei.value).lower() or "ARITHMETIC" in str(ei.value)
+
+
+def test_gated_connectors_fail_typed(spark):
+    """Absent jars surface as ConnectorUnavailable with the fix named."""
+    import pytest as _pytest
+
+    from hive_plan_service_spark.sources.connectors import (
+        ConnectorUnavailable,
+        read_table_format,
+    )
+
+    with _pytest.raises(ConnectorUnavailable) as ei:
+        read_table_format(spark, "delta", "/tmp/nonexistent_delta").collect()
+    assert "delta" in str(ei.value)

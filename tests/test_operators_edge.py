@@ -132,3 +132,48 @@ def test_merge_upsert_idempotent(spark):
     twice = merge_upsert(once, source, "k")
     assert sorted(map(tuple, once.collect())) == [(1, "a"), (2, "B"), (3, "C")]
     assert sorted(map(tuple, twice.collect())) == sorted(map(tuple, once.collect()))
+
+
+def test_asof_join_matches_pandas_merge_asof(spark, sf_dir):
+    """Both directions vs pandas.merge_asof as an independent model."""
+    import pandas as pd
+
+    from hive_plan_service_spark.sources.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    ev = spark.table("events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    p_pd = purchases.toPandas().sort_values("ts")
+    c_pd = clicks.toPandas().sort_values("ts")
+
+    for direction in ("backward", "forward"):
+        got = {
+            r["event_id"]: r["click_id"]
+            for r in asof_join(
+                purchases,
+                clicks,
+                key="user_id",
+                left_ts="ts",
+                right_ts="ts",
+                value_cols=["click_id"],
+                direction=direction,
+            ).collect()
+        }
+        want_df = pd.merge_asof(
+            p_pd,
+            c_pd,
+            on="ts",
+            by="user_id",
+            direction=direction,
+            allow_exact_matches=True,
+        )
+        want = {
+            int(r.event_id): (None if pd.isna(r.click_id) else int(r.click_id))
+            for r in want_df.itertuples()
+        }
+        assert got == want, f"direction={direction}"
