@@ -156,3 +156,94 @@ def ivf_topk(
         candidates.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def _hyperplane_band_buckets(
+    vec_col: str, planes: int, bands: int, dim: int
+) -> Column:
+    """Array of banded hyperplane-LSH bucket structs for one vector.
+
+    Hyperplane components are pseudo-random but data-independent and
+    engine-deterministic: h_p[j] = (xxhash64(p, j) mod 2001 − 1000)/1000.
+    Sign bits are grouped into ``bands`` bands (MinHash-style banding:
+    any band agreeing → candidate), each band's bit pattern hashed into
+    a bucket id. Unrolled in Python so every shift amount is a literal.
+    """
+    def _plane_fold(p: int):
+        # closure factory: a default-arg lambda would look 3-ary to
+        # PySpark's higher-order-function signature inspection
+        def fold(acc: Column, j: Column) -> Column:
+            component = (
+                F.pmod(F.xxhash64(F.lit(p), j), F.lit(2001)) - 1000
+            ) / F.lit(1000.0)
+            return acc + F.element_at(F.col(vec_col), j + 1).cast("double") * component
+
+        return fold
+
+    per_band = planes // bands
+    band_structs = []
+    for band in range(bands):
+        bucket = F.lit(0).cast("bigint")
+        for i in range(per_band):
+            p = band * per_band + i
+            dot_p = F.aggregate(
+                F.sequence(F.lit(0), F.lit(dim - 1)), F.lit(0.0), _plane_fold(p)
+            )
+            bucket = bucket + F.when(dot_p > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        band_structs.append(
+            F.struct(F.lit(band).alias("band"), bucket.cast("bigint").alias("bucket"))
+        )
+    return F.array(*band_structs)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    planes: int = 16,
+    bands: int = 4,
+    *,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k via banded random-hyperplane LSH.
+
+    Vectors agreeing on any full band of sign bits become candidates;
+    exact cosine ranks within candidates. One shuffle on (band, bucket) —
+    at corpus scale the cost is bucket-local, the vector analog of the
+    MinHash-LSH text path. Recall/cost is tuned by (planes, bands).
+    """
+    bb = _hyperplane_band_buckets(vec, planes, bands, dim)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec).alias("_cvec"),
+        F.explode(bb).alias("_bb"),
+    ).select(
+        "neighbor_id", "_cvec", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec).alias("_qvec"),
+        F.explode(bb).alias("_bb"),
+    ).select(
+        "query_id", "_qvec", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket")
+    )
+    candidates = (
+        c.join(F.broadcast(q), ["band", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "_qvec", "_cvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qvec"), F.col("_cvec")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

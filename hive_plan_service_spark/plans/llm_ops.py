@@ -670,3 +670,19 @@ def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("before div 512").alias("pack_id"),
         F.expr("before % 512").cast("bigint").alias("pack_offset"),
     )
+
+
+# --------------------------------------------------------------------------
+# B28 — banded random-hyperplane LSH ANN (the vector analog of the
+# MinHash-LSH text path). Rows-only; recall vs brute force in pytest.
+# --------------------------------------------------------------------------
+@register(
+    "b28_ann_lsh_hyperplane",
+    oracle=None,
+    doc="Banded hyperplane-LSH ANN: 16 sign bits / 4 bands, bucket-local exact rerank.",
+    tags=("B28",),
+)
+def b28_ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return vx.lsh_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)

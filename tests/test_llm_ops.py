@@ -123,3 +123,19 @@ def test_ivf_kmeans_recall(spark, sf_dir):
         for r in all_queries()["b28_ann_ivf_kmeans"].fn(spark, sf_dir).collect()
     }
     assert len(truth & approx) / len(truth) >= 0.2
+
+
+def test_lsh_hyperplane_recall(spark, sf_dir):
+    register_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in vx.cosine_topk(queries, emb, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in vx.lsh_topk(queries, emb, k=5).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.2, f"hyperplane LSH recall collapsed: {recall}"
