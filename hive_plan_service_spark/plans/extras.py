@@ -257,7 +257,10 @@ def b17_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def b13_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
-    return spark.table("orders").sample(0.1, seed=42).select("o_orderkey")
+    # NB: the (fraction, seed=...) overload silently drops the seed in
+    # PySpark 4.1 (fresh draw per invocation); only the explicit
+    # (withReplacement, fraction, seed) form is reproducible.
+    return spark.table("orders").sample(False, 0.1, 42).select("o_orderkey")
 
 
 # --------------------------------------------------------------------------

@@ -191,3 +191,58 @@ def b09_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").alias("price"),
     )
     return wide.unpivot("p_partkey", ["size", "price"], "metric", "value")
+
+
+# --------------------------------------------------------------------------
+# B20 — JSON serialization: struct → JSON string (int/string fields only;
+# float formatting differs across engines and stays out).
+# --------------------------------------------------------------------------
+@register(
+    "b20_json_serialize",
+    oracle="""
+      SELECT o_orderkey,
+             to_json(struct_pack(k := o_orderkey, s := o_orderstatus))::VARCHAR
+               AS as_json
+      FROM orders
+    """,
+    doc="to_json(struct) round-trip; byte-identical {\"k\":..,\"s\":..} on both engines.",
+    tags=("B20",),
+)
+def b20_json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.table("orders").select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("s")
+            )
+        ).alias("as_json"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B2/B21 — null-safe equality: <=> vs IS NOT DISTINCT FROM.
+# --------------------------------------------------------------------------
+@register(
+    "b02_null_safe_equality",
+    oracle="""
+      SELECT c_custkey,
+             (NULLIF(c_mktsegment, 'FURNITURE')
+              IS NOT DISTINCT FROM NULLIF(c_mktsegment, 'FURNITURE')) AS self_nse,
+             (NULLIF(c_mktsegment, 'FURNITURE') IS NOT DISTINCT FROM 'BUILDING')
+               AS is_building_nse,
+             (NULLIF(c_mktsegment, 'FURNITURE') IS NULL) AS hidden
+      FROM customer
+    """,
+    doc="Null-safe equality (<=>): NULL <=> NULL is TRUE, NULL <=> x is FALSE.",
+    tags=("B2", "B21"),
+)
+def b02_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    seg = F.nullif("c_mktsegment", F.lit("FURNITURE"))
+    return spark.table("customer").select(
+        "c_custkey",
+        seg.eqNullSafe(seg).alias("self_nse"),
+        seg.eqNullSafe(F.lit("BUILDING")).alias("is_building_nse"),
+        seg.isNull().alias("hidden"),
+    )

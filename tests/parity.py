@@ -62,8 +62,14 @@ def _canon_value(v):
         return bytes(v)
     if isinstance(v, (list, tuple)):
         return tuple(_canon_value(x) for x in v)
+    if hasattr(v, "ndim") and getattr(v, "ndim", 0) > 0:  # numpy array
+        return tuple(_canon_value(x) for x in v)
+    if hasattr(v, "asDict"):  # pyspark Row (nested struct)
+        return tuple(sorted((k, _canon_value(x)) for k, x in v.asDict().items()))
     if hasattr(v, "item"):  # numpy scalar
         return _canon_value(v.item())
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon_value(x)) for k, x in v.items()))
     if isinstance(v, bool):
         return v
     return v
