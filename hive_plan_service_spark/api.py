@@ -100,14 +100,22 @@ class PlanService:
     def get_plans(self, role: str = "mobile") -> dict[str, Any]:
         if err := self._check(role, ALLOW_ALL):
             return err
-        df = self.spark.read.parquet(self._path("plan_entities"))
-        return {"code": 200, "data": [r.asDict() for r in df.collect()]}
+        try:
+            df = self.spark.read.parquet(self._path("plan_entities"))
+            data = [r.asDict() for r in df.collect()]
+        except Exception:
+            data = []  # empty cache → empty list (hvals semantics, server:32)
+        return {"code": 200, "data": data}
 
     def get_plan_groups(self, role: str = "mobile") -> dict[str, Any]:
         if err := self._check(role, ALLOW_ALL):
             return err
-        df = self.spark.read.parquet(self._path("plan_group_entities"))
-        return {"code": 200, "data": [r.asDict(recursive=True) for r in df.collect()]}
+        try:
+            df = self.spark.read.parquet(self._path("plan_group_entities"))
+            data = [r.asDict(recursive=True) for r in df.collect()]
+        except Exception:
+            data = []  # empty cache → empty list (hvals semantics, server:42)
+        return {"code": 200, "data": data}
 
     # -- counter family (A9–A12) -------------------------------------------
     def increase_joined_count(self, role: str = "admin") -> dict[str, Any]:

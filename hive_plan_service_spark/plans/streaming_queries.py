@@ -240,3 +240,33 @@ def b22_continuous_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
+
+
+# --------------------------------------------------------------------------
+# B15/B22 — streaming deduplication: dropDuplicates within the watermark
+# (the exactly-once ingest pattern for at-least-once sources). On a full
+# replay the deduped stream equals batch DISTINCT.
+# --------------------------------------------------------------------------
+@register(
+    "b22_stream_dedup",
+    oracle="""
+      SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+      FROM events GROUP BY event_type
+    """,
+    doc="Watermarked streaming dropDuplicates(event_id) == batch DISTINCT on replay.",
+    tags=("B15", "B22"),
+)
+def b22_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    register_tables(spark, sf_dir)
+    stream = events_stream(spark, table_path(sf_dir, "events"))
+    # duplicate the feed (union with itself) to make the dedup observable
+    doubled = stream.unionByName(stream)
+    deduped = (
+        doubled.withWatermark("ts", "30 days")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    return run_to_completion(deduped, output_mode="complete")

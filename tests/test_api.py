@@ -68,3 +68,11 @@ def test_refresh_error_envelope(spark, sf_dir):
     res = bad.refresh()
     assert res["code"] == 500
     assert "msg" in res
+
+
+def test_reads_before_refresh_return_empty(spark, sf_dir, tmp_path):
+    # reading before any refresh == empty Redis cache: {code:200, data:[]}
+    fresh = PlanService(spark, sf_dir, warehouse=str(tmp_path / "never_refreshed"))
+    assert fresh.get_plans() == {"code": 200, "data": []}
+    assert fresh.get_plan_groups() == {"code": 200, "data": []}
+    assert fresh.get_joined_count()["data"] == 0
