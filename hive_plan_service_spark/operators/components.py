@@ -1,0 +1,69 @@
+"""Connected components — dedup pairs → dedup *clusters*.
+
+Near-dup detection yields pairs, but retention decisions need clusters
+(keep exactly one document per group of mutual near-dups). Components
+are computed by iterative min-label propagation — the Pregel pattern on
+DataFrames:
+
+    label(v) ← min(label(v), min over neighbors label(u))
+
+iterated to fixpoint. Each round is one shuffle on the vertex id; rounds
+needed ≈ graph diameter (near-dup clusters are tiny, so 2–4). The loop
+is driver-side *control flow only* — no data ever leaves the executors
+except the single convergence counter per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(vertex, component) for every vertex in ``edges``; component = min id.
+
+    Deterministic: labels are vertex-id minima, independent of execution
+    order.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.vertex)
+            .groupBy(F.col("a").alias("vertex"))
+            .agg(F.min("component").alias("n_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "vertex", "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"), F.coalesce("n_min", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "vertex")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated.localCheckpoint(eager=True)  # cut lineage per round
+        if changed == 0:
+            break
+    return labels

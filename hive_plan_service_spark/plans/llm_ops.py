@@ -686,3 +686,114 @@ def b28_ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
     emb = spark.table("embeddings")
     return vx.lsh_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
+
+
+# --------------------------------------------------------------------------
+# Dedup clusters: connected components over the exact near-dup pair graph
+# (iterative min-label propagation; see operators/components.py). The
+# oracle computes the same components with a recursive CTE — one of the
+# few genuinely iterative algorithms that still has a SQL ground truth.
+# --------------------------------------------------------------------------
+@register(
+    "llm_dedup_clusters",
+    oracle=f"""
+      WITH RECURSIVE {_DUCK_SHINGLES},
+      counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN counts ca ON ca.doc_id = a.doc_id
+        JOIN counts cb ON cb.doc_id = b.doc_id
+        GROUP BY a.doc_id, b.doc_id, ca.n_sh, cb.n_sh
+        HAVING CAST(COUNT(*) AS DOUBLE) / (ca.n_sh + cb.n_sh - COUNT(*)) >= 0.5
+      ),
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+      ),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      )
+      SELECT a AS doc_id,
+             LEAST(a, MIN(b)) AS component
+      FROM reach GROUP BY a
+    """,
+    doc="Connected components of the jaccard-0.5 near-dup graph (min-id labels) vs recursive CTE.",
+    tags=("B27", "B15"),
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_plan_service_spark.operators.components import connected_components
+
+    register_tables(spark, sf_dir)
+    pairs = dd.jaccard_pairs(spark.table("documents"), threshold=0.5)
+    comps = connected_components(pairs, src="doc_a", dst="doc_b")
+    return comps.select(F.col("vertex").alias("doc_id"), "component")
+
+
+# --------------------------------------------------------------------------
+# B29 — language ID, char-n-gram profile variant: score = overlap of the
+# document's char trigrams with small per-language profile sets.
+# --------------------------------------------------------------------------
+_LANG_TRIGRAMS = {
+    "en": ("the", "ing", "and", " th", "he "),
+    "es": ("de ", "la ", "os ", "ión", "el "),
+    "de": ("der", "ie ", "ein", "sch", "und"),
+}
+
+
+@register(
+    "b29_text_langid_ngram",
+    oracle="""
+      WITH grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, length(text) - 2),
+                 i -> text[i : i + 2])) AS tg
+        FROM documents
+      )
+      SELECT doc_id,
+             CASE WHEN len(list_filter(tg, g -> list_contains(['the','ing','and',' th','he '], g)))
+                       >= len(list_filter(tg, g -> list_contains(['de ','la ','os ','ión','el '], g)))
+                   AND len(list_filter(tg, g -> list_contains(['the','ing','and',' th','he '], g)))
+                       >= len(list_filter(tg, g -> list_contains(['der','ie ','ein','sch','und'], g)))
+                  THEN 'en'
+                  WHEN len(list_filter(tg, g -> list_contains(['de ','la ','os ','ión','el '], g)))
+                       >= len(list_filter(tg, g -> list_contains(['der','ie ','ein','sch','und'], g)))
+                  THEN 'es' ELSE 'de' END AS predicted_lang,
+             CAST(len(list_filter(tg, g -> list_contains(['the','ing','and',' th','he '], g))) AS BIGINT)
+               AS en_hits
+      FROM grams
+    """,
+    doc="Char-trigram-profile language ID (argmax over per-lang gram sets, en>es>de tiebreak).",
+    tags=("B29",),
+)
+def b29_text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    d = spark.table("documents")
+    tg = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - 2),
+            lambda i: F.col("text").substr(i, F.lit(3)),
+        )
+    )
+
+    def _hit_counter(grams: tuple[str, ...]):
+        # closure factory — a default-arg lambda reads as the 2-ary
+        # (element, index) filter form and binds the index instead
+        arr = F.array(*[F.lit(x) for x in grams])
+
+        def pred(g):
+            return F.array_contains(arr, g)
+
+        return F.size(F.filter(tg, pred))
+
+    hits = {code: _hit_counter(grams) for code, grams in _LANG_TRIGRAMS.items()}
+    return d.select(
+        "doc_id",
+        F.when((hits["en"] >= hits["es"]) & (hits["en"] >= hits["de"]), "en")
+        .when(hits["es"] >= hits["de"], "es")
+        .otherwise("de")
+        .alias("predicted_lang"),
+        hits["en"].cast("bigint").alias("en_hits"),
+    )
