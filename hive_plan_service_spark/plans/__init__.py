@@ -3,6 +3,7 @@
 import hive_plan_service_spark.plans.extras  # noqa: F401
 import hive_plan_service_spark.plans.functions_suite  # noqa: F401
 import hive_plan_service_spark.plans.functions_suite2  # noqa: F401
+import hive_plan_service_spark.plans.functions_suite3  # noqa: F401
 import hive_plan_service_spark.plans.llm_ops  # noqa: F401
 import hive_plan_service_spark.plans.reference_ops  # noqa: F401
 import hive_plan_service_spark.plans.relational  # noqa: F401
