@@ -55,25 +55,31 @@ def expand_groups_flat(groups: DataFrame, plans: DataFrame) -> DataFrame:
 def expand_groups_nested(groups: DataFrame, plans: DataFrame) -> DataFrame:
     """The reference's materialized shape: plans re-nested per group.
 
-    Output: id, title, mask, plans ARRAY<STRUCT<id,title,optional>>
-    (sorted by plan id — the reference's bit-order iteration).
+    Output: id, title, mask, plans ARRAY<STRUCT<id,title,optional>>,
+    sorted by *bit index* — the reference's bit-order iteration. Plan ids
+    are single bits of a signed BIGINT, so bit 63 is ``-2^63``: sorting
+    the raw signed id would put it first; the (id < 0, id) key puts it
+    last, matching bits 0..63.
     """
     flat = expand_groups_flat(groups, plans)
+    keyed = F.sort_array(
+        F.collect_list(
+            F.struct(
+                (F.col("plan_id") < 0).alias("neg"),
+                F.col("plan_id").alias("k"),
+                F.struct(
+                    F.col("plan_id").alias("id"),
+                    F.col("plan_title").alias("title"),
+                    F.col("optional"),
+                ).alias("p"),
+            )
+        )
+    )
     return (
         flat.groupBy(
             F.col("group_id").alias("id"),
             F.col("group_title").alias("title"),
             "mask",
         )
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("plan_id").alias("id"),
-                        F.col("plan_title").alias("title"),
-                        F.col("optional"),
-                    )
-                )
-            ).alias("plans")
-        )
+        .agg(F.transform(keyed, lambda s: s["p"]).alias("plans"))
     )

@@ -269,16 +269,43 @@ def b13_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "b11_approx_percentile",
     oracle=None,
-    doc="approx_percentile(totalprice, [0.5, 0.95]) — sketch-based, rows-only.",
+    doc="approx_percentile p50/p95 as flat scalars — sketch-based, rows-only.",
     tags=("B11",),
 )
 def b11_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    # scalar columns, not percentile_approx(..., [0.5, 0.95])'s array —
+    # array cells break the driver's rows-only canonicalizer (round-1 red)
+    return (
+        spark.table("orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5).alias("p50"),
+            F.percentile_approx("o_totalprice", 0.95).alias("p95"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B11 canonical — approx aggregates in one plan: HLL distinct + GK
+# percentiles, all flat scalars. Sketches are engine-specific → rows-only;
+# tests/test_llm_ops.py ties the values to their exact twins.
+# --------------------------------------------------------------------------
+@register(
+    "b11_approx_aggregates",
+    oracle=None,
+    doc="approx_count_distinct + approx p50/p95 per order status (sketches, rows-only).",
+    tags=("B11",),
+)
+def b11_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
     return (
         spark.table("orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.percentile_approx("o_totalprice", [0.5, 0.95]).alias("pctiles")
+            F.approx_count_distinct("o_custkey").alias("n_custs_approx"),
+            F.percentile_approx("o_totalprice", 0.5).alias("p50"),
+            F.percentile_approx("o_totalprice", 0.95).alias("p95"),
         )
     )
 

@@ -170,6 +170,41 @@ def a08_get_plan_groups_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# A8, driver-safe form — the same nested scan with the ARRAY<STRUCT>
+# summarized to flat scalars (the driver's canonicalizer can't hash
+# array cells; CLAUDE.md invariant 2). n_plans + the bit-ordered id list
+# value-check the nested structure, including member order.
+# --------------------------------------------------------------------------
+@register(
+    "a08_get_plan_groups_flat",
+    oracle=f"""
+WITH {ORACLE_PLANS_CTE},
+{ORACLE_PLAN_GROUPS_CTE}
+SELECT g.id AS group_id, g.title AS group_title, g.mask,
+       CAST(COUNT(*) AS BIGINT) AS n_plans,
+       string_agg(CAST(p.id AS VARCHAR), ',' ORDER BY (p.id < 0), p.id) AS plan_ids
+FROM plan_groups_d g
+JOIN plans_d p ON (g.mask & p.id) <> 0
+GROUP BY g.id, g.title, g.mask
+""",
+    doc="getPlanGroups flattened: per-group member count + bit-ordered plan-id list.",
+    tags=("A8",),
+)
+def a08_get_plan_groups_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    nested = expand_groups_nested(spark.table("plan_groups"), spark.table("plans"))
+    return nested.select(
+        F.col("id").alias("group_id"),
+        F.col("title").alias("group_title"),
+        "mask",
+        F.size("plans").cast("bigint").alias("n_plans"),
+        F.concat_ws(
+            ",", F.transform(F.col("plans"), lambda p: p["id"].cast("string"))
+        ).alias("plan_ids"),
+    )
+
+
+# --------------------------------------------------------------------------
 # A9/A10 — INCR/DECR as an event-log aggregate.
 # --------------------------------------------------------------------------
 @register(

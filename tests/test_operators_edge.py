@@ -51,6 +51,14 @@ def test_bitmask_all_64_bits_live(spark):
     assert ids == sorted(_bit(b) for b in range(64))  # incl. negative 1<<63
 
 
+def test_bitmask_nested_member_order_is_bit_order(spark):
+    # bit 63's id is -2^63: signed ordering would put it FIRST; the
+    # reference iterates bits 0..63, so it must come last
+    groups = spark.createDataFrame([(1, "all", -1)], GROUP_SCHEMA)
+    nested = expand_groups_nested(groups, _plans(spark, range(64))).collect()[0]
+    assert [p["id"] for p in nested["plans"]] == [_bit(b) for b in range(64)]
+
+
 def test_bitmask_high_bit_only(spark):
     groups = spark.createDataFrame([(1, "hi", 1 << 62)], GROUP_SCHEMA)
     out = expand_groups_flat(groups, _plans(spark, [62]))
