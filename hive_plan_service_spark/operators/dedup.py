@@ -84,6 +84,58 @@ def jaccard_pairs(
     )
 
 
+def jaccard_verify_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.5,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard computed over CANDIDATE pairs only.
+
+    The scale shape for exact-threshold dedup: a high-recall LSH pass
+    proposes pairs, then this verifies each against the true shingle
+    sets. The candidate subtree appears exactly ONCE in the plan (an LSH
+    candidate set is itself a multi-stage job — referencing it N times
+    re-runs it N times), and the two joins against ``docs`` carry only
+    (id, text): shingle sets are computed AFTER the join, on candidate
+    rows only, as JVM array algebra (``array_intersect`` over the
+    distinct-shingle arrays ≡ the exact join's per-pair common count).
+    Cost is O(candidate pairs × shingles/doc), never the all-pairs
+    shingle self-join.
+    """
+    pairs = candidates.select("doc_a", "doc_b")
+    txt = docs.select(F.col(id_col), F.col(text_col))
+    a = txt.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta"))
+    b = txt.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb"))
+    joined = (
+        F.broadcast(pairs).join(a, "doc_a").join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            shingles(tokens("_ta"), n).alias("_sa"),
+            shingles(tokens("_tb"), n).alias("_sb"),
+        )
+    )
+    # size/intersect re-evaluation after CollapseProject inlining is fine
+    # here: it is per-CANDIDATE work, not per-corpus (invariant 4 guards
+    # the per-shingle sketch stages, not this verify tail)
+    common = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            common.alias("common"),
+            (
+                common / (F.size("_sa") + F.size("_sb") - common)
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     *,

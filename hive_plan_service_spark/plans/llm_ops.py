@@ -345,8 +345,17 @@ def b30_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # The composed training-data pipeline: quality gate → language ID →
 # near-dup removal (greedy min-id winner) → fingerprinted clean corpus.
-# One declarative plan end-to-end — Catalyst fuses the scalar stages and
-# the only shuffles are the dedup join's.
+# One declarative plan end-to-end — Catalyst fuses the scalar stages.
+#
+# Dedup runs the SCALE path: high-recall MinHash-LSH candidates (16
+# hashes in 8 bands of 2 rows → P(no band collides at J=0.9) ≈ 1.7e-6,
+# and deterministic: xxhash64 seeds, no randomness), pruned by the
+# signature-estimated Jaccard (est ≥ 0.5 ⇔ ≥8/16 minima agree;
+# P(est < 0.5 | J=0.9) ≈ 1e-6 — binomial tail) so the exact-verify tail
+# touches ~near-dups only, then verified by exact Jaccard per candidate
+# pair. The oracle keeps the all-pairs shingle self-join as ground truth
+# at sf ≤ 0.01; tests/test_llm_ops.py asserts the survivor sets are
+# identical.
 # --------------------------------------------------------------------------
 @register(
     "llm_corpus_clean_pipeline",
@@ -390,8 +399,11 @@ def b30_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
     docs = spark.table("documents")
+    candidates = dd.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=8, est_threshold=0.5
+    )
     losers = (
-        dd.jaccard_pairs(docs, threshold=0.9)
+        dd.jaccard_verify_pairs(docs, candidates, threshold=0.9)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

@@ -34,39 +34,63 @@ def _bucket_agg(df: DataFrame) -> DataFrame:
 
 
 class ContinuousHourlyRollup:
-    """Maintains ``<workdir>/rollup`` parquet, partitioned by hour bucket."""
+    """Maintains ``<workdir>/rollup`` parquet, partitioned by hour bucket.
 
-    def __init__(self, spark: SparkSession, events_path: str, workdir: str):
+    ``track_batch_input_rows`` (tests only) records how many seen-event
+    rows each refresh actually re-aggregated — the O(touched days)
+    invariant is asserted, not assumed.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        events_path: str,
+        workdir: str,
+        *,
+        track_batch_input_rows: bool = False,
+    ):
         self.spark = spark
         self.events_path = events_path
         self.out = os.path.join(workdir, "rollup")
         self.ckpt = os.path.join(workdir, "ckpt_rollup")
         self.seen = os.path.join(workdir, "seen_events")
+        self.track = track_batch_input_rows
+        self.batch_input_rows: list[int] = []
 
     def _refresh_buckets(self, batch_df: DataFrame, epoch_id: int) -> None:
         # keep the raw feed so touched buckets re-aggregate from ALL their
-        # events, not just this batch's (idempotent per-bucket overwrite)
-        batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
-            "overwrite"
-        ).option("partitionOverwriteMode", "dynamic").partitionBy(
-            "epoch"
-        ).parquet(self.seen)
+        # events, not just this batch's (idempotent per-bucket overwrite).
+        # Day-partitioned (epoch makes partitions append-unique): the
+        # touched-day filter below then prunes whole day directories, so
+        # per-batch work is O(events in touched days), not O(history).
+        staged = batch_df.withColumn(
+            "day_bucket", F.expr("unix_timestamp(ts) div 86400")
+        ).withColumn("epoch", F.lit(epoch_id))
+        # cluster by day before the partitioned write: one file per
+        # (day, epoch) dir instead of #shuffle-partitions × #days
+        # fragments — file count stays O(days), the 100 TB metadata bound
+        staged.repartition("day_bucket").write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("day_bucket", "epoch").parquet(self.seen)
+        # bounded control-flow collect — one BIGINT per touched day — so
+        # the re-read gets a *literal* IN filter that static-prunes the
+        # day directories at scan planning (a broadcast semi-join would
+        # need runtime DPP and still enumerate all files)
+        touched = [
+            r["day_bucket"] for r in staged.select("day_bucket").distinct().collect()
+        ]
+        if not touched:
+            return
+        touched_seen = self.spark.read.parquet(self.seen).filter(
+            F.col("day_bucket").isin(touched)
+        )
+        if self.track:
+            self.batch_input_rows.append(touched_seen.count())
         # day-granular overwrite partitions: hour-partitioning would write
         # hundreds of small directories per refresh; day dirs keep the
         # file count (and the 100 TB metadata load) bounded
-        touched_days = (
-            batch_df.select(
-                F.expr("unix_timestamp(ts) div 86400").alias("day_bucket")
-            )
-            .distinct()
-        )
-        if touched_days.isEmpty():
-            return
-        all_seen = self.spark.read.parquet(self.seen)
-        fresh = (
-            _bucket_agg(all_seen)
-            .withColumn("day_bucket", F.expr("hour_bucket div 24"))
-            .join(F.broadcast(touched_days), "day_bucket")
+        fresh = _bucket_agg(touched_seen).withColumn(
+            "day_bucket", F.expr("hour_bucket div 24")
         )
         (
             fresh.repartition("day_bucket")  # one file per refreshed day dir

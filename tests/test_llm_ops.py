@@ -33,6 +33,25 @@ def test_minhash_lsh_recalls_near_dups(spark, sf_dir):
     assert len(truth & lsh) / len(truth) >= 0.9
 
 
+def test_lsh_verified_pairs_equal_exact_jaccard(spark, sf_dir):
+    """The pipeline's scale path (high-recall LSH → exact verify) must
+    reproduce the all-pairs exact join EXACTLY at test scale — this is
+    what keeps llm_corpus_clean_pipeline's oracle green."""
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    truth = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    cands = dd.minhash_lsh_pairs(docs, num_hashes=16, bands=8, est_threshold=0.5)
+    verified = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.jaccard_verify_pairs(docs, cands, threshold=0.9).collect()
+    }
+    assert truth, "fixture should contain >=0.9-jaccard near-dups"
+    assert verified == truth
+
+
 def test_simhash_recalls_near_dups(spark, sf_dir):
     register_tables(spark, sf_dir)
     truth = _near_dup_truth(spark)

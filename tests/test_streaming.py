@@ -162,9 +162,10 @@ def test_continuous_rollup_incremental_equals_full(spark, sf_dir, tmp_path):
         os.rename(tmp_path / f"half{i}" / part, feed / f"{i}.parquet")
         _time.sleep(1.1)
 
-    rollup = ContinuousHourlyRollup(
-        spark, str(feed), str(tmp_path / "work")
-    ).run(max_files_per_trigger=1)
+    maintainer = ContinuousHourlyRollup(
+        spark, str(feed), str(tmp_path / "work"), track_batch_input_rows=True
+    )
+    rollup = maintainer.run(max_files_per_trigger=1)
     got = {
         (r["hour_bucket"], r["event_type"]): (r["n"], r["total_value"])
         for r in rollup.collect()
@@ -184,3 +185,20 @@ def test_continuous_rollup_incremental_equals_full(spark, sf_dir, tmp_path):
         for r in full.collect()
     }
     assert got == want
+
+    # incremental means incremental: batch 2 must re-aggregate only the
+    # events of ITS touched days (incl. batch-1 rows on the boundary day),
+    # never the whole history
+    evr = spark.read.parquet(str(feed)).withColumn(
+        "day_bucket", F.expr("(ts div 1000000000) div 86400")  # raw nanos → day
+    )
+    second_days = [
+        r["day_bucket"]
+        for r in evr.filter(F.col("ts") >= mid).select("day_bucket").distinct().collect()
+    ]
+    expected_batch2 = evr.filter(F.col("day_bucket").isin(second_days)).count()
+    assert maintainer.batch_input_rows == [
+        evr.filter(F.col("ts") < mid).count(),
+        expected_batch2,
+    ]
+    assert expected_batch2 < evr.count()
