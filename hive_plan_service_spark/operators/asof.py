@@ -26,6 +26,7 @@ def asof_join(
     *,
     inclusive: bool = True,
     direction: str = "backward",
+    right_seq: str | None = None,
 ) -> DataFrame:
     """Left rows + the as-of right ``value_cols``.
 
@@ -34,14 +35,23 @@ def asof_join(
     semantics. ``direction="forward"``: earliest right row with
     right.ts ≥ left.ts (same machinery, traversal reversed).
     ``inclusive`` controls ties at exactly-equal timestamps.
+
+    ``right_seq``: optional right-side column that totally orders right
+    rows sharing a (key, ts) — the highest-``right_seq`` row wins, in
+    both directions (the value observed after applying every update at
+    that instant). Without it, ties pick an arbitrary but
+    partition-stable right row; pass an event id for bit-for-bit
+    determinism at any parallelism.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = [c for c in left.columns]
+    seq_type = right.schema[right_seq].dataType if right_seq else None
     l = left.select(
         *lcols,
         F.col(left_ts).alias("_asof_ts"),
         F.lit(0 if inclusive else 1).alias("_side"),
+        F.lit(None).cast(seq_type or "bigint").alias("_seq"),
         *[F.lit(None).cast(right.schema[v].dataType).alias(f"_r_{v}") for v in value_cols],
     )
     r = right.select(
@@ -49,10 +59,13 @@ def asof_join(
         F.col(key),
         F.col(right_ts).alias("_asof_ts"),
         F.lit(1 if inclusive else 0).alias("_side"),
+        (F.col(right_seq) if right_seq else F.lit(None).cast("bigint")).alias("_seq"),
         *[F.col(v).alias(f"_r_{v}") for v in value_cols],
-    ).select(*lcols, "_asof_ts", "_side", *[f"_r_{v}" for v in value_cols])
+    ).select(*lcols, "_asof_ts", "_side", "_seq", *[f"_r_{v}" for v in value_cols])
     # traversal order: ascending for backward, descending for forward;
-    # right rows sort before left rows at equal ts iff inclusive
+    # right rows sort before left rows at equal ts iff inclusive; among
+    # right rows at one (key, ts) the last traversed (highest _seq) wins
+    # — last(ignorenulls) takes the final non-null in frame order
     ts_order = (
         F.col("_asof_ts").asc()
         if direction == "backward"
@@ -60,7 +73,7 @@ def asof_join(
     )
     w = (
         W.partitionBy(key)
-        .orderBy(ts_order, F.col("_side").desc())
+        .orderBy(ts_order, F.col("_side").desc(), F.col("_seq").asc_nulls_first())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     unioned = l.unionByName(r)

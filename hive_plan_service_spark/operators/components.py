@@ -66,4 +66,11 @@ def connected_components(
         labels = updated.localCheckpoint(eager=True)  # cut lineage per round
         if changed == 0:
             break
+    else:
+        # silently returning partially-merged labels would diverge from
+        # the exact-components oracle on long chains — fail loudly
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations (graph diameter too large) — raise max_iterations"
+        )
     return labels

@@ -56,8 +56,18 @@ def salted_join(
 
     The right side is replicated ``salt`` times — keep it the smaller
     side. Rows pair exactly once: left salt = hash(whole row) mod salt,
-    right carries every salt value.
+    right carries every salt value. Only left-preserving join types are
+    allowed: an unmatched RIGHT row exists once per salt value, so
+    ``right``/``full`` would emit it ``salt`` times — not identical to
+    the plain join.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only {sorted(allowed)}; "
+            f"got {how!r} — unmatched right rows would duplicate per salt"
+        )
     lcols, rcols = left.columns, [c for c in right.columns if c != key]
     l = left.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in lcols]), F.lit(salt))

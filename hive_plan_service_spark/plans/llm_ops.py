@@ -461,11 +461,14 @@ def b29_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()  # scalar dimension, not a data-path collect
-    scored = tf.join(df, "word").select(
+    # corpus size as a broadcast 1-row aggregate INSIDE the plan — the
+    # builder triggers no action and the count scan runs once per job,
+    # fused by AQE, instead of once per build
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    scored = tf.join(df, "word").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "word",
-        (F.col("tf").cast("double") * F.lit(float(n_docs)) / F.col("df")).alias(
+        (F.col("tf").cast("double") * F.col("_n_docs") / F.col("df")).alias(
             "score"
         ),
     )
@@ -582,9 +585,13 @@ def b28_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def b30_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
-    frames = mm.sample_frames(mm.attach_binary_payload(spark.table("documents")))
-    return frames.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_frames")
+    docs = spark.table("documents")
+    frames = mm.sample_frames(mm.attach_binary_payload(docs))
+    counts = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    # empty payloads emit zero frames — restore those docs with n_frames=0
+    # so the output covers every document (matches the oracle's CEIL(0)=0)
+    return docs.select("doc_id").join(counts, "doc_id", "left").select(
+        "doc_id", F.coalesce("n_frames", F.lit(0).cast("bigint")).alias("n_frames")
     )
 
 
@@ -646,40 +653,55 @@ def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_sequence_packing",
     oracle="""
       WITH t AS (
-        SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents
+        SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+               doc_id % 32 AS shard
+        FROM documents
       ),
       c AS (
-        SELECT doc_id, n_words,
-               COALESCE(SUM(n_words) OVER (ORDER BY doc_id
+        SELECT doc_id, n_words, shard,
+               COALESCE(SUM(n_words) OVER (PARTITION BY shard ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
         FROM t
       )
       SELECT doc_id,
              CAST(n_words AS BIGINT) AS n_words,
-             CAST(before // 512 AS BIGINT) AS pack_id,
+             CAST(shard AS BIGINT) AS shard,
+             CAST(shard * 1099511627776 + before // 512 AS BIGINT) AS pack_id,
              CAST(before % 512 AS BIGINT) AS pack_offset
       FROM c
     """,
-    doc="Sequence packing: cumsum-of-lengths // budget assigns docs to 512-word packs.",
+    doc="Sharded sequence packing: per-shard cumsum-of-lengths // budget, pack ids namespaced by shard.",
     tags=("B29", "B12"),
 )
 def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Scale note: a globally-ordered cumsum is a single window task — fine
-    # for a demo corpus, but production packing partitions by a shard key
-    # (W.partitionBy(shard).orderBy(doc_id)) so each shard packs
-    # independently in parallel; pack ids then namespace by shard.
+    # Sharded cumsum: the window partitions by a deterministic shard key
+    # so the sort is per-shard (32-way parallel, spill-safe) instead of a
+    # single global task. Pack ids are namespaced by shard (shard · 2^40
+    # + local pack) — each shard packs independently, the production
+    # shape for pretraining sample packing. tests/test_llm_ops.py ties
+    # each shard's packing to the global algorithm run on that shard.
     from pyspark.sql import Window as W
 
     register_tables(spark, sf_dir)
     t = spark.table("documents").select(
-        "doc_id", F.size(tokens("text")).alias("n_words")
+        "doc_id",
+        F.size(tokens("text")).alias("n_words"),
+        (F.col("doc_id") % 32).alias("shard"),
     )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
     c = t.withColumn("before", F.coalesce(F.sum("n_words").over(w), F.lit(0)))
     return c.select(
         "doc_id",
         F.col("n_words").cast("bigint").alias("n_words"),
-        F.expr("before div 512").alias("pack_id"),
+        F.col("shard").cast("bigint").alias("shard"),
+        (
+            F.col("shard").cast("bigint") * F.lit(1099511627776).cast("bigint")
+            + F.expr("before div 512")
+        ).alias("pack_id"),
         F.expr("before % 512").cast("bigint").alias("pack_offset"),
     )
 

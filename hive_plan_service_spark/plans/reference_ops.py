@@ -283,19 +283,26 @@ WITH ce AS (
   WHERE event_type IN ('signup', 'error', 'purchase')
 ),
 ls AS (
-  SELECT user_id,
-         max(ts) FILTER (WHERE op = 'set') AS ls_ts,
-         arg_max(set_value, ts) FILTER (WHERE op = 'set') AS ls_value
-  FROM ce GROUP BY user_id
+  -- last SET per key, tie-broken by (ts, event_id) exactly like the
+  -- global-counter oracle: duplicate-ts sets must not be ambiguous
+  SELECT user_id, ts AS ls_ts, event_id AS ls_event_id,
+         set_value AS ls_value
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ce WHERE op = 'set'
+  ) WHERE rn = 1
 )
 SELECT c.user_id,
        CAST(COALESCE(l.ls_value, 0)
             + COALESCE(SUM(CASE WHEN c.op <> 'set'
-                                 AND (l.ls_ts IS NULL OR c.ts > l.ls_ts)
+                                 AND (l.ls_ts IS NULL OR c.ts > l.ls_ts
+                                      OR (c.ts = l.ls_ts
+                                          AND c.event_id > l.ls_event_id))
                             THEN c.delta ELSE 0 END), 0) AS BIGINT)
          AS joined_count
 FROM ce c LEFT JOIN ls l USING (user_id)
-GROUP BY c.user_id, l.ls_value
+GROUP BY c.user_id, l.ls_value, l.ls_ts, l.ls_event_id
 """,
     doc="Per-key counters: last-SET-wins + trailing deltas sharded by user (A9-A12 at scale).",
     tags=("A9", "A10", "A11", "A12"),

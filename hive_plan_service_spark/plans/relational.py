@@ -355,6 +355,7 @@ def b08_asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         value_cols=["click_id"],
         inclusive=True,
+        right_seq="click_id",  # pin ties at equal (user, ts): max id wins
     )
     return joined.select(
         "event_id", "user_id", F.col("click_id").alias("last_click_id")

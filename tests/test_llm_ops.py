@@ -52,6 +52,26 @@ def test_lsh_verified_pairs_equal_exact_jaccard(spark, sf_dir):
     assert verified == truth
 
 
+def test_sequence_packing_shard_equals_global_per_shard(spark, sf_dir):
+    """Sharded packing ≡ the global cumsum algorithm applied per shard:
+    within a shard, (local pack, offset) must match a single-partition
+    cumsum over that shard's docs in doc_id order."""
+    from hive_plan_service_spark.plans.llm_ops import llm_sequence_packing
+
+    rows = llm_sequence_packing(spark, sf_dir).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) > 1, "fixture should populate multiple shards"
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        before = 0
+        for r in docs:
+            assert r["pack_id"] == shard * (1 << 40) + before // 512
+            assert r["pack_offset"] == before % 512
+            before += r["n_words"]
+
+
 def test_simhash_recalls_near_dups(spark, sf_dir):
     register_tables(spark, sf_dir)
     truth = _near_dup_truth(spark)

@@ -124,6 +124,26 @@ def test_asof_inclusive_vs_strict_ties(spark):
     assert strict[0]["v"] is None  # strictly-earlier required
 
 
+def test_asof_equal_ts_right_rows_tiebreak_by_seq(spark):
+    """Two right updates at the SAME (key, ts): the higher right_seq row
+    must win deterministically, in both directions."""
+    left = spark.createDataFrame([(1, datetime(2024, 1, 1, 12))], "k int, ts timestamp")
+    right = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 12), 10, 41),
+            (1, datetime(2024, 1, 1, 12), 20, 42),
+            (1, datetime(2024, 1, 1, 12), 15, 43),
+        ],
+        "k int, ts timestamp, seq int, v int",
+    )
+    for direction in ("backward", "forward"):
+        out = asof_join(
+            left, right, "k", "ts", "ts", ["v"],
+            direction=direction, right_seq="seq",
+        ).collect()
+        assert out[0]["v"] == 42, direction
+
+
 def test_asof_no_earlier_right_row_is_null(spark):
     left = spark.createDataFrame([(1, datetime(2024, 1, 1, 10))], "k int, ts timestamp")
     right = spark.createDataFrame(

@@ -88,6 +88,73 @@ def test_partitioned_read_prunes_directories(spark, sf_dir):
     assert "day_bucket" in pf, "day filter did not reach partition pruning"
 
 
+# Builders that execute side effects (run a stream / write parquet) —
+# their returned DataFrames are plain parquet reads with no windows, and
+# building them here would re-run the whole job.
+_EFFECTFUL = {
+    "a05_materialize_roundtrip",
+    "b22_stream_tumbling_window",
+    "b22_continuous_hourly_rollup",
+    "b23_stream_session_window",
+    "b24_stateful_counter_applyinpandas",
+    "b24_stream_counter_value",
+    "b25_stream_refresh_sink",
+    "b22_stream_stream_join",
+    "b22_stream_dedup",
+    "b15_stream_dedup",
+}
+
+
+def _global_windows(plan_text: str) -> list[str]:
+    """windowspecdefinition(...) occurrences with an EMPTY partition spec.
+
+    In plan text the partition columns precede the order columns; order
+    columns carry an ASC/DESC marker. A spec whose first depth-0 argument
+    is an order column (or the frame itself) partitions by nothing —
+    a single-task window.
+    """
+    hits = []
+    needle = "windowspecdefinition("
+    i = 0
+    while (j := plan_text.find(needle, i)) != -1:
+        k = j + len(needle)
+        depth, arg_start = 0, k
+        first_arg = None
+        while k < len(plan_text):
+            c = plan_text[k]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    first_arg = plan_text[arg_start:k]
+                    break
+                depth -= 1
+            elif c == "," and depth == 0:
+                first_arg = plan_text[arg_start:k]
+                break
+            k += 1
+        if first_arg is not None and (
+            " ASC" in first_arg
+            or " DESC" in first_arg
+            or first_arg.startswith("specifiedwindowframe")
+        ):
+            hits.append(plan_text[j : j + 120])
+        i = j + 1
+    return hits
+
+
+def test_no_registered_query_uses_global_window(spark, sf_dir):
+    """An unpartitioned window is a single task holding the whole
+    relation — every windowed plan must partition (VERDICT r1 #5)."""
+    from hive_plan_service_spark.plans.registry import canonical_queries
+
+    for name, q in canonical_queries().items():
+        if name in _EFFECTFUL:
+            continue
+        plan = q.fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+        assert not _global_windows(plan), f"{name} has an unpartitioned window"
+
+
 def test_global_sort_uses_range_partitioning(spark, sf_dir):
     """A full orderBy must range-partition (sampled bounds), not single-task."""
     from hive_plan_service_spark.sources.catalog import register_tables
