@@ -217,21 +217,23 @@ def minhash_lsh_pairs(
     r = banded.select(
         F.col("doc_id_").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bucket"
     )
-    cand = (
-        l.join(r, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
     est = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
             lambda eq: eq,
         )
     ) / F.lit(float(num_hashes))
+    # estimate + threshold BEFORE the pair dedup: est is a pure function
+    # of the pair (identical across its ≤``bands`` bucket collisions), so
+    # filter-then-dedup ≡ dedup-then-filter — but the dedup shuffle now
+    # carries only above-threshold pairs (Catalyst can't push a filter on
+    # a non-key column below the aggregate itself)
     return (
-        cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= est_threshold)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -294,10 +296,12 @@ def simhash_pairs(
     r = chunks.select(
         F.col("doc_id_").alias("doc_b"), F.col("simhash").alias("sim_b"), "chunk", "val"
     )
+    # Hamming verify BEFORE the pair dedup (pure function of the pair —
+    # identical across its ≤4 chunk collisions): the dedup shuffle then
+    # carries only pairs that already passed the distance filter
     return (
         l.join(r, ["chunk", "val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
         .select(
             "doc_a",
             "doc_b",
@@ -306,6 +310,7 @@ def simhash_pairs(
             ).cast("bigint").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
