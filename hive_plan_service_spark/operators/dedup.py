@@ -110,8 +110,10 @@ def jaccard_verify_pairs(
     txt = docs.select(F.col(id_col), F.col(text_col))
     a = txt.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta"))
     b = txt.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb"))
+    # no broadcast hint: the candidate set is O(near-dups) — usually tiny,
+    # but unbounded in the worst case; AQE broadcasts it only while it fits
     joined = (
-        F.broadcast(pairs).join(a, "doc_a").join(b, "doc_b")
+        pairs.join(a, "doc_a").join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -758,10 +758,20 @@ def b28_ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("B27", "B15"),
 )
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Edge generation runs the scale path (MinHash-LSH candidates +
+    # exact-Jaccard verify), like llm_corpus_clean_pipeline — never the
+    # all-pairs shingle self-join. 32 hashes / 16 bands of 2 rows:
+    # P(miss) = (1 − J²)^16 ≈ 2e-5 at J = 0.7 and 1% for a pair at
+    # exactly the 0.5 threshold; on the fixtures recall is exactly 1
+    # (deterministic xxhash64 seeds), asserted against the all-pairs
+    # truth in tests/test_llm_ops.py. A missed edge can only split a
+    # cluster, so the pytest tie is edge-set equality, the strongest form.
     from hive_plan_service_spark.operators.components import connected_components
 
     register_tables(spark, sf_dir)
-    pairs = dd.jaccard_pairs(spark.table("documents"), threshold=0.5)
+    docs = spark.table("documents")
+    cands = dd.minhash_lsh_pairs(docs, num_hashes=32, bands=16, est_threshold=0.0)
+    pairs = dd.jaccard_verify_pairs(docs, cands, threshold=0.5)
     comps = connected_components(pairs, src="doc_a", dst="doc_b")
     return comps.select(F.col("vertex").alias("doc_id"), "component")
 

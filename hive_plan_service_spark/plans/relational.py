@@ -632,7 +632,11 @@ def b04_join_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     revenue = money("l_extendedprice") * (1 - rate("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # no broadcast hint on customer: it scales with SF (unlike
+        # nation/region), so the build-or-shuffle choice belongs to AQE
+        # runtime stats — at fixture scale it still broadcasts (pinned by
+        # tests/test_plans.py), at 100 TB it degrades safely to SMJ
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("l_orderkey").alias("o_orderkey"),
             F.unix_timestamp("o_orderdate").cast("bigint").alias("orderdate_epoch"),
@@ -687,7 +691,9 @@ def b04_join_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        # dims is customer-sized (SF-proportional) — no hint; AQE
+        # broadcasts while it fits and shuffles beyond that
+        .join(dims, o.o_custkey == dims.c_custkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             dsum(revenue, "revenue"),

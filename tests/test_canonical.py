@@ -12,7 +12,7 @@ import re
 
 import pytest
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, MapType, StructType
+from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 
 from hive_plan_service_spark.plans.registry import (
     CANONICAL,
@@ -58,6 +58,10 @@ def test_canonical_output_is_flat_scalars(spark, sf_dir, name):
         if isinstance(f.dataType, (ArrayType, MapType, StructType))
     ]
     assert not bad, f"{name}: nested columns {bad} would break the driver canonicalizer"
+    # decimals cross the Arrow boundary as Python objects and diverge
+    # from DuckDB's double path — registry invariant: cast to DOUBLE
+    dec = [f.name for f in schema.fields if isinstance(f.dataType, DecimalType)]
+    assert not dec, f"{name}: decimal columns {dec} violate the flat-double invariant"
 
 
 def test_approx_aggregates_track_exact_values(spark, sf_dir):

@@ -52,6 +52,24 @@ def test_lsh_verified_pairs_equal_exact_jaccard(spark, sf_dir):
     assert verified == truth
 
 
+def test_cluster_edge_generation_lsh_equals_exact_at_05(spark, sf_dir):
+    """llm_dedup_clusters' edge input (LSH 32/16 + verify at 0.5) must
+    equal the all-pairs truth — a missing edge would split a component
+    and break the recursive-CTE oracle."""
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    cands = dd.minhash_lsh_pairs(docs, num_hashes=32, bands=16, est_threshold=0.0)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.jaccard_verify_pairs(docs, cands, threshold=0.5).collect()
+    }
+    assert truth and got == truth
+
+
 def test_sequence_packing_shard_equals_global_per_shard(spark, sf_dir):
     """Sharded packing ≡ the global cumsum algorithm applied per shard:
     within a shard, (local pack, offset) must match a single-partition
