@@ -347,3 +347,65 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def centroid_blocked_dup_pairs(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+) -> DataFrame:
+    """Embedding near-dup pairs blocked by nearest centroids (the
+    SemDeDup shape — the open-domain scale path).
+
+    ``embedding_dup_pairs`` is exact within blocks but needs a blocking
+    key; labels don't exist on an open corpus, and a hot block is
+    quadratic. Here each vector is assigned to its ``nprobe`` nearest
+    centroids (broadcast rank, one map pass); a pair is a candidate when
+    any probed bucket is shared, then exact cosine verifies. Candidate
+    cost is ~nprobe·Σ n_b², tuned by K. Recall is regime-dependent:
+    near-identical vectors (the ≥0.95 target regime) share a nearest
+    centroid except at bucket boundaries — multi-probe covers those;
+    for mid-similarity thresholds no geometric blocking is cheap, use
+    the exact blocked form. tests/test_llm_ops.py pins recall = 1 on a
+    synthetic near-identical corpus and the measured fixture floor.
+    """
+    from pyspark.sql import Window as W
+
+    from hive_plan_service_spark.operators.vectors import cosine
+
+    c = centroids.select(
+        F.col("centroid_id").alias("_cid"), F.col(vec_col).alias("_centroid")
+    )
+    scored = embeddings.crossJoin(F.broadcast(c)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_cid"),
+        cosine(F.col(vec_col), F.col("_centroid")).alias("_cos"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("_cid"))
+    assigned = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= nprobe)
+        .select(id_col, vec_col, F.col("_cid").alias("centroid_id"))
+    )
+    a = assigned.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"), "centroid_id"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"), "centroid_id"
+    )
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(F.col("_va"), F.col("_vb")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)  # verify BEFORE pair dedup
+        .dropDuplicates(["vec_a", "vec_b"])
+    )

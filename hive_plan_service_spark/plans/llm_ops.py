@@ -261,6 +261,28 @@ def b27_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# B27 — embedding near-dup, open-domain scale path (SemDeDup shape):
+# multi-probe nearest-centroid blocking + exact cosine verify. Rows-only
+# (engine-hash centroid seeds); recall ties in tests/test_llm_ops.py —
+# 1.0 on a synthetic near-identical corpus (the target regime), measured
+# floor on the mid-similarity fixture.
+# --------------------------------------------------------------------------
+@register(
+    "b27_dedup_embedding_centroid",
+    oracle=None,
+    doc="Centroid-blocked (nprobe=4) embedding near-dup pairs — label-free scale path.",
+    tags=("B27", "B28"),
+)
+def b27_dedup_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    cents = emb.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return dd.centroid_blocked_dup_pairs(emb, cents, threshold=0.35, nprobe=4)
+
+
+# --------------------------------------------------------------------------
 # B28 — brute-force top-k cosine similarity search (oracle-checked).
 # --------------------------------------------------------------------------
 @register(
