@@ -60,6 +60,37 @@ def b22_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# B22 — sliding windows (1h window, 15m slide): every event belongs to 4
+# overlapping windows. Oracle enumerates each event's aligned window
+# starts with generate_series — window [s, s+3600) contains ts iff
+# ts−3600 < s ≤ ts and s ≡ 0 (mod 900).
+# --------------------------------------------------------------------------
+@register(
+    "b22_stream_sliding_window",
+    oracle="""
+      SELECT CAST(u.s AS BIGINT) AS window_start_epoch,
+             e.event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events e,
+      UNNEST(generate_series(
+        (CAST(FLOOR((epoch(e.ts) - 3600) / 900) AS BIGINT) + 1) * 900,
+        CAST(FLOOR(epoch(e.ts) / 900) AS BIGINT) * 900,
+        900)) AS u(s)
+      GROUP BY 1, 2
+    """,
+    doc="Structured Streaming sliding windows (1h/15m) == per-event window enumeration on full replay.",
+    tags=("B22",),
+)
+def b22_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_plan_service_spark.streaming.windows import sliding_window_agg
+
+    register_tables(spark, sf_dir)
+    stream = events_stream(spark, table_path(sf_dir, "events"))
+    return run_to_completion(sliding_window_agg(stream, "1 hour", "15 minutes"))
+
+
+# --------------------------------------------------------------------------
 # B23 — session windows (30 min gap) per user.
 # --------------------------------------------------------------------------
 @register(

@@ -38,6 +38,32 @@ def tumbling_window_agg(
     )
 
 
+def sliding_window_agg(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Sliding event-time windows (B22): each event lands in
+    window/slide overlapping windows; state stays watermark-bounded.
+    Same exact-DECIMAL money rule as the tumbling form.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp("window.start").cast("bigint").alias("window_start_epoch"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
 def session_windows(
     stream: DataFrame,
     gap: str = "30 minutes",
