@@ -60,6 +60,74 @@ def test_bitmask_expansion_matches_python_model(spark, masks):
     assert got == want
 
 
+@settings(max_examples=6, deadline=None)
+@given(
+    lefts=st.lists(st.integers(0, 20), min_size=1, max_size=8),
+    rights=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 100)),
+        min_size=0,
+        max_size=12,
+    ),
+)
+def test_asof_join_matches_python_model_with_dup_ts(spark, lefts, rights):
+    """Backward inclusive as-of with right_seq: for each left ts, the
+    right row with max (ts ≤ left_ts), ties by max seq — against a
+    brute-force model, duplicate timestamps allowed on both sides."""
+    from hive_plan_service_spark.operators.asof import asof_join
+
+    s = _get_spark()
+    t0 = datetime(2024, 1, 1)
+    left = s.createDataFrame(
+        [(i, 1, t0 + timedelta(minutes=ts)) for i, ts in enumerate(lefts)],
+        "lid int, k int, ts timestamp",
+    )
+    right = s.createDataFrame(
+        [(seq, 1, t0 + timedelta(minutes=ts), v) for seq, (ts, v) in enumerate(rights)],
+        "seq int, k int, ts timestamp, v int",
+    ) if rights else s.createDataFrame([], "seq int, k int, ts timestamp, v int")
+    got = {
+        r["lid"]: r["v"]
+        for r in asof_join(
+            left, right, "k", "ts", "ts", ["v"], right_seq="seq"
+        ).collect()
+    }
+    for i, lts in enumerate(lefts):
+        eligible = [
+            (ts, seq, v)
+            for seq, (ts, v) in enumerate(rights)
+            if ts <= lts
+        ]
+        want = max(eligible)[2] if eligible else None
+        assert got[i] == want, (i, lts, eligible)
+
+
+@settings(max_examples=6, deadline=None)
+@given(words=st.lists(st.integers(0, 600), min_size=1, max_size=40))
+def test_sequence_packing_matches_python_model(spark, words):
+    """Sharded packing vs a per-shard Python cumsum model."""
+    s = _get_spark()
+    from hive_plan_service_spark.plans.llm_ops import _pack_sharded
+
+    docs = s.createDataFrame(
+        [(i, " ".join(["w"] * n) if n else "") for i, n in enumerate(words)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["shard"], r["pack_id"], r["pack_offset"], r["n_words"])
+        for r in _pack_sharded(docs).collect()
+    }
+    by_shard: dict[int, list[int]] = {}
+    for i in sorted(range(len(words))):
+        by_shard.setdefault(i % 32, []).append(i)
+    for shard, ids in by_shard.items():
+        before = 0
+        for i in ids:
+            # split(" ") on "" yields [""] — 1 "word", same both engines
+            n = words[i] if words[i] > 0 else 1
+            assert got[i] == (shard, shard * (1 << 40) + before // 512, before % 512, n)
+            before += n
+
+
 _OPS = st.sampled_from(["incr", "decr", "set"])
 
 
