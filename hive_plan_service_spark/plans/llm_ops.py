@@ -700,20 +700,22 @@ def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pack_sharded(spark.table("documents"))
 
 
-def _pack_sharded(docs: DataFrame) -> DataFrame:
+def _pack_sharded(docs: DataFrame, shards: int = 32) -> DataFrame:
     # Sharded cumsum: the window partitions by a deterministic shard key
-    # so the sort is per-shard (32-way parallel, spill-safe) instead of a
-    # single global task. Pack ids are namespaced by shard (shard · 2^40
-    # + local pack) — each shard packs independently, the production
-    # shape for pretraining sample packing. tests/test_llm_ops.py ties
-    # each shard's packing to the global algorithm run on that shard;
-    # tests/test_properties.py checks random inputs against a Python model.
+    # so the sort is per-shard (parallel, spill-safe) instead of a single
+    # global task. Pack ids are namespaced by shard (shard · 2^40 +
+    # local pack) — each shard packs independently, the production shape
+    # for pretraining sample packing; size ``shards`` to the cluster
+    # (the canonical query pins 32 to match its oracle).
+    # tests/test_llm_ops.py ties each shard's packing to the global
+    # algorithm run on that shard; tests/test_properties.py checks
+    # random inputs against a Python model.
     from pyspark.sql import Window as W
 
     t = docs.select(
         "doc_id",
         F.size(tokens("text")).alias("n_words"),
-        (F.col("doc_id") % 32).alias("shard"),
+        (F.col("doc_id") % shards).alias("shard"),
     )
     w = (
         W.partitionBy("shard")
