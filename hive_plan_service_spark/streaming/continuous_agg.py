@@ -63,7 +63,11 @@ class ContinuousHourlyRollup:
         # Day-partitioned (epoch makes partitions append-unique): the
         # touched-day filter below then prunes whole day directories, so
         # per-batch work is O(events in touched days), not O(history).
-        staged = batch_df.withColumn(
+        # stage only the columns the rollup aggregates (ts/type/value) —
+        # the seen-events feed exists to re-aggregate touched buckets,
+        # not to archive the stream; at 100 TB this is the difference
+        # between re-reading 3 columns and the whole event payload
+        staged = batch_df.select("ts", "event_type", "value").withColumn(
             "day_bucket", F.expr("unix_timestamp(ts) div 86400")
         ).withColumn("epoch", F.lit(epoch_id))
         # cluster by day before the partitioned write: one file per
