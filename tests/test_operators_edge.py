@@ -124,6 +124,73 @@ def test_asof_inclusive_vs_strict_ties(spark):
     assert strict[0]["v"] is None  # strictly-earlier required
 
 
+def test_keyed_counter_dup_ts_set_matches_oracle_tiebreak(spark):
+    """Duplicate-timestamp SETs per key: Spark's (ts, event_id) struct-max
+    and the a11 oracle's row_number tie-break must agree — including a
+    delta AT the winning SET's timestamp with a larger event_id (counts)
+    and a smaller one (doesn't)."""
+    import duckdb
+
+    from hive_plan_service_spark.operators.counter import keyed_counter_values
+
+    t0 = datetime(2024, 1, 1, 12)
+    rows = [
+        # user 1: two sets at the SAME ts (ids 2, 4 → id 4 wins, value 50),
+        # an incr at the same ts with id 3 (< 4: ignored) and id 5 (counts)
+        (1, t0, 1, "incr", 1, None),
+        (2, t0, 1, "set", 0, 10),
+        (3, t0, 1, "incr", 1, None),
+        (4, t0, 1, "set", 0, 50),
+        (5, t0, 1, "incr", 1, None),
+        # user 2: never set — pure deltas
+        (6, t0, 2, "incr", 1, None),
+        (7, t0, 2, "decr", -1, None),
+    ]
+    ce = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, op string, "
+        "delta bigint, set_value bigint",
+    )
+    got = {
+        r["user_id"]: r["joined_count"]
+        for r in keyed_counter_values(ce, "user_id").collect()
+    }
+    assert got == {1: 51, 2: 0}
+
+    # the oracle's own tie-break logic on the same log
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ce (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "op VARCHAR, delta BIGINT, set_value BIGINT)"
+    )
+    con.executemany("INSERT INTO ce VALUES (?, ?, ?, ?, ?, ?)", rows)
+    oracle = {
+        int(u): int(v)
+        for u, v in con.execute("""
+            WITH ls AS (
+              SELECT user_id, ts AS ls_ts, event_id AS ls_event_id,
+                     set_value AS ls_value
+              FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+                FROM ce WHERE op = 'set'
+              ) WHERE rn = 1
+            )
+            SELECT c.user_id,
+                   COALESCE(l.ls_value, 0)
+                   + COALESCE(SUM(CASE WHEN c.op <> 'set'
+                                        AND (l.ls_ts IS NULL OR c.ts > l.ls_ts
+                                             OR (c.ts = l.ls_ts
+                                                 AND c.event_id > l.ls_event_id))
+                                   THEN c.delta ELSE 0 END), 0)
+            FROM ce c LEFT JOIN ls l USING (user_id)
+            GROUP BY c.user_id, l.ls_value, l.ls_ts, l.ls_event_id
+        """).fetchall()
+    }
+    con.close()
+    assert oracle == got
+
+
 def test_asof_equal_ts_right_rows_tiebreak_by_seq(spark):
     """Two right updates at the SAME (key, ts): the higher right_seq row
     must win deterministically, in both directions."""
