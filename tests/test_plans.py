@@ -69,6 +69,17 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, "global top-k must not globally sort"
 
 
+def test_per_group_topk_uses_window_group_limit(spark, sf_dir):
+    """rank-filter top-k must run two-phase (WindowGroupLimit partial +
+    final): map tasks keep only k rows per group before the shuffle, so
+    shuffle volume is #partitions × k — not the full scored set."""
+    for name in ("b28_cosine_topk", "b13_topk_per_group", "b29_tfidf_top_terms"):
+        plan = plan_of(spark, sf_dir, name)
+        assert plan.count("WindowGroupLimit") >= 2, (
+            f"{name} lost the partial window-group-limit"
+        )
+
+
 @pytest.mark.parametrize(
     "name",
     ["b09_agg_pricing_summary", "b16_string_functions", "b19_array_functions"],
