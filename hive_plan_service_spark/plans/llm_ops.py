@@ -86,7 +86,7 @@ def b29_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b29_text_quality",
     oracle="""
       WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
       )
       SELECT doc_id,
              CAST(len(list_filter(ws, w -> list_contains(
@@ -94,15 +94,19 @@ def b29_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS stopword_ratio,
              CAST(len(list_filter(ws, w -> len(w) > 6)) AS DOUBLE) / len(ws)
                AS long_word_ratio,
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+               / NULLIF(length(text), 0) AS punct_ratio,
              (len(ws) BETWEEN 20 AND 400) AS length_ok
       FROM t
     """,
-    doc="Quality signals: stopword ratio, long-word ratio, length gate.",
+    doc="Quality signals: stopword ratio, long-word ratio, punctuation ratio, length gate.",
     tags=("B29",),
 )
 def b29_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
-    d = spark.table("documents").select("doc_id", tokens("text").alias("ws"))
+    d = spark.table("documents").select(
+        "doc_id", "text", tokens("text").alias("ws")
+    )
     n = F.size("ws")
     return d.select(
         "doc_id",
@@ -113,6 +117,10 @@ def b29_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.filter(F.col("ws"), lambda w: F.length(w) > 6)).cast("double")
             / n
         ).alias("long_word_ratio"),
+        (
+            F.length(F.regexp_replace("text", "[^.,;:!?]", "")).cast("double")
+            / F.nullif(F.length("text"), F.lit(0))
+        ).alias("punct_ratio"),
         n.between(20, 400).alias("length_ok"),
     )
 
