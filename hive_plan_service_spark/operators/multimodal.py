@@ -68,6 +68,54 @@ def decode_features(multimodal: DataFrame) -> DataFrame:
     return multimodal.mapInPandas(_decode, schema=DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, new_width int, new_height int, "
+    "n_bytes bigint, n_bytes_after bigint"
+)
+
+
+def resize_payloads(multimodal: DataFrame, max_dim: int = 64) -> DataFrame:
+    """'Resize' payloads so the longest side fits ``max_dim`` (1→1 stage).
+
+    STUB codec: a real implementation would decode, ``Image.resize``,
+    re-encode. The stub applies the exact arithmetic a resizer implies —
+    scale = min(1, max_dim / max(w, h)), new dims = floor(dim · scale),
+    payload truncated to floor(n_bytes · scale²) — all IEEE double ops
+    that a SQL oracle reproduces bit-for-bit, so unlike the other stubs
+    this stage is fully oracle-checkable. Upscaling never happens
+    (scale clamps at 1), matching resize-to-fit semantics.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [], "new_width": [],
+                "new_height": [], "n_bytes": [], "n_bytes_after": [],
+            }
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                w, h = int(meta["width"]), int(meta["height"])
+                scale = min(1.0, max_dim / max(w, h))
+                resized = payload[: int(len(payload) * scale * scale)]
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["new_width"].append(int(w * scale))
+                rows["new_height"].append(int(h * scale))
+                rows["n_bytes"].append(len(payload))
+                rows["n_bytes_after"].append(len(resized))
+            yield pd.DataFrame(rows).astype(
+                {
+                    "doc_id": "int64", "width": "int32", "height": "int32",
+                    "new_width": "int32", "new_height": "int32",
+                    "n_bytes": "int64", "n_bytes_after": "int64",
+                }
+            )
+
+    return multimodal.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes int, frame_hash bigint"
 
 

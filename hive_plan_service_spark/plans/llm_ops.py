@@ -626,6 +626,43 @@ def b30_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# B30 — resize-to-fit: the 1→1 multimodal transform. The stub codec's
+# arithmetic (scale = min(1, 64/max(w,h)), floor'd dims, payload cut to
+# floor(n·s·s)) is pure IEEE double math, so this mapInPandas stage is
+# fully oracle-checked — the strongest verification of the Arrow
+# plumbing contract among the B30 stages.
+# --------------------------------------------------------------------------
+@register(
+    "b30_multimodal_resize",
+    oracle="""
+      WITH m AS (
+        SELECT doc_id,
+               CAST(doc_id % 1024 + 16 AS INT) AS width,
+               CAST((doc_id * 7) % 768 + 16 AS INT) AS height,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+      )
+      SELECT doc_id, width, height,
+             CAST(FLOOR(width * LEAST(1.0, 64.0 / GREATEST(width, height)))
+                  AS INT) AS new_width,
+             CAST(FLOOR(height * LEAST(1.0, 64.0 / GREATEST(width, height)))
+                  AS INT) AS new_height,
+             n_bytes,
+             CAST(FLOOR(n_bytes
+                  * LEAST(1.0, 64.0 / GREATEST(width, height))
+                  * LEAST(1.0, 64.0 / GREATEST(width, height)))
+                  AS BIGINT) AS n_bytes_after
+      FROM m
+    """,
+    doc="Resize-to-fit (max side 64) over mapInPandas — stub codec, oracle-exact arithmetic.",
+    tags=("B30", "B26"),
+)
+def b30_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return mm.resize_payloads(mm.attach_binary_payload(spark.table("documents")))
+
+
+# --------------------------------------------------------------------------
 # Training-data prep: fixed-size document chunking with overlap. Chunks
 # of 32 words, stride 24 (8-word overlap) — array-slice algebra, one
 # explode, no Python.
