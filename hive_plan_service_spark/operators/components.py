@@ -41,7 +41,10 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("vertex"))
     )
-    for _ in range(max_iterations):
+    # max_iterations propagation rounds + 1 confirmation round: a graph
+    # of diameter exactly max_iterations converges on the final round
+    # and still needs one changed==0 observation to prove it
+    for _ in range(max_iterations + 1):
         neighbor_min = (
             sym.join(labels, sym.b == labels.vertex)
             .groupBy(F.col("a").alias("vertex"))

@@ -834,17 +834,18 @@ def b28_ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Edge generation runs the scale path (MinHash-LSH candidates +
     # exact-Jaccard verify), like llm_corpus_clean_pipeline — never the
-    # all-pairs shingle self-join. 32 hashes / 16 bands of 2 rows:
-    # P(miss) = (1 − J²)^16 ≈ 2e-5 at J = 0.7 and 1% for a pair at
-    # exactly the 0.5 threshold; on the fixtures recall is exactly 1
-    # (deterministic xxhash64 seeds), asserted against the all-pairs
-    # truth in tests/test_llm_ops.py. A missed edge can only split a
-    # cluster, so the pytest tie is edge-set equality, the strongest form.
+    # all-pairs shingle self-join. Because a missed edge can SPLIT a
+    # component (and this query's oracle is the exact recursive CTE),
+    # the banding is extra wide: 64 hashes / 32 bands of 2 rows →
+    # P(miss) = (1 − J²)^32 ≈ 1e-4 at exactly J = 0.5, 4e-10 at J = 0.7.
+    # On the fixtures recall is exactly 1 (deterministic xxhash64 seeds),
+    # asserted as edge-set EQUALITY against the all-pairs truth in
+    # tests/test_llm_ops.py — the strongest possible tie.
     from hive_plan_service_spark.operators.components import connected_components
 
     register_tables(spark, sf_dir)
     docs = spark.table("documents")
-    cands = dd.minhash_lsh_pairs(docs, num_hashes=32, bands=16, est_threshold=0.0)
+    cands = dd.minhash_lsh_pairs(docs, num_hashes=64, bands=32, est_threshold=0.0)
     pairs = dd.jaccard_verify_pairs(docs, cands, threshold=0.5)
     comps = connected_components(pairs, src="doc_a", dst="doc_b")
     return comps.select(F.col("vertex").alias("doc_id"), "component")

@@ -46,7 +46,7 @@ def _workdir() -> str:
       SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_epoch,
              event_type,
              COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
       FROM events
       GROUP BY 1, 2
     """,
@@ -71,7 +71,7 @@ def b22_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(u.s AS BIGINT) AS window_start_epoch,
              e.event_type,
              COUNT(*) AS n,
-             CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
       FROM events e,
       UNNEST(generate_series(
         (CAST(FLOOR((epoch(e.ts) - 3600) / 900) AS BIGINT) + 1) * 900,
@@ -247,7 +247,7 @@ def b22_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
              event_type,
              COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
       FROM events
       GROUP BY 1, 2
     """,

@@ -107,7 +107,7 @@ def test_centroid_blocked_dup_pairs_recall(spark, sf_dir):
 
 
 def test_cluster_edge_generation_lsh_equals_exact_at_05(spark, sf_dir):
-    """llm_dedup_clusters' edge input (LSH 32/16 + verify at 0.5) must
+    """llm_dedup_clusters' edge input (LSH 64/32 + verify at 0.5) must
     equal the all-pairs truth — a missing edge would split a component
     and break the recursive-CTE oracle."""
     register_tables(spark, sf_dir)
@@ -116,7 +116,7 @@ def test_cluster_edge_generation_lsh_equals_exact_at_05(spark, sf_dir):
         (r["doc_a"], r["doc_b"])
         for r in dd.jaccard_pairs(docs, threshold=0.5).collect()
     }
-    cands = dd.minhash_lsh_pairs(docs, num_hashes=32, bands=16, est_threshold=0.0)
+    cands = dd.minhash_lsh_pairs(docs, num_hashes=64, bands=32, est_threshold=0.0)
     got = {
         (r["doc_a"], r["doc_b"])
         for r in dd.jaccard_verify_pairs(docs, cands, threshold=0.5).collect()

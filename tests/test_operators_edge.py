@@ -124,6 +124,26 @@ def test_asof_inclusive_vs_strict_ties(spark):
     assert strict[0]["v"] is None  # strictly-earlier required
 
 
+def test_connected_components_converges_at_diameter_boundary(spark):
+    """A path graph of diameter == max_iterations must converge (the
+    final propagation round is followed by a confirmation round), and
+    one past the boundary must raise instead of silently splitting."""
+    import pytest as _pytest
+
+    from hive_plan_service_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src bigint, dst bigint"
+    )
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(edges, max_iterations=5).collect()
+    }
+    assert got == {i: 0 for i in range(6)}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=4)
+
+
 def test_keyed_counter_dup_ts_set_matches_oracle_tiebreak(spark):
     """Duplicate-timestamp SETs per key: Spark's (ts, event_id) struct-max
     and the a11 oracle's row_number tie-break must agree — including a
