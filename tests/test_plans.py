@@ -112,8 +112,14 @@ _EFFECTFUL = {
     "b25_stream_refresh_sink",
     "b22_stream_stream_join",
     "b22_stream_dedup",
-    "b15_stream_dedup",
+    "b22_stream_sliding_window",
 }
+
+
+def test_effectful_skip_list_names_are_registered():
+    from hive_plan_service_spark.plans.registry import all_queries
+
+    assert _EFFECTFUL <= set(all_queries())
 
 
 def _global_windows(plan_text: str) -> list[str]:
