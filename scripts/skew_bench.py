@@ -96,6 +96,19 @@ def main() -> None:
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
     results["aqe_skew"] = _run(skewed.join(supp, "l_suppkey"))
 
+    # hot-key AGGREGATION is a non-issue by construction: partial
+    # (map-side) aggregation reduces each partition to one row per key
+    # before the shuffle, so the hot key ships #partitions rows, not 6M.
+    # Timed here as evidence against the uniform-key baseline.
+    t = time.time()
+    skewed.groupBy("l_suppkey").agg(F.count(F.lit(1)), F.sum("l_quantity")).collect()
+    results["agg_skewed_key"] = round(time.time() - t, 3)
+    t = time.time()
+    spark.read.parquet(skew_path).groupBy("l_orderkey").agg(
+        F.count(F.lit(1)), F.sum("l_quantity")
+    ).count()
+    results["agg_uniform_key"] = round(time.time() - t, 3)
+
     # correctness on the skewed input: salted result == plain result
     plain_agg = (
         skewed.join(supp, "l_suppkey")
