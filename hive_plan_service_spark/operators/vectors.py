@@ -95,6 +95,12 @@ def ivf_assign(
 
     argmin is ``min(struct(-cos, centroid_id))`` — one aggregation, ties
     broken by centroid id, no window needed.
+
+    K (centroid count) is a TUNING CONSTANT — fixed or ~√n, chosen for
+    the recall/probe-cost target — never derived linearly from corpus
+    size: assignment is O(n·K) cosines, so n-proportional seeding
+    (fine for tiny fixtures) degrades to O(n²) — measured 115 s vs 12 s
+    at 128k vectors in scripts/ann_probe.py.
     """
     c = centroids.select(
         F.col(centroid_id).alias("_cid"), F.col(vec).alias("_centroid")

@@ -1,0 +1,99 @@
+"""ANN scaling probe: brute-force cosine top-k vs IVF vs hyperplane LSH.
+
+Inflates the embeddings table N× (ids shifted, vectors reused) and times
+the three similarity-search paths for a fixed 5-query batch, recording
+recall@5 of each ANN path against the brute-force truth. The measured
+basis for the engine's claim that the bucketed paths are the corpus-scale
+option: brute force pays #queries × #corpus cosines; IVF pays the probed
+buckets; LSH pays bucket collisions.
+
+Usage: python scripts/ann_probe.py [multipliers...]  (default 1 4 16)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hive_plan_service_spark.operators import vectors as vx  # noqa: E402
+from hive_plan_service_spark.session import get_spark  # noqa: E402
+from hive_plan_service_spark.sources.catalog import register_tables  # noqa: E402
+
+
+def multiplied(spark, mult: int):
+    base = spark.table("embeddings")
+    n = base.count()
+    out = base
+    for i in range(1, mult):
+        out = out.unionByName(
+            base.withColumn("vec_id", F.col("vec_id") + F.lit(i * n))
+        )
+    return out
+
+
+def topk_set(df):
+    return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+def main() -> None:
+    mults = [int(m) for m in sys.argv[1:]] or [1, 4, 16]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="hpss-ann-probe")
+    register_tables(spark, sf_dir)
+    for mult in mults:
+        emb = multiplied(spark, mult)
+        queries = emb.filter(F.col("vec_id") < 50)
+        n = emb.count()
+
+        t0 = time.perf_counter()
+        truth = topk_set(vx.cosine_topk(queries, emb, k=5))
+        t_brute = time.perf_counter() - t0
+
+        # K must be fixed (or ~sqrt(n)), never proportional to n: the
+        # assignment step is O(n x K) cosines, so n-proportional seeding
+        # (e.g. vec_id % 97, fine at fixture scale) degrades to O(n^2/97)
+        # - measured 115 s at 128k vectors before this fix
+        k_centroids = 64
+        cents = emb.filter(
+            F.col("vec_id") % F.lit(max(1, n // k_centroids)) == 0
+        ).select(F.col("vec_id").alias("centroid_id"), "embedding")
+        # index build (one-time, amortized over every later query batch)
+        t0 = time.perf_counter()
+        assigned = vx.ivf_assign(emb, cents).localCheckpoint(eager=True)
+        t_index = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ivf = topk_set(vx.ivf_topk(queries, assigned, cents, k=5, nprobe=2))
+        t_ivf_q = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        lsh = topk_set(vx.lsh_topk(queries, emb, k=5))
+        t_lsh = time.perf_counter() - t0
+
+        print(
+            json.dumps(
+                {
+                    "mult": mult,
+                    "n_vectors": n,
+                    "n_queries": 50,
+                    "brute_sec": round(t_brute, 2),
+                    "ivf_index_sec": round(t_index, 2),
+                    "ivf_query_sec": round(t_ivf_q, 2),
+                    "ivf_recall": round(len(truth & ivf) / len(truth), 3),
+                    "lsh_sec": round(t_lsh, 2),
+                    "lsh_recall": round(len(truth & lsh) / len(truth), 3),
+                }
+            )
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
