@@ -34,7 +34,6 @@ import time
 from typing import Any
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hive_plan_service_spark.operators.bitmask import expand_groups_nested

@@ -12,7 +12,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hive_plan_service_spark.functions.exact import money
 from hive_plan_service_spark.plans.registry import register
 from hive_plan_service_spark.sources.catalog import register_tables
 

@@ -22,7 +22,7 @@ order-insensitive value hash matches bit-for-bit):
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 

@@ -11,7 +11,6 @@ arrival order can be controlled.
 
 from __future__ import annotations
 
-import os
 import tempfile
 import uuid
 

@@ -7,7 +7,7 @@ import time
 
 from pyspark.sql import functions as F
 
-from hive_plan_service_spark.sources.catalog import register_tables, table_path
+from hive_plan_service_spark.sources.catalog import register_tables
 from hive_plan_service_spark.sources.materialize import MaterializedView
 
 

@@ -10,7 +10,6 @@ from datetime import datetime, timedelta
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
-from pyspark.sql import functions as F
 
 from hive_plan_service_spark.operators.bitmask import expand_groups_flat
 from hive_plan_service_spark.operators.counter import current_counter_value
