@@ -99,6 +99,26 @@ def test_asof_join_matches_python_model_with_dup_ts(spark, lefts, rights):
         want = max(eligible)[2] if eligible else None
         assert got[i] == want, (i, lts, eligible)
 
+    fwd = {
+        r["lid"]: r["v"]
+        for r in asof_join(
+            left, right, "k", "ts", "ts", ["v"],
+            direction="forward", right_seq="seq",
+        ).collect()
+    }
+    for i, lts in enumerate(lefts):
+        eligible = [
+            (ts, seq, v)
+            for seq, (ts, v) in enumerate(rights)
+            if ts >= lts
+        ]
+        if eligible:
+            first_ts = min(ts for ts, _, _ in eligible)
+            want = max(t for t in eligible if t[0] == first_ts)[2]
+        else:
+            want = None
+        assert fwd[i] == want, ("forward", i, lts, eligible)
+
 
 @settings(max_examples=6, deadline=None)
 @given(words=st.lists(st.integers(0, 600), min_size=1, max_size=40))
