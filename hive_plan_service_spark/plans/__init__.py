@@ -1,5 +1,6 @@
 """Query inventory — importing this package populates the registry."""
 
+import hive_plan_service_spark.plans.curation_ops  # noqa: F401
 import hive_plan_service_spark.plans.extras  # noqa: F401
 import hive_plan_service_spark.plans.functions_suite  # noqa: F401
 import hive_plan_service_spark.plans.functions_suite2  # noqa: F401

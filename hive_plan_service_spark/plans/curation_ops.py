@@ -1,0 +1,328 @@
+"""Corpus-curation operators: the pre-training data-prep steps that sit
+between raw crawl and tokenizer (C4/Gopher/decontamination lineage).
+
+All four text ops are pure JVM array/string algebra over the
+``documents`` fixture — no Python in any hot path — and each has a
+bit-exact DuckDB oracle. Ratios divide two integers cast to DOUBLE (one
+division, no float accumulation), so cross-engine hashes match exactly.
+
+Scale notes per operator live on the builders; the common rule: every
+join-back side here is corpus-size-proportional, so none carries a
+broadcast hint (CLAUDE.md invariant 9 — AQE decides from runtime stats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_plan_service_spark.plans.registry import register
+from hive_plan_service_spark.sources.catalog import register_tables
+
+#: Non-overlapping segment width (tokens) for boilerplate stripping —
+#: the "line" unit of C4's line-level dedup, re-expressed for corpora
+#: whose documents carry no newline structure.
+SEGMENT_TOKENS = 8
+
+#: A segment present in this many distinct documents (or more) is
+#: treated as corpus boilerplate and removed from every document.
+BOILERPLATE_DF = 3
+
+#: n-gram width for train/eval decontamination (8-grams — the common
+#: published choice for benchmark-overlap filtering).
+DECONTAM_N = 8
+
+
+def _segments(ws: Column) -> Column:
+    """Non-overlapping SEGMENT_TOKENS-wide chunks of a token array.
+
+    ``ceil(n/8)`` chunks; the last may be short. concat_ws skips
+    out-of-range NULLs, mirroring the oracle's list-slice semantics.
+    """
+    n_chunks = (F.size(ws) + F.lit(SEGMENT_TOKENS - 1)) / F.lit(SEGMENT_TOKENS)
+    return F.transform(
+        F.sequence(F.lit(0), F.floor(n_chunks).cast("int") - 1),
+        lambda i: F.concat_ws(
+            " ",
+            *[
+                # try_: the tail chunk reads past the array end (ANSI
+                # element_at throws); NULLs are skipped like the oracle's
+                # out-of-range list slice.
+                F.try_element_at(ws, i * SEGMENT_TOKENS + k + 1)
+                for k in range(SEGMENT_TOKENS)
+            ],
+        ),
+    )
+
+
+def _ngrams_all(ws: Column, n: int) -> Column:
+    """ALL word n-grams (duplicates kept — repetition ratio needs them)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + k + 1) for k in range(n)]),
+    )
+
+
+# --------------------------------------------------------------------------
+# Boilerplate stripping — corpus-frequent segment removal (C4 line dedup).
+# --------------------------------------------------------------------------
+@register(
+    "llm_boilerplate_strip",
+    oracle=f"""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      ),
+      segs AS (
+        SELECT doc_id, u.pos, u.seg
+        FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(0, (len(ws)+{SEGMENT_TOKENS - 1})//{SEGMENT_TOKENS}),
+                   i -> {{'pos': i,
+                          'seg': array_to_string(ws[i*{SEGMENT_TOKENS}+1:i*{SEGMENT_TOKENS}+{SEGMENT_TOKENS}], ' ')}})) AS u
+          FROM t
+        )
+      ),
+      df AS (
+        SELECT seg, count(DISTINCT doc_id) AS doc_freq FROM segs GROUP BY seg
+      ),
+      kept AS (
+        SELECT s.doc_id,
+               string_agg(s.seg, ' ' ORDER BY s.pos) AS clean_text,
+               count(*) AS n_kept
+        FROM segs s JOIN df USING (seg)
+        WHERE df.doc_freq < {BOILERPLATE_DF}
+        GROUP BY s.doc_id
+      ),
+      totals AS (
+        SELECT doc_id, count(*) AS n_total FROM segs GROUP BY doc_id
+      )
+      SELECT t.doc_id,
+             coalesce(k.clean_text, '') AS clean_text,
+             CAST(t.n_total - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+      FROM totals t LEFT JOIN kept k USING (doc_id)
+    """,
+    doc="C4-style boilerplate removal: segments appearing in ≥3 docs stripped.",
+    tags=("B29", "llm"),
+)
+def llm_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove corpus-frequent text segments from every document.
+
+    Shape (the honest C4 line-dedup plan): posexplode segments →
+    map-side-combined ``count(distinct doc)`` per segment → shuffle join
+    back on segment → filter survivors → per-doc ordered re-assembly.
+    Documents whose every segment is boilerplate survive with empty
+    ``clean_text`` (left join + coalesce — the groupBy would drop them).
+    At 100 TB the segment-frequency side is corpus-proportional: no
+    broadcast hint; the join and both groupBys shuffle on their natural
+    keys and AQE coalesces.
+    """
+    register_tables(spark, sf_dir)
+    d = spark.table("documents").select(
+        "doc_id", _segments(F.split("text", " ")).alias("segs")
+    )
+    segs = d.select("doc_id", F.posexplode("segs").alias("pos", "seg"))
+    doc_freq = segs.groupBy("seg").agg(
+        F.countDistinct("doc_id").alias("doc_freq")
+    )
+    kept = (
+        segs.join(doc_freq, "seg")
+        .filter(F.col("doc_freq") < BOILERPLATE_DF)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    totals = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        (F.col("n_total") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Train/eval decontamination — benchmark n-gram overlap filtering.
+# --------------------------------------------------------------------------
+@register(
+    "llm_decontaminate_ngram",
+    oracle=f"""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      ),
+      s AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(0, greatest(len(ws)-{DECONTAM_N}, 0)+1),
+                 i -> array_to_string(ws[i+1:i+{DECONTAM_N}], ' ')))) AS sh
+        FROM t
+      )
+      SELECT tr.doc_id, CAST(count(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs
+      FROM s tr JOIN s ev ON tr.sh = ev.sh
+      WHERE tr.doc_id % 10 != 0 AND ev.doc_id % 10 = 0
+      GROUP BY tr.doc_id
+    """,
+    doc="Training docs sharing any 8-gram with the eval split (doc_id%10=0).",
+    tags=("B29", "llm"),
+)
+def llm_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training documents contaminated by eval-set 8-grams.
+
+    The published benchmark-decontamination recipe: any training doc
+    sharing an 8-gram with an eval doc is flagged (with how many eval
+    docs it hits). Shape: distinct-shingle explode on both splits, one
+    equi-join on the shingle, map-side-combined count-distinct. At 100 TB
+    the join key would be ``xxhash64(shingle)`` (8 bytes instead of ~50);
+    the string key here keeps the oracle engine-portable — membership is
+    identical, only shuffle width differs. Eval side is SF-proportional:
+    no broadcast hint.
+    """
+    register_tables(spark, sf_dir)
+    d = spark.table("documents").select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(_ngrams_all(F.split("text", " "), DECONTAM_N))
+        ).alias("sh"),
+    )
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    ev = d.filter(F.col("doc_id") % 10 == 0).withColumnRenamed(
+        "doc_id", "eval_doc_id"
+    )
+    return (
+        train.join(ev, "sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("eval_doc_id").cast("bigint").alias("n_eval_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Text normalization — lowercase, digit masking, whitespace collapse.
+# --------------------------------------------------------------------------
+@register(
+    "llm_text_normalize",
+    oracle="""
+      WITH t AS (
+        SELECT doc_id, concat(text, ' ', source) AS raw FROM documents
+      )
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(raw), '[0-9]+', '<num>', 'g'),
+                  ' +', ' ', 'g')) AS norm_text,
+             CAST(len(regexp_extract_all(raw, '[0-9]+')) AS BIGINT) AS n_masked
+      FROM t
+    """,
+    doc="Pre-tokenizer normalization: lowercase, digit-run masking, space collapse.",
+    tags=("B29", "llm"),
+)
+def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard pre-tokenizer text normalization, fully codegen'd.
+
+    Applied to ``text || ' ' || source`` so the digit-masking branch does
+    real work on this fixture (sources are ``srcN``). Three regex passes
+    and a trim — all JVM ``regexp_replace``, one narrow projection, no
+    shuffle at all: the plan is a single WholeStageCodegen over the scan.
+    """
+    register_tables(spark, sf_dir)
+    raw = F.concat(F.col("text"), F.lit(" "), F.col("source"))
+    return spark.table("documents").select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(raw), "[0-9]+", "<num>"), " +", " "
+            )
+        ).alias("norm_text"),
+        F.regexp_count(raw, F.lit("[0-9]+")).cast("bigint").alias("n_masked"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition ratio — Gopher-style within-doc duplicate n-gram fraction.
+# --------------------------------------------------------------------------
+@register(
+    "llm_repetition_ratio",
+    oracle="""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      ),
+      g AS (
+        SELECT doc_id,
+               list_transform(range(0, greatest(len(ws)-3, 0)+1),
+                 i -> array_to_string(ws[i+1:i+3], ' ')) AS grams
+        FROM t
+      )
+      SELECT doc_id,
+             1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+               AS rep_ratio,
+             (1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)) > 0.2
+               AS repetitive
+      FROM g
+    """,
+    doc="Gopher repetition signal: fraction of duplicate 3-grams per doc.",
+    tags=("B29", "llm"),
+)
+def llm_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition: 1 − distinct/total 3-grams.
+
+    Pure array algebra on the token array in place (no explode — the
+    grams never leave their row), one projection, no shuffle. The ratio
+    is a single integer division cast to DOUBLE, bit-exact cross-engine.
+    """
+    register_tables(spark, sf_dir)
+    grams = _ngrams_all(F.split("text", " "), 3)
+    d = spark.table("documents").select("doc_id", grams.alias("grams"))
+    ratio = 1.0 - F.size(F.array_distinct("grams")).cast("double") / F.size("grams")
+    return d.select(
+        "doc_id",
+        ratio.alias("rep_ratio"),
+        (ratio > 0.2).alias("repetitive"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B13 — deterministic per-group subsampling via hash rank.
+# --------------------------------------------------------------------------
+@register(
+    "b13_hash_sample_per_group",
+    oracle="""
+      SELECT o_orderkey, o_orderpriority
+      FROM (
+        SELECT o_orderkey, o_orderpriority,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY md5(CAST(o_orderkey AS VARCHAR))) AS rk
+        FROM orders
+      ) WHERE rk <= 20
+    """,
+    doc="Deterministic k-per-group sample: md5-rank top-20 per order priority.",
+    tags=("B13",),
+)
+def b13_hash_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seedless, engine-portable stratified subsample: rank rows inside
+    each stratum by ``md5(key)`` and keep the first k.
+
+    Unlike ``df.sample`` this is exactly reproducible across engines,
+    partitionings and retries (the training-mix property you actually
+    want), and the rank filter compiles to WindowGroupLimit — per-group
+    top-k with partial pushdown, never a global sort. One shuffle on the
+    stratum key.
+    """
+    register_tables(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string"))
+    )
+    return (
+        spark.table("orders")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 20)
+        .drop("rk")
+    )
