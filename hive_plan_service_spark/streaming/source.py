@@ -16,18 +16,21 @@ from pyspark.sql import types as T
 
 from hive_plan_service_spark.session import tune
 
-#: File schema of the events parquet — ``ts`` arrives as BIGINT nanos
-#: (TIMESTAMP(NANOS) under nanosAsLong, see sources/catalog.py).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    """File schema of the events parquet; ``ts`` arrives either as a real
+    TIMESTAMP (µs fixtures) or as BIGINT nanos (TIMESTAMP(NANOS) fixtures
+    under nanosAsLong, see sources/catalog.py) — both generations of the
+    driver's testdata exist in the wild, so the reader adapts."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def events_stream(
@@ -38,11 +41,21 @@ def events_stream(
     ``max_files_per_trigger=1`` turns a multi-file directory into an
     ordered sequence of micro-batches — how the watermark tests replay
     late data.
+
+    The file source needs the schema up front; a one-time driver-side
+    footer read (batch ``spark.read``) decides whether ``ts`` is stored
+    as BIGINT nanos or a real timestamp. That sniff reads metadata only —
+    no data scan — and production queue sources declare their schema
+    explicitly anyway.
     """
     import os
 
     tune(spark)
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    on_disk = dict(spark.read.parquet(path).dtypes).get("ts", "bigint")
+    ts_is_long = on_disk == "bigint"
+    reader = spark.readStream.schema(
+        _events_schema(T.LongType() if ts_is_long else T.TimestampType())
+    )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if os.path.isfile(path):
@@ -51,4 +64,7 @@ def events_stream(
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        # integer-divide nanos → µs (exact) before exposing a timestamp
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw

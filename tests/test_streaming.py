@@ -22,6 +22,27 @@ from hive_plan_service_spark.streaming.windows import (
 )
 
 
+def _events(spark, path):
+    """Events parquet with ``ts`` normalized to a real timestamp.
+
+    Handles both fixture generations: BIGINT nanos (TIMESTAMP(NANOS)
+    under nanosAsLong) and native timestamp[µs].
+    """
+    ev = spark.read.parquet(str(path))
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # µs fixtures surface as TIMESTAMP_NTZ; session tz is UTC so the cast
+    # is wall-clock-identical and unlocks unix_micros/unix_timestamp
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _median_us(ev):
+    """Median event time as epoch microseconds (engine-side, tz-proof)."""
+    return ev.agg(
+        F.expr("CAST(percentile_approx(unix_micros(ts), 0.5) AS BIGINT)")
+    ).collect()[0][0]
+
+
 def test_append_mode_watermark_guarantees(spark, sf_dir, tmp_path):
     """Append-mode guarantees under out-of-order arrival.
 
@@ -36,18 +57,18 @@ def test_append_mode_watermark_guarantees(spark, sf_dir, tmp_path):
        its counts match the batch ground truth.
     """
     register_tables(spark, sf_dir)
-    ev = spark.read.parquet(table_path(sf_dir, "events"))
-    mid = ev.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    ev = _events(spark, table_path(sf_dir, "events"))
+    mid_us = _median_us(ev)
 
     feed = tmp_path / "feed"
     os.makedirs(feed)
     # recent half arrives FIRST → watermark advances past the old half
-    ev.filter(F.col("ts") >= mid).coalesce(1).write.mode("overwrite").parquet(
-        str(tmp_path / "recent")
-    )
-    ev.filter(F.col("ts") < mid).coalesce(1).write.mode("overwrite").parquet(
-        str(tmp_path / "old")
-    )
+    ev.filter(F.unix_micros(F.col("ts")) >= mid_us).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "recent"))
+    ev.filter(F.unix_micros(F.col("ts")) < mid_us).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "old"))
 
     def _move(src: str, name: str) -> None:
         part = next(
@@ -65,21 +86,24 @@ def test_append_mode_watermark_guarantees(spark, sf_dir, tmp_path):
         output_mode="append",
     )
     full_df = (
-        spark.read.parquet(str(feed))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _events(spark, feed)
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("ws"),
+            "event_type",
+            "n",
+        )
     )
     full = {
-        (int(r["window"]["start"].timestamp()), r["event_type"]): r["n"]
-        for r in full_df.collect()
+        (r["ws"], r["event_type"]): r["n"] for r in full_df.collect()
     }
     got = {
         (r["window_start_epoch"], r["event_type"]): r["n"]
         for r in appended.collect()
     }
-    max_ts_ns = ev.agg(F.max("ts")).collect()[0][0]
-    final_wm = max_ts_ns // 1_000_000_000 - 3600  # max event time − delay
+    max_us = ev.agg(F.max(F.unix_micros(F.col("ts")))).collect()[0][0]
+    final_wm = max_us // 1_000_000 - 3600  # max event time − delay
 
     # (1) open windows (end > final watermark) are withheld
     withheld = {k for k in got if k[0] + 3600 > final_wm}
@@ -88,7 +112,7 @@ def test_append_mode_watermark_guarantees(spark, sf_dir, tmp_path):
     for k, n in got.items():
         assert full[k] == n
     # (3) every closed recent-half window was emitted (never-drop direction)
-    mid_epoch = mid // 1_000_000_000
+    mid_epoch = mid_us // 1_000_000
     expected_recent = {
         k for k in full if k[0] >= mid_epoch + 3600 and k[0] + 3600 <= final_wm
     }
@@ -98,17 +122,17 @@ def test_append_mode_watermark_guarantees(spark, sf_dir, tmp_path):
 def test_stream_batch_equivalence_multi_batch(spark, sf_dir, tmp_path):
     """In-order multi-batch replay with a generous watermark loses nothing."""
     register_tables(spark, sf_dir)
-    ev = spark.read.parquet(table_path(sf_dir, "events"))
-    mid = ev.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    ev = _events(spark, table_path(sf_dir, "events"))
+    mid_us = _median_us(ev)
 
     feed = tmp_path / "feed2"
     os.makedirs(feed)
-    ev.filter(F.col("ts") < mid).coalesce(1).write.mode("overwrite").parquet(
-        str(tmp_path / "b0")
-    )
-    ev.filter(F.col("ts") >= mid).coalesce(1).write.mode("overwrite").parquet(
-        str(tmp_path / "b1")
-    )
+    ev.filter(F.unix_micros(F.col("ts")) < mid_us).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "b0"))
+    ev.filter(F.unix_micros(F.col("ts")) >= mid_us).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "b1"))
     for i, src in enumerate(["b0", "b1"]):
         part = next(
             p for p in os.listdir(tmp_path / src) if p.endswith(".parquet")
@@ -122,19 +146,20 @@ def test_stream_batch_equivalence_multi_batch(spark, sf_dir, tmp_path):
         output_mode="complete",
     )
     batch = (
-        spark.read.parquet(str(feed))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _events(spark, feed)
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("ws"),
+            "event_type",
+            "n",
+        )
     )
     s = {
         (r["window_start_epoch"], r["event_type"]): r["n"]
         for r in streamed.collect()
     }
-    b = {
-        (int(r["window"]["start"].timestamp()), r["event_type"]): r["n"]
-        for r in batch.collect()
-    }
+    b = {(r["ws"], r["event_type"]): r["n"] for r in batch.collect()}
     assert s == b
 
 
@@ -148,11 +173,12 @@ def test_continuous_rollup_incremental_equals_full(spark, sf_dir, tmp_path):
     )
 
     register_tables(spark, sf_dir)
-    ev = spark.read.parquet(table_path(sf_dir, "events"))
-    mid = ev.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    ev = _events(spark, table_path(sf_dir, "events"))
+    mid_us = _median_us(ev)
     feed = tmp_path / "feed_rollup"
     os.makedirs(feed)
-    for i, cond in enumerate([F.col("ts") < mid, F.col("ts") >= mid]):
+    ts_us = F.unix_micros(F.col("ts"))
+    for i, cond in enumerate([ts_us < mid_us, ts_us >= mid_us]):
         ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(
             str(tmp_path / f"half{i}")
         )
@@ -171,8 +197,7 @@ def test_continuous_rollup_incremental_equals_full(spark, sf_dir, tmp_path):
         for r in rollup.collect()
     }
     full = (
-        spark.read.parquet(str(feed))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _events(spark, feed)
         .withColumn("hour_bucket", F.expr("unix_timestamp(ts) div 3600"))
         .groupBy("hour_bucket", "event_type")
         .agg(
@@ -189,16 +214,16 @@ def test_continuous_rollup_incremental_equals_full(spark, sf_dir, tmp_path):
     # incremental means incremental: batch 2 must re-aggregate only the
     # events of ITS touched days (incl. batch-1 rows on the boundary day),
     # never the whole history
-    evr = spark.read.parquet(str(feed)).withColumn(
-        "day_bucket", F.expr("(ts div 1000000000) div 86400")  # raw nanos → day
+    evr = _events(spark, feed).withColumn(
+        "day_bucket", F.expr("unix_timestamp(ts) div 86400")  # same bucketing as the maintainer
     )
     second_days = [
         r["day_bucket"]
-        for r in evr.filter(F.col("ts") >= mid).select("day_bucket").distinct().collect()
+        for r in evr.filter(ts_us >= mid_us).select("day_bucket").distinct().collect()
     ]
     expected_batch2 = evr.filter(F.col("day_bucket").isin(second_days)).count()
     assert maintainer.batch_input_rows == [
-        evr.filter(F.col("ts") < mid).count(),
+        evr.filter(ts_us < mid_us).count(),
         expected_batch2,
     ]
     assert expected_batch2 < evr.count()
