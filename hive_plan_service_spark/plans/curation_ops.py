@@ -326,3 +326,126 @@ def b13_hash_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .drop("rk")
     )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing — regex redaction of emails / phone numbers.
+# --------------------------------------------------------------------------
+#: Same regex dialect subset (RE2 ∩ java.util.regex) on both engines.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+
+
+@register(
+    "llm_pii_scrub",
+    oracle=f"""
+      WITH t AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com or call 555-'
+                    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                    || '-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+        FROM documents
+      )
+      SELECT doc_id,
+             regexp_replace(regexp_replace(raw, '{EMAIL_RE}', '<email>', 'g'),
+                            '{PHONE_RE}', '<phone>', 'g') AS scrubbed,
+             CAST(len(regexp_extract_all(raw, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(raw, '{PHONE_RE}')) AS BIGINT) AS n_phones
+      FROM t
+    """,
+    doc="Regex PII redaction (emails, phone numbers) with per-doc match counts.",
+    tags=("B29", "llm"),
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails and phone numbers from document text.
+
+    The fixture corpus carries no organic PII, so each doc gets a
+    deterministic doc_id-derived email + phone appended before scrubbing
+    — the redaction branch is exercised on every row, and the oracle
+    builds the identical string. Two JVM ``regexp_replace`` passes and
+    two ``regexp_count``s over one projection: no shuffle, whole plan in
+    a single codegen stage — at 100 TB this runs at scan speed.
+    """
+    register_tables(spark, sf_dir)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return spark.table("documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(raw, EMAIL_RE, "<email>"), PHONE_RE, "<phone>"
+        ).alias("scrubbed"),
+        F.regexp_count(raw, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(raw, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Domain-mix reweighting — per-source token shares and balance weights.
+# --------------------------------------------------------------------------
+@register(
+    "llm_domain_mix",
+    oracle="""
+      WITH per_src AS (
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(len(string_split(text, ' '))) AS n_tokens
+        FROM documents GROUP BY source
+      ),
+      tot AS (
+        SELECT COUNT(*) AS n_sources, SUM(n_tokens) AS corpus_tokens
+        FROM per_src
+      )
+      SELECT source,
+             n_docs,
+             CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(n_tokens AS DOUBLE) / corpus_tokens AS token_share,
+             CAST(corpus_tokens AS DOUBLE) / (n_sources * n_tokens)
+               AS balance_weight
+      FROM per_src, tot
+    """,
+    doc="Training-mix accounting: per-source token share + uniform-target resample weight.",
+    tags=("B29", "llm"),
+)
+def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus accounting for training-mixture design.
+
+    ``balance_weight`` is the per-doc sampling multiplier that equalizes
+    the token mass across sources (uniform target). Shape: one
+    map-side-combined aggregate per source, then the per-source rows
+    cross-joined with a broadcast 1-row corpus total (same pattern that
+    replaced tfidf's ``docs.count()`` action — zero driver-side jobs).
+    Ratios are single BIGINT→DOUBLE divisions, bit-exact cross-engine.
+    """
+    register_tables(spark, sf_dir)
+    per_src = (
+        spark.table("documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        )
+    )
+    totals = per_src.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("n_tokens").alias("corpus_tokens"),
+    )
+    return per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.col("n_tokens").cast("double") / F.col("corpus_tokens")).alias(
+            "token_share"
+        ),
+        (
+            F.col("corpus_tokens").cast("double")
+            / (F.col("n_sources") * F.col("n_tokens"))
+        ).alias("balance_weight"),
+    )

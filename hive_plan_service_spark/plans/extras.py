@@ -493,3 +493,54 @@ def b13_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("o_orderkey", "o_totalprice")
     )
+
+
+# --------------------------------------------------------------------------
+# B25 — SCD2 dimension build: turn a change-event stream into
+# validity-interval dimension rows (the warehouse upsert pattern the
+# reference's cache refresh approximates with last-writer-wins).
+# --------------------------------------------------------------------------
+@register(
+    "b25_scd2_dimension",
+    oracle="""
+      SELECT user_id,
+             CAST(row_number() OVER w AS BIGINT) AS version,
+             epoch_us(ts) AS valid_from_us,
+             epoch_us(lead(ts) OVER w) AS valid_to_us,
+             (lead(ts) OVER w IS NULL) AS is_current,
+             CAST(FLOOR(value) AS BIGINT) AS tier_value
+      FROM events
+      WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="SCD2 intervals from change events: lead() closes each version; open tail = current.",
+    tags=("B25", "B12"),
+)
+def b25_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from the event log.
+
+    Each purchase event opens a new version of the user's row;
+    ``lead(ts)`` over (user, time) closes the previous one. One shuffle
+    on the natural key, per-key windows only (invariant 12) — at 100 TB
+    this is the standard dimension-maintenance shape: partition by
+    entity, order by change time, no global coordination. Timestamps
+    leave as epoch µs BIGINT (registry determinism rules); ``(ts,
+    event_id)`` ordering pins duplicate-timestamp changes.
+    """
+    from pyspark.sql import Window
+
+    register_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        spark.table("events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.row_number().over(w).cast("bigint").alias("version"),
+            ts_us.alias("valid_from_us"),
+            F.lead(ts_us).over(w).alias("valid_to_us"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+            F.floor("value").cast("bigint").alias("tier_value"),
+        )
+    )

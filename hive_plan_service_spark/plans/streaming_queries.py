@@ -300,3 +300,43 @@ def b22_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_unique"))
     )
     return run_to_completion(deduped, output_mode="complete")
+
+
+# --------------------------------------------------------------------------
+# B22 — stream-static join: enrich the event stream with a batch
+# dimension table. Spark re-plans the static side per micro-batch, so
+# the dimension may be updated between batches without restarting the
+# stream — the streaming analog of the reference's cache lookup (A4).
+# --------------------------------------------------------------------------
+@register(
+    "b22_stream_static_join",
+    oracle="""
+      SELECT c.c_mktsegment,
+             COUNT(*) AS n_purchases,
+             CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+               AS total_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1
+    """,
+    doc="Stream-static enrichment join == batch join+aggregate on full replay.",
+    tags=("B22", "B4"),
+)
+def b22_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from hive_plan_service_spark.functions.exact import money
+
+    register_tables(spark, sf_dir)
+    # static side: SF-proportional dimension — no broadcast hint (CLAUDE.md
+    # invariant 9); each micro-batch plans the join from current stats
+    dim = spark.table("customer").select("c_custkey", "c_mktsegment")
+    stream = events_stream(spark, table_path(sf_dir, "events")).filter(
+        F.col("event_type") == "purchase"
+    )
+    enriched = stream.join(dim, stream.user_id == dim.c_custkey, "inner")
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(money("value")).cast("double").alias("total_value"),
+    )
+    return run_to_completion(agg, output_mode="complete")
