@@ -449,3 +449,129 @@ def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_sources") * F.col("n_tokens"))
         ).alias("balance_weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# First-occurrence line dedup — corpus-global "keep the first copy".
+# --------------------------------------------------------------------------
+@register(
+    "llm_line_dedup_first",
+    oracle=f"""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      ),
+      segs AS (
+        SELECT doc_id, u.pos, u.seg
+        FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(0, (len(ws)+{SEGMENT_TOKENS - 1})//{SEGMENT_TOKENS}),
+                   i -> {{'pos': i,
+                          'seg': array_to_string(ws[i*{SEGMENT_TOKENS}+1:i*{SEGMENT_TOKENS}+{SEGMENT_TOKENS}], ' ')}})) AS u
+          FROM t
+        )
+      ),
+      ranked AS (
+        SELECT doc_id, pos, seg,
+               row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rk
+        FROM segs
+      ),
+      kept AS (
+        SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+               count(*) AS n_kept
+        FROM ranked WHERE rk = 1 GROUP BY doc_id
+      ),
+      totals AS (
+        SELECT doc_id, count(*) AS n_total FROM segs GROUP BY doc_id
+      )
+      SELECT t.doc_id,
+             coalesce(k.clean_text, '') AS clean_text,
+             CAST(t.n_total - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+      FROM totals t LEFT JOIN kept k USING (doc_id)
+    """,
+    doc="C4 first-occurrence dedup: only the corpus-first copy of each segment survives.",
+    tags=("B29", "llm"),
+)
+def llm_line_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global first-occurrence segment dedup (the exact C4 rule:
+    later copies of a repeated line are removed, the first survives).
+
+    Complements ``llm_boilerplate_strip`` (which drops ALL copies of
+    high-frequency segments). Shape: posexplode → one shuffle on the
+    segment (window, not self-join — rank inside each segment's
+    occurrence list) → filter rank 1 → per-doc ordered re-assembly.
+    (doc_id, pos) ordering makes "first" deterministic at any
+    parallelism. Windows are per-segment (never global); docs whose
+    every segment already appeared elsewhere survive with empty text.
+    """
+    register_tables(spark, sf_dir)
+    d = spark.table("documents").select(
+        "doc_id", _segments(F.split("text", " ")).alias("segs")
+    )
+    segs = d.select("doc_id", F.posexplode("segs").alias("pos", "seg"))
+    w = Window.partitionBy("seg").orderBy("doc_id", "pos")
+    kept = (
+        segs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    totals = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        (F.col("n_total") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Train/val/test split — hash-threshold assignment, engine-portable.
+# --------------------------------------------------------------------------
+#: Hex-string thresholds over md5's first two chars: uniform digest →
+#: P(md5 < 'e6') = 230/256 ≈ 0.898, P(md5 < 'f3') = 243/256 ≈ 0.949.
+SPLIT_TRAIN_LT = "e6"
+SPLIT_VAL_LT = "f3"
+
+
+@register(
+    "llm_train_test_split",
+    oracle=f"""
+      SELECT doc_id, lang,
+             CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{SPLIT_TRAIN_LT}' THEN 'train'
+                  WHEN md5(CAST(doc_id AS VARCHAR)) < '{SPLIT_VAL_LT}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    """,
+    doc="Deterministic ~90/5/5 split by md5 hex threshold on the doc key.",
+    tags=("B13", "llm"),
+)
+def llm_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each document to train/val/test by hashing its key.
+
+    The property a training pipeline needs: the split is a pure function
+    of the key — stable across runs, partitionings, engines, and corpus
+    growth (a doc never migrates between splits when new data arrives).
+    md5-hex thresholds sidestep engine-specific int hashing; the
+    lexicographic compare on a uniform digest gives ~90/5/5. Pure
+    projection, no shuffle.
+    """
+    register_tables(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string"))
+    return spark.table("documents").select(
+        "doc_id",
+        "lang",
+        F.when(h < SPLIT_TRAIN_LT, "train")
+        .when(h < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -292,3 +292,28 @@ def test_asof_join_matches_pandas_merge_asof(spark, sf_dir):
             for r in want_df.itertuples()
         }
         assert got == want, f"direction={direction}"
+
+
+def test_scd2_intervals_are_contiguous_and_single_current(spark, sf_dir):
+    """Structural SCD2 invariants the oracle can't express directly:
+    per key, versions tile the timeline (each valid_to equals the next
+    valid_from), intervals never overlap, and exactly one row is open."""
+    from hive_plan_service_spark.plans.registry import all_queries
+
+    rows = (
+        all_queries()["b25_scd2_dimension"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user, "fixture produced no purchase events"
+    for user, vs in by_user.items():
+        vs.sort(key=lambda r: r["version"])
+        assert [v["version"] for v in vs] == list(range(1, len(vs) + 1))
+        assert sum(1 for v in vs if v["is_current"]) == 1
+        assert vs[-1]["is_current"] and vs[-1]["valid_to_us"] is None
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"], user
+            assert a["valid_from_us"] < a["valid_to_us"], user
