@@ -544,3 +544,53 @@ def b25_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor("value").cast("bigint").alias("tier_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B2/B4 — bloom pre-filtered join: fact rows that can't match are cut
+# BEFORE the join shuffle; the final result stays exact (oracle-checked).
+# --------------------------------------------------------------------------
+@register(
+    "b02_bloom_prefilter_join",
+    oracle="""
+      SELECT e.event_type,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+               AS total_value
+      FROM events e
+      JOIN customer c
+        ON e.user_id = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+      GROUP BY 1
+    """,
+    doc="Explicit bloom runtime filter ahead of the join shuffle; exact result.",
+    tags=("B2", "B4"),
+)
+def b02_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join events to BUILDING-segment customers with a bloom pre-filter.
+
+    The dim side builds a fixed-width position-set filter (1-row
+    broadcast, size bounded by the filter width m — not by |dim|, so the
+    hint is legal at any SF); the fact scan drops non-members before the
+    exchange. At 100 TB this is the difference between shuffling every
+    event and shuffling only the ~segment-fraction that can join. The
+    subsequent equi-join re-verifies exactly, so bloom false positives
+    never reach the output — which is why a DuckDB oracle (plain join)
+    can check an approximate-structure plan.
+    """
+    from hive_plan_service_spark.operators.bloom import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    register_tables(spark, sf_dir)
+    dim = spark.table("customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    bits = bloom_build(dim, "c_custkey")
+    fact = bloom_prefilter(spark.table("events"), "user_id", bits)
+    # dim is SF-proportional: no broadcast hint on the join itself (AQE)
+    joined = fact.join(dim, fact.user_id == dim.c_custkey, "inner")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(money("value")).cast("double").alias("total_value"),
+    )

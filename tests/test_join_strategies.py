@@ -64,3 +64,42 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     s = salted.agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))).collect()[0][0]
     p = plain.agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))).collect()[0][0]
     assert s == p
+
+
+def test_bloom_prefilter_superset_and_fp_bound(spark, sf_dir):
+    """Bloom pass-set ⊇ true match set (no false negatives), false-positive
+    rate within ~3× the analytic bound, and probe stays JVM-side."""
+    import math
+
+    from hive_plan_service_spark.operators.bloom import (
+        DEFAULT_K,
+        DEFAULT_M,
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    register_tables(spark, sf_dir)
+    dim = spark.table("customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    n_keys = dim.count()
+    fact = spark.table("events").select("event_id", "user_id")
+    bits = bloom_build(dim, "c_custkey")
+    passed = bloom_prefilter(fact, "user_id", bits)
+
+    true_ids = {
+        r["event_id"]
+        for r in fact.join(
+            dim, fact.user_id == dim.c_custkey, "left_semi"
+        ).collect()
+    }
+    passed_ids = {r["event_id"] for r in passed.collect()}
+    assert true_ids <= passed_ids, "bloom dropped a genuine match"
+
+    n_fact = fact.count()
+    n_true = len(true_ids)
+    fp_rate_bound = (1 - math.exp(-DEFAULT_K * n_keys / DEFAULT_M)) ** DEFAULT_K
+    observed_fp = (len(passed_ids) - n_true) / max(n_fact - n_true, 1)
+    assert observed_fp <= 3 * fp_rate_bound + 0.01, (observed_fp, fp_rate_bound)
+
+    assert "BatchEvalPython" not in _plan(passed)
