@@ -575,3 +575,81 @@ def llm_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary building — corpus-wide token frequencies, deterministic top-k.
+# --------------------------------------------------------------------------
+@register(
+    "llm_vocab_top_tokens",
+    oracle="""
+      SELECT tok, n FROM (
+        SELECT u.tok AS tok, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) u
+        GROUP BY 1
+      ) ORDER BY n DESC, tok LIMIT 200
+    """,
+    doc="Top-200 corpus tokens by frequency, (count desc, token asc) total order.",
+    tags=("B29", "B13", "llm"),
+)
+def llm_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token vocabulary: global top-200 by frequency.
+
+    The tokenizer-training precursor. Shape: explode → map-side-combined
+    count per token → global top-k compiled to TakeOrderedAndProject
+    (per-partition heaps, never a full sort). The (count desc, token
+    asc) total order makes the cutoff boundary deterministic —
+    a top-k whose tail depends on partition order is not a vocabulary.
+    """
+    register_tables(spark, sf_dir)
+    toks = spark.table("documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("tok")).limit(200)
+
+
+# --------------------------------------------------------------------------
+# BPE merge statistics — adjacent-pair counts (one merge round's input).
+# --------------------------------------------------------------------------
+@register(
+    "llm_bpe_pair_counts",
+    oracle="""
+      SELECT pair, n FROM (
+        SELECT u.pair AS pair, CAST(count(*) AS BIGINT) AS n
+        FROM (
+          SELECT unnest(list_transform(range(1, len(ws)),
+                   i -> ws[i] || ' ' || ws[i+1])) AS pair
+          FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+        ) u
+        GROUP BY 1
+      ) ORDER BY n DESC, pair LIMIT 100
+    """,
+    doc="Adjacent-token pair frequencies (BPE merge-round statistics), top-100.",
+    tags=("B29", "llm"),
+)
+def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-token pair counts — the statistic a BPE merge
+    round maximizes.
+
+    Pairs are materialized in-row (transform over an index sequence, no
+    self-join), then one explode + map-side-combined count + global
+    top-k heap. Documents shorter than two tokens contribute nothing on
+    both engines (Spark needs the explicit guard: ``sequence(1, 0)``
+    would generate a DESCENDING range, not an empty one).
+    """
+    register_tables(spark, sf_dir)
+    ws = F.split("text", " ")
+    d = spark.table("documents").select(ws.alias("ws")).filter(
+        F.size("ws") >= 2
+    )
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws)-1),"
+                " i -> concat(element_at(ws, i), ' ', element_at(ws, i+1)))"
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("pair")).limit(100)
