@@ -65,15 +65,23 @@ def test_no_cartesian_in_fact_joins(spark, sf_dir):
 
 
 def test_topk_uses_take_ordered(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "b13_global_topk")
-    assert "TakeOrderedAndProject" in plan, "global top-k must not globally sort"
+    for name in ("b13_global_topk", "llm_vocab_top_tokens", "llm_bpe_pair_counts"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, (
+            f"{name}: global top-k must not globally sort"
+        )
 
 
 def test_per_group_topk_uses_window_group_limit(spark, sf_dir):
     """rank-filter top-k must run two-phase (WindowGroupLimit partial +
     final): map tasks keep only k rows per group before the shuffle, so
     shuffle volume is #partitions × k — not the full scored set."""
-    for name in ("b28_cosine_topk", "b13_topk_per_group", "b29_tfidf_top_terms"):
+    for name in (
+        "b28_cosine_topk",
+        "b13_topk_per_group",
+        "b29_tfidf_top_terms",
+        "llm_line_dedup_first",
+    ):
         plan = plan_of(spark, sf_dir, name)
         assert plan.count("WindowGroupLimit") >= 2, (
             f"{name} lost the partial window-group-limit"
