@@ -181,12 +181,24 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     est_threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs with estimated Jaccard.
 
     ``num_hashes`` minima per doc, split into ``bands`` bands of
     ``num_hashes // bands`` rows; docs colliding on any full band are
     candidates; the signature-agreement fraction estimates Jaccard.
+
+    ``max_bucket`` is the 100 TB degenerate-bucket guard: a band
+    signature shared by B documents (corpus-wide boilerplate, empty
+    docs, common templates) yields B² candidate pairs from that bucket
+    alone. When set, buckets larger than ``max_bucket`` are dropped
+    before the self-join — their members are near-identical *common*
+    content, better handled by the boilerplate/line-dedup operators than
+    by pairwise comparison. Default None (off): the registered cluster
+    queries tie to an EXACT connected-components oracle, and a dropped
+    edge would split a component (CLAUDE.md invariant 11) — capping is a
+    production knob, not a test-fixture one.
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(
@@ -213,6 +225,16 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id_", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket is not None:
+        # same (band, bucket) key as the pair join below — the size
+        # aggregate and the join reuse one exchange partitioning
+        ok = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+        banded = banded.join(ok, ["band", "bucket"])
     l = banded.select(
         F.col("doc_id_").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bucket"
     )

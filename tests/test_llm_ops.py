@@ -250,3 +250,29 @@ def test_lsh_hyperplane_recall(spark, sf_dir):
     }
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.2, f"hyperplane LSH recall collapsed: {recall}"
+
+
+def test_lsh_max_bucket_caps_degenerate_buckets(spark):
+    """A bucket shared by B docs yields ~B^2/2 pairs; the production
+    max_bucket knob drops over-large buckets while pairs from normal
+    buckets survive untouched."""
+    import hive_plan_service_spark.operators.dedup as dd
+
+    hot = [(i, "zz " * 40) for i in range(60)]  # identical -> one bucket/band
+    near = [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    ]
+    docs = spark.createDataFrame(hot + near, "doc_id bigint, text string")
+
+    uncapped = dd.minhash_lsh_pairs(docs, est_threshold=0.5)
+    capped = dd.minhash_lsh_pairs(docs, est_threshold=0.5, max_bucket=10)
+
+    n_uncapped = uncapped.count()
+    assert n_uncapped >= 60 * 59 // 2, "degenerate bucket should explode"
+
+    capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert (100, 101) in capped_pairs, "normal near-dup pair lost to the cap"
+    assert not any(a < 60 and b < 60 for a, b in capped_pairs), (
+        "hot-bucket pairs should be dropped"
+    )
