@@ -653,3 +653,130 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
     return counts.orderBy(F.desc("n"), F.asc("pair")).limit(100)
+
+
+# --------------------------------------------------------------------------
+# Composed pretraining-mix pipeline: normalize → quality gate →
+# decontaminate → split assignment → per-(split, lang) token accounting.
+# --------------------------------------------------------------------------
+#: Quality gate bounds (tokens) for the composed pipeline.
+MIX_MIN_TOKENS = 20
+MIX_MAX_TOKENS = 2000
+MIX_MAX_REP = 0.2
+
+
+@register(
+    "llm_pretrain_mix_report",
+    oracle=f"""
+      WITH norm AS (
+        SELECT doc_id, lang,
+               trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
+                    ' +', ' ', 'g')) AS nt
+        FROM documents
+      ),
+      tok AS (
+        SELECT doc_id, lang, string_split(nt, ' ') AS ws FROM norm
+      ),
+      q AS (
+        SELECT * FROM tok
+        WHERE len(ws) BETWEEN {MIX_MIN_TOKENS} AND {MIX_MAX_TOKENS}
+          AND (1.0 - CAST(len(list_distinct(list_transform(
+                     range(0, greatest(len(ws)-3, 0)+1),
+                     i -> array_to_string(ws[i+1:i+3], ' ')))) AS DOUBLE)
+                   / (greatest(len(ws)-3, 0)+1)) <= {MIX_MAX_REP}
+      ),
+      ev AS (
+        SELECT DISTINCT u.sh
+        FROM (
+          SELECT unnest(list_distinct(list_transform(
+                   range(0, greatest(len(ws)-{DECONTAM_N}, 0)+1),
+                   i -> array_to_string(ws[i+1:i+{DECONTAM_N}], ' ')))) AS sh
+          FROM tok WHERE doc_id % 10 = 0
+        ) u
+      ),
+      contam AS (
+        SELECT DISTINCT t.doc_id
+        FROM (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(0, greatest(len(ws)-{DECONTAM_N}, 0)+1),
+                   i -> array_to_string(ws[i+1:i+{DECONTAM_N}], ' ')))) AS sh
+          FROM q WHERE doc_id % 10 != 0
+        ) t JOIN ev USING (sh)
+      ),
+      keep AS (
+        SELECT * FROM q
+        WHERE doc_id % 10 != 0
+          AND doc_id NOT IN (SELECT doc_id FROM contam)
+      )
+      SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{SPLIT_TRAIN_LT}' THEN 'train'
+                  WHEN md5(CAST(doc_id AS VARCHAR)) < '{SPLIT_VAL_LT}' THEN 'val'
+                  ELSE 'test' END AS split,
+             lang,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(ws)) AS BIGINT) AS n_tokens
+      FROM keep GROUP BY 1, 2
+    """,
+    doc="Composed curation pipeline: normalize, quality-gate, decontaminate, split, account.",
+    tags=("B29", "llm"),
+)
+def llm_pretrain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining-corpus preparation as ONE declarative plan.
+
+    Stages (each is a standalone registered operator; here they compose
+    without materialization barriers, so Catalyst prunes columns through
+    the whole chain): pre-tokenizer normalization → token-count +
+    repetition quality gate → benchmark decontamination (kept docs
+    sharing any normalized 8-gram with the eval split are dropped, via
+    the distinct-shingle equi-join — never a self-cross) → md5-threshold
+    split assignment → per-(split, lang) doc/token accounting. The only
+    shuffles are the decontamination join and the final aggregate; the
+    repetition denominator uses the closed form ``greatest(n-3,0)+1`` so
+    no gram array is materialized twice. Eval-split docs feed the
+    contamination side from the RAW normalized corpus (quality-rejected
+    eval docs still contaminate — benchmarks don't pass quality gates).
+    """
+    register_tables(spark, sf_dir)
+    nt = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "<num>"),
+            " +",
+            " ",
+        )
+    )
+    tok = spark.table("documents").select(
+        "doc_id", "lang", F.split(nt, " ").alias("ws")
+    )
+    n_grams = F.greatest(F.size("ws") - 3, F.lit(0)) + 1
+    rep = 1.0 - F.size(
+        F.array_distinct(_ngrams_all(F.col("ws"), 3))
+    ).cast("double") / n_grams
+    q = tok.filter(
+        F.size("ws").between(MIX_MIN_TOKENS, MIX_MAX_TOKENS) & (rep <= MIX_MAX_REP)
+    )
+    grams8 = F.explode(
+        F.array_distinct(_ngrams_all(F.col("ws"), DECONTAM_N))
+    ).alias("sh")
+    ev = (
+        tok.filter(F.col("doc_id") % 10 == 0).select(grams8).distinct()
+    )
+    contam = (
+        q.filter(F.col("doc_id") % 10 != 0)
+        .select("doc_id", grams8)
+        .join(ev, "sh")
+        .select("doc_id")
+        .distinct()
+    )
+    keep = q.filter(F.col("doc_id") % 10 != 0).join(
+        contam, "doc_id", "left_anti"
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    split = (
+        F.when(h < SPLIT_TRAIN_LT, "train")
+        .when(h < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+    )
+    return keep.groupBy(split.alias("split"), "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("ws")).cast("bigint").alias("n_tokens"),
+    )
