@@ -172,6 +172,44 @@ def minhash_signatures(
     )
 
 
+def banded_signatures(
+    sigs: DataFrame, *, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(doc_id_, sig, band, bucket) rows — one per (doc, band).
+
+    Each band's bucket is the xxhash64 of its signature slice; docs
+    colliding on any full band share a (band, bucket) key. Factored out
+    of :func:`minhash_lsh_pairs` so incremental consumers (the streaming
+    ingest store) band new documents with the identical hash."""
+    rows = num_hashes // bands
+    return sigs.select(
+        "doc_id_",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda band: F.struct(
+                    band.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), band * rows + 1, rows),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id_",
+        "sig",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     *,
@@ -200,31 +238,10 @@ def minhash_lsh_pairs(
     edge would split a component (CLAUDE.md invariant 11) — capping is a
     production knob, not a test-fixture one.
     """
-    rows = num_hashes // bands
     sigs = minhash_signatures(
         docs, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes
     )
-    banded = sigs.select(
-        "doc_id_",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda band: F.struct(
-                    band.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), band * rows + 1, rows),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc_id_", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = banded_signatures(sigs, num_hashes=num_hashes, bands=bands)
     if max_bucket is not None:
         # same (band, bucket) key as the pair join below — the size
         # aggregate and the join reuse one exchange partitioning

@@ -340,3 +340,32 @@ def b22_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(money("value")).cast("double").alias("total_value"),
     )
     return run_to_completion(agg, output_mode="complete")
+
+
+# --------------------------------------------------------------------------
+# B22 × B27 — streaming near-dup ingest: each micro-batch's documents
+# are LSH-probed against the signature store of everything ingested
+# earlier; flags are invariant to how the feed is split into batches
+# (pytest ties the multi-batch run to the single-batch run and to the
+# batch operator's pair set). Sketch-dependent → rows-only.
+# --------------------------------------------------------------------------
+@register(
+    "b27_stream_dedup_ingest",
+    oracle=None,
+    doc="Streaming LSH dedup against an incremental signature store; split-invariant flags.",
+    tags=("B22", "B27", "llm"),
+)
+def b27_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from hive_plan_service_spark.streaming.dedup_ingest import (
+        StreamingDedupIngest,
+    )
+
+    register_tables(spark, sf_dir)
+    ingest = StreamingDedupIngest(
+        spark, table_path(sf_dir, "documents"), _workdir()
+    )
+    return ingest.run().orderBy("doc_id").select(
+        "doc_id", F.col("is_dup").cast("boolean").alias("is_dup")
+    )

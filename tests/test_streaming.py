@@ -227,3 +227,60 @@ def test_continuous_rollup_incremental_equals_full(spark, sf_dir, tmp_path):
         expected_batch2,
     ]
     assert expected_batch2 < evr.count()
+
+
+def test_stream_dedup_ingest_is_batch_split_invariant(spark, sf_dir, tmp_path):
+    """Near-dup flags must not depend on how the feed is batched: a
+    3-batch replay equals the single-batch run, and both equal the flags
+    derived from the batch operator's pair set."""
+    import os
+
+    import hive_plan_service_spark.operators.dedup as dd
+    from hive_plan_service_spark.sources.catalog import table_path
+    from hive_plan_service_spark.streaming.dedup_ingest import (
+        StreamingDedupIngest,
+    )
+
+    register_tables(spark, sf_dir)
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+
+    # batch truth: doc is dup iff some smaller-id doc is an LSH match
+    pairs = dd.minhash_lsh_pairs(docs, est_threshold=0.5)
+    dup_truth = {r["doc_b"] for r in pairs.collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+
+    # single batch
+    one = StreamingDedupIngest(
+        spark, table_path(sf_dir, "documents"), str(tmp_path / "one")
+    ).run()
+    flags_one = {r["doc_id"]: r["is_dup"] for r in one.collect()}
+
+    # three batches split by doc_id range, arriving in id order
+    feed = tmp_path / "feed_docs"
+    os.makedirs(feed)
+    ids = sorted(all_ids)
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    conds = [
+        F.col("doc_id") < cuts[0],
+        (F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1]),
+        F.col("doc_id") >= cuts[1],
+    ]
+    import time as _time
+
+    for i, cond in enumerate(conds):
+        part_dir = tmp_path / f"dpart{i}"
+        docs.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+            str(part_dir)
+        )
+        part = next(p for p in os.listdir(part_dir) if p.endswith(".parquet"))
+        os.rename(part_dir / part, feed / f"{i}.parquet")
+        _time.sleep(1.1)
+
+    three = StreamingDedupIngest(
+        spark, str(feed), str(tmp_path / "three")
+    ).run(max_files_per_trigger=1)
+    flags_three = {r["doc_id"]: r["is_dup"] for r in three.collect()}
+
+    assert set(flags_one) == all_ids
+    assert flags_one == flags_three, "flags changed with batch split"
+    assert {d for d, f in flags_one.items() if f} == dup_truth
