@@ -920,3 +920,39 @@ def b29_text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("predicted_lang"),
         hits["en"].cast("bigint").alias("en_hits"),
     )
+
+
+# --------------------------------------------------------------------------
+# B28 — product quantization (PQ-ADC): 64 floats → 4 codes; query-time
+# distance = 4 broadcast-table lookups per corpus row. Rows-only:
+# k-means codebooks are float-accumulation-order dependent.
+# --------------------------------------------------------------------------
+@register(
+    "b28_ann_pq",
+    oracle=None,
+    doc="PQ ANN: 8 subspaces x 64 codes (MLlib k-means, seeded), ADC shortlist-50 + exact re-rank, top-5.",
+    tags=("B28",),
+)
+def b28_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    # unit-normalize so squared-L2 ordering matches cosine ordering (the
+    # recall tie in tests compares against exact cosine top-k)
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+    unit = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / nrm).alias(
+            "embedding"
+        ),
+    )
+    books = vx.pq_train_codebooks(unit, subspaces=8, codes=64)
+    codes = vx.pq_encode(unit, books, subspaces=8)
+    return vx.pq_topk_refined(
+        unit.filter(F.col("vec_id") < 5), codes, books, unit, k=5, subspaces=8
+    )

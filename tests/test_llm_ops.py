@@ -276,3 +276,42 @@ def test_lsh_max_bucket_caps_degenerate_buckets(spark):
     assert not any(a < 60 and b < 60 for a, b in capped_pairs), (
         "hot-bucket pairs should be dropped"
     )
+
+
+def test_pq_adc_recall_vs_bruteforce(spark, sf_dir):
+    """PQ-ADC top-5 must recall most exact cosine top-5 neighbors, and
+    the code table must be S rows per vector with codes inside the book."""
+    import hive_plan_service_spark.operators.vectors as vx
+    from hive_plan_service_spark.sources.catalog import table_path
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+    unit = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / nrm).alias(
+            "embedding"
+        ),
+    )
+    books = vx.pq_train_codebooks(unit, subspaces=8, codes=64)
+    codes = vx.pq_encode(unit, books, subspaces=8)
+
+    n_vec = emb.count()
+    assert codes.count() == 8 * n_vec
+    assert codes.agg(F.max("code")).collect()[0][0] <= 63
+
+    queries = unit.filter(F.col("vec_id") < 5)
+    approx = vx.pq_topk_refined(
+        queries, codes, books, unit, k=5, subspaces=8
+    )
+    exact = vx.cosine_topk(queries, unit, k=5)
+
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.7, f"PQ refined recall@5 too low: {recall}"
