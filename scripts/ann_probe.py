@@ -77,6 +77,35 @@ def main() -> None:
         lsh = topk_set(vx.lsh_topk(queries, emb, k=5))
         t_lsh = time.perf_counter() - t0
 
+        # PQ path works on unit vectors so squared-L2 order == cosine order
+        nrm = F.sqrt(
+            F.aggregate(
+                F.transform(
+                    "embedding", lambda x: x.cast("double") * x.cast("double")
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+        )
+        unit = emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double") / nrm).alias(
+                "embedding"
+            ),
+        )
+        uq = unit.filter(F.col("vec_id") < 50)
+        t0 = time.perf_counter()
+        books = vx.pq_train_codebooks(unit, subspaces=8, codes=64)
+        pq_codes = vx.pq_encode(unit, books, subspaces=8).localCheckpoint(
+            eager=True
+        )
+        t_pq_index = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        pq = topk_set(
+            vx.pq_topk_refined(uq, pq_codes, books, unit, k=5, subspaces=8)
+        )
+        t_pq_q = time.perf_counter() - t0
+
         print(
             json.dumps(
                 {
@@ -89,6 +118,9 @@ def main() -> None:
                     "ivf_recall": round(len(truth & ivf) / len(truth), 3),
                     "lsh_sec": round(t_lsh, 2),
                     "lsh_recall": round(len(truth & lsh) / len(truth), 3),
+                    "pq_index_sec": round(t_pq_index, 2),
+                    "pq_query_sec": round(t_pq_q, 2),
+                    "pq_recall": round(len(truth & pq) / len(truth), 3),
                 }
             )
         )
