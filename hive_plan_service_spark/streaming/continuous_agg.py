@@ -22,23 +22,13 @@ from hive_plan_service_spark.functions.exact import money
 from hive_plan_service_spark.streaming.source import events_stream
 
 
-def _bucket_agg(df: DataFrame) -> DataFrame:
-    return (
-        df.withColumn("hour_bucket", F.expr("unix_timestamp(ts) div 3600"))
-        .groupBy("hour_bucket", "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(money("value")).cast("double").alias("total_value"),
-        )
-    )
-
-
 class ContinuousHourlyRollup:
-    """Maintains ``<workdir>/rollup`` parquet, partitioned by hour bucket.
+    """Maintains ``<workdir>/rollup`` parquet, partitioned by day bucket,
+    from a store of per-epoch PARTIAL aggregates (``<workdir>/seen_events``).
 
-    ``track_batch_input_rows`` (tests only) records how many seen-event
-    rows each refresh actually re-aggregated — the O(touched days)
-    invariant is asserted, not assumed.
+    ``track_batch_input_rows`` (tests only) records how many staged
+    partial rows each refresh actually re-aggregated — the O(touched
+    buckets) invariant is asserted, not assumed.
     """
 
     def __init__(
@@ -58,18 +48,28 @@ class ContinuousHourlyRollup:
         self.batch_input_rows: list[int] = []
 
     def _refresh_buckets(self, batch_df: DataFrame, epoch_id: int) -> None:
-        # keep the raw feed so touched buckets re-aggregate from ALL their
-        # events, not just this batch's (idempotent per-bucket overwrite).
-        # Day-partitioned (epoch makes partitions append-unique): the
-        # touched-day filter below then prunes whole day directories, so
-        # per-batch work is O(events in touched days), not O(history).
-        # stage only the columns the rollup aggregates (ts/type/value) —
-        # the seen-events feed exists to re-aggregate touched buckets,
-        # not to archive the stream; at 100 TB this is the difference
-        # between re-reading 3 columns and the whole event payload
-        staged = batch_df.select("ts", "event_type", "value").withColumn(
-            "day_bucket", F.expr("unix_timestamp(ts) div 86400")
-        ).withColumn("epoch", F.lit(epoch_id))
+        # stage PARTIAL aggregates, not raw rows: count and exact DECIMAL
+        # sum per (hour, type) are commutative monoids, so touched
+        # buckets re-aggregate from per-epoch partials losslessly —
+        # the store is O(buckets seen), not O(events seen). At 100 TB
+        # this is the difference between re-reading a day of events and
+        # re-reading ≤ 24 × #types partial rows per day.
+        # Day-partitioned with the epoch in the key: a replayed batch
+        # (foreachBatch is at-least-once) dynamic-overwrites ITS OWN
+        # (day, epoch) dirs instead of double-counting — idempotence
+        # comes from the layout, not from the sink.
+        staged = (
+            batch_df.withColumn(
+                "hour_bucket", F.expr("unix_timestamp(ts) div 3600")
+            )
+            .groupBy("hour_bucket", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(money("value")).alias("sv"),  # exact decimal partial
+            )
+            .withColumn("day_bucket", F.expr("hour_bucket div 24"))
+            .withColumn("epoch", F.lit(epoch_id))
+        )
         # cluster by day before the partitioned write: one file per
         # (day, epoch) dir instead of #shuffle-partitions × #days
         # fragments — file count stays O(days), the 100 TB metadata bound
@@ -90,11 +90,17 @@ class ContinuousHourlyRollup:
         )
         if self.track:
             self.batch_input_rows.append(touched_seen.count())
-        # day-granular overwrite partitions: hour-partitioning would write
-        # hundreds of small directories per refresh; day dirs keep the
-        # file count (and the 100 TB metadata load) bounded
-        fresh = _bucket_agg(touched_seen).withColumn(
-            "day_bucket", F.expr("hour_bucket div 24")
+        # merge partials across epochs: sums of counts / exact decimal
+        # sums — associative, so any epoch arrival order yields the full
+        # recompute bit-for-bit. Day-granular overwrite partitions keep
+        # the file count (and the 100 TB metadata load) bounded.
+        fresh = (
+            touched_seen.groupBy("hour_bucket", "event_type")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sv").cast("double").alias("total_value"),
+            )
+            .withColumn("day_bucket", F.expr("hour_bucket div 24"))
         )
         (
             fresh.repartition("day_bucket")  # one file per refreshed day dir

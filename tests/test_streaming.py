@@ -211,22 +211,26 @@ def test_continuous_rollup_incremental_equals_full(spark, sf_dir, tmp_path):
     }
     assert got == want
 
-    # incremental means incremental: batch 2 must re-aggregate only the
-    # events of ITS touched days (incl. batch-1 rows on the boundary day),
-    # never the whole history
+    # incremental means incremental: the store holds per-epoch PARTIAL
+    # aggregates, so batch 2 re-reads only the (hour, type, epoch)
+    # partials of ITS touched days (incl. batch-1 partials on the
+    # boundary day) — never raw history
     evr = _events(spark, feed).withColumn(
-        "day_bucket", F.expr("unix_timestamp(ts) div 86400")  # same bucketing as the maintainer
-    )
+        "hour_bucket", F.expr("unix_timestamp(ts) div 3600")
+    ).withColumn("day_bucket", F.expr("unix_timestamp(ts) div 86400"))
+
+    def _partials(df):
+        return df.select("hour_bucket", "event_type").distinct().count()
+
+    b1, b2 = evr.filter(ts_us < mid_us), evr.filter(ts_us >= mid_us)
     second_days = [
-        r["day_bucket"]
-        for r in evr.filter(ts_us >= mid_us).select("day_bucket").distinct().collect()
+        r["day_bucket"] for r in b2.select("day_bucket").distinct().collect()
     ]
-    expected_batch2 = evr.filter(F.col("day_bucket").isin(second_days)).count()
-    assert maintainer.batch_input_rows == [
-        evr.filter(ts_us < mid_us).count(),
-        expected_batch2,
-    ]
-    assert expected_batch2 < evr.count()
+    expected_batch2 = _partials(
+        b1.filter(F.col("day_bucket").isin(second_days))
+    ) + _partials(b2)
+    assert maintainer.batch_input_rows == [_partials(b1), expected_batch2]
+    assert expected_batch2 < evr.count(), "partial store not smaller than raw"
 
 
 def test_stream_dedup_ingest_is_batch_split_invariant(spark, sf_dir, tmp_path):
