@@ -594,3 +594,75 @@ def b02_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(money("value")).cast("double").alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# B9 — table profiling (ANALYZE-style column statistics): the statistics
+# collection pass that feeds optimizer estimates and data-quality
+# monitoring. One scan, every stat map-side-combined.
+# --------------------------------------------------------------------------
+@register(
+    "b09_table_profile",
+    oracle="""
+      SELECT 'l_quantity' AS col, COUNT(*) AS n,
+             COUNT(*) - COUNT(l_quantity) AS n_null,
+             COUNT(DISTINCT l_quantity) AS n_distinct,
+             CAST(MIN(l_quantity) AS VARCHAR) AS min_s,
+             CAST(MAX(l_quantity) AS VARCHAR) AS max_s
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+             COUNT(DISTINCT l_returnflag),
+             MIN(l_returnflag), MAX(l_returnflag)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(l_shipdate),
+             COUNT(DISTINCT l_shipdate),
+             CAST(MIN(l_shipdate) AS VARCHAR), CAST(MAX(l_shipdate) AS VARCHAR)
+      FROM lineitem
+    """,
+    doc="ANALYZE-style per-column stats (count, nulls, distinct, min/max) in one scan.",
+    tags=("B9",),
+)
+def b09_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column statistics for optimizer/data-quality use, single scan.
+
+    All six stats per column are plain aggregates over ONE pass of the
+    table (Spark plans the three-column profile as one HashAggregate —
+    no per-column rescans), then a 3-row unpivot-by-union of the 1-row
+    result. min/max surface as strings so heterogeneous column types
+    share one schema — the profiler contract at any width. At 100 TB
+    exact ``count(distinct)`` per column is the expensive stat: swap in
+    ``approx_count_distinct`` per column where 2% error is acceptable
+    (the oracle here pins the exact form at test scale).
+    """
+    register_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    agg = li.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            x
+            for c in ("l_quantity", "l_returnflag", "l_shipdate")
+            for x in (
+                F.count(c).alias(f"_nn_{c}"),
+                F.countDistinct(c).alias(f"_nd_{c}"),
+                F.min(c).cast("string").alias(f"_min_{c}"),
+                F.max(c).cast("string").alias(f"_max_{c}"),
+            )
+        ],
+    )
+    rows = [
+        agg.select(
+            F.lit(c).alias("col"),
+            F.col("_n").alias("n"),
+            (F.col("_n") - F.col(f"_nn_{c}")).alias("n_null"),
+            F.col(f"_nd_{c}").alias("n_distinct"),
+            F.col(f"_min_{c}").alias("min_s"),
+            F.col(f"_max_{c}").alias("max_s"),
+        )
+        for c in ("l_quantity", "l_returnflag", "l_shipdate")
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
