@@ -956,3 +956,29 @@ def b28_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vx.pq_topk_refined(
         unit.filter(F.col("vec_id") < 5), codes, books, unit, k=5, subspaces=8
     )
+
+
+# --------------------------------------------------------------------------
+# Iterative graph op — PageRank authority over the order→part bipartite
+# graph. Integer micro-unit arithmetic: bit-identical at any
+# parallelism (rows-only because the semantics are iterative, not
+# because the numbers wobble — a Python model reproduces them exactly).
+# --------------------------------------------------------------------------
+@register(
+    "llm_pagerank_authority",
+    oracle=None,
+    doc="5-iteration integer PageRank over order->part edges; top-20 by (rank desc, node).",
+    tags=("B19", "llm"),
+)
+def llm_pagerank_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_plan_service_spark.operators.pagerank import pagerank
+
+    register_tables(spark, sf_dir)
+    # parts namespaced into negative ids so the two node families can't
+    # collide (order keys are non-negative)
+    edges = spark.table("lineitem").select(
+        F.col("l_orderkey").alias("src"),
+        (-F.col("l_partkey") - 1).alias("dst"),
+    )
+    ranks = pagerank(edges, iterations=5)
+    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(20)

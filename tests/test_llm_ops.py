@@ -315,3 +315,41 @@ def test_pq_adc_recall_vs_bruteforce(spark, sf_dir):
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     recall = len(a & e) / len(e)
     assert recall >= 0.7, f"PQ refined recall@5 too low: {recall}"
+
+
+def test_pagerank_matches_integer_model(spark, sf_dir):
+    """The engine's integer PageRank must equal a driver-side Python
+    replica of the same arithmetic, node for node — determinism is
+    exact, not approximate."""
+    from hive_plan_service_spark.operators.pagerank import (
+        DAMP_DEN,
+        DAMP_NUM,
+        SCALE,
+        pagerank,
+    )
+    from hive_plan_service_spark.sources.catalog import table_path
+
+    li = spark.read.parquet(table_path(sf_dir, "lineitem"))
+    edges = li.select(
+        F.col("l_orderkey").alias("src"), (-F.col("l_partkey") - 1).alias("dst")
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+
+    es = [(r["src"], r["dst"]) for r in edges.collect()]
+    nodes = sorted({s for s, _ in es} | {d for _, d in es})
+    n = len(nodes)
+    deg: dict = {}
+    for s, _ in es:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {v: SCALE // n for v in nodes}
+    for _ in range(5):
+        contrib = {v: 0 for v in nodes}
+        for s, d in es:
+            contrib[d] += rank[s] // deg[s]
+        dang = sum(rank[v] for v in nodes if v not in deg)
+        rank = {
+            v: (SCALE // n) * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+            + DAMP_NUM * (contrib[v] + dang // n) // DAMP_DEN
+            for v in nodes
+        }
+    assert got == rank
