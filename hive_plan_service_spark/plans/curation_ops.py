@@ -780,3 +780,85 @@ def llm_pretrain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("ws")).cast("bigint").alias("n_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Balanced resampling — apply the domain-mix weights as a deterministic
+# per-doc Bernoulli keep/drop.
+# --------------------------------------------------------------------------
+#: Global rate multiplier: sources at exactly uniform share keep ~half
+#: their docs; under-represented sources saturate at keep-all.
+BALANCE_RATE = 0.5
+
+
+@register(
+    "llm_balanced_sample",
+    oracle=f"""
+      WITH per_src AS (
+        SELECT source, SUM(len(string_split(text, ' '))) AS n_tokens
+        FROM documents GROUP BY source
+      ),
+      tot AS (
+        SELECT COUNT(*) AS n_sources, SUM(n_tokens) AS corpus_tokens
+        FROM per_src
+      ),
+      w AS (
+        SELECT source,
+               CAST(corpus_tokens AS DOUBLE) / (n_sources * n_tokens)
+                 AS balance_weight
+        FROM per_src, tot
+      )
+      SELECT d.doc_id, d.source,
+             (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                / 4294967296.0)
+               < least(1.0, w.balance_weight * {BALANCE_RATE}) AS sampled
+      FROM documents d JOIN w USING (source)
+    """,
+    doc="Deterministic Bernoulli resampling at the domain-mix balance weights.",
+    tags=("B13", "B29", "llm"),
+)
+def llm_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keep/drop implementing the mixture weights.
+
+    The uniform draw is ``md5(doc_id)``'s first 32 bits over 2^32 — a
+    pure function of the key, so the SAME documents survive on any
+    engine, partitioning, or retry (and membership is stable when the
+    corpus grows — a kept doc is never re-dropped by a reshuffle). Keep
+    probability = min(1, balance_weight × rate): over-represented
+    sources thin out, under-represented ones saturate at keep-all.
+    One aggregate + one dimension-sized join; the draw and threshold are
+    a single codegen projection.
+    """
+    register_tables(spark, sf_dir)
+    per_src = (
+        spark.table("documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("n_tokens"))
+    )
+    totals = per_src.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("n_tokens").alias("corpus_tokens"),
+    )
+    w = per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        (
+            F.col("corpus_tokens").cast("double")
+            / (F.col("n_sources") * F.col("n_tokens"))
+        ).alias("balance_weight"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    return (
+        spark.table("documents")
+        .join(w, "source")
+        .select(
+            "doc_id",
+            "source",
+            (u < F.least(F.lit(1.0), F.col("balance_weight") * BALANCE_RATE)).alias(
+                "sampled"
+            ),
+        )
+    )
