@@ -137,3 +137,53 @@ def b26_udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d, LATERAL hpss_split_words(d.text) w
         """
     )
+
+
+# --------------------------------------------------------------------------
+# B1/B13 — Z-order layout key: interleave the bits of two dimensions so
+# range boxes on EITHER dimension map to contiguous key ranges — the
+# multi-dimensional clustering that makes parquet min/max stats prune
+# boxes a 1-D sort can only prune on its leading column.
+# --------------------------------------------------------------------------
+_Z_BITS = 12
+
+
+def _interleave_expr(a: str, b: str, bits: int = _Z_BITS) -> str:
+    """SQL for bit-interleaved (Morton) key of two masked ints — the
+    identical text runs on Spark and DuckDB (both have >>, &, <<)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "b01_zorder_key",
+    oracle=f"""
+      SELECT l_orderkey, l_linenumber,
+             CAST({_interleave_expr("(l_partkey % 4096)", "(l_suppkey % 4096)")} AS BIGINT)
+               AS zval
+      FROM lineitem
+    """,
+    doc="Morton (Z-order) clustering key over (partkey, suppkey), 12 bits each.",
+    tags=("B1", "B13"),
+)
+def b01_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order key computation — the write-path layout primitive.
+
+    ``repartitionByRange(zval).sortWithinPartitions(zval)`` before a
+    write clusters both dimensions into every file, so a 2-D box query
+    skips most files on min/max stats; a 1-D sort only prunes its
+    leading column (locality measured in
+    tests/test_plans.py::test_zorder_layout_improves_box_locality).
+    Pure bit arithmetic, one projection, no shuffle in this key query.
+    """
+    register_tables(spark, sf_dir)
+    return spark.table("lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            _interleave_expr("(l_partkey % 4096)", "(l_suppkey % 4096)")
+        ).cast("bigint").alias("zval"),
+    )

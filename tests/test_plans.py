@@ -192,3 +192,51 @@ def test_global_sort_uses_range_partitioning(spark, sf_dir):
     plan = buf.getvalue()
     assert "rangepartitioning" in plan.lower()
     assert "Sort" in plan
+
+
+def test_zorder_layout_improves_box_locality(spark, sf_dir, tmp_path):
+    """A 2-D box query must touch no more files under Z-order layout
+    than under a 1-D sort, and both layouts must prune vs reading all
+    files — the min/max-stats pruning story the key exists for."""
+    from pyspark.sql import functions as F
+
+    from hive_plan_service_spark.plans.sources_suite import _interleave_expr
+    from hive_plan_service_spark.sources.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    # quantize BOTH dims to the full 12-bit range: interleaving only
+    # confines boxes when the two coordinates use comparable bit widths
+    pmax, smax = (
+        spark.table("lineitem")
+        .agg(F.max("l_partkey"), F.max("l_suppkey"))
+        .collect()[0]
+    )
+    li = (
+        spark.table("lineitem")
+        .withColumn("x", F.expr(f"CAST(l_partkey * 4096 / {pmax + 1} AS INT)"))
+        .withColumn("y", F.expr(f"CAST(l_suppkey * 4096 / {smax + 1} AS INT)"))
+        .withColumn("zval", F.expr(_interleave_expr("x", "y")))
+    )
+    n_files = 16
+    zdir, pdir = str(tmp_path / "zord"), str(tmp_path / "plain")
+    li.repartitionByRange(n_files, "zval").sortWithinPartitions(
+        "zval"
+    ).write.parquet(zdir)
+    li.repartitionByRange(n_files, "x").sortWithinPartitions(
+        "x"
+    ).write.parquet(pdir)
+
+    box = (F.col("x") < 1024) & (F.col("y") < 1024)  # quarter × quarter
+
+    def files_touched(path):
+        return (
+            spark.read.parquet(path)
+            .filter(box)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    z, p = files_touched(zdir), files_touched(pdir)
+    assert z < p, f"z-order should beat the 1-D sort on a 2-D box ({z} vs {p})"
+    assert p < n_files, "1-D sort should at least prune its own dimension"
