@@ -723,18 +723,26 @@ MIX_MAX_REP = 0.2
 def llm_pretrain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end pretraining-corpus preparation as ONE declarative plan.
 
-    Stages (each is a standalone registered operator; here they compose
-    without materialization barriers, so Catalyst prunes columns through
-    the whole chain): pre-tokenizer normalization → token-count +
-    repetition quality gate → benchmark decontamination (kept docs
-    sharing any normalized 8-gram with the eval split are dropped, via
-    the distinct-shingle equi-join — never a self-cross) → md5-threshold
-    split assignment → per-(split, lang) doc/token accounting. The only
-    shuffles are the decontamination join and the final aggregate; the
-    repetition denominator uses the closed form ``greatest(n-3,0)+1`` so
-    no gram array is materialized twice. Eval-split docs feed the
-    contamination side from the RAW normalized corpus (quality-rejected
-    eval docs still contaminate — benchmarks don't pass quality gates).
+    Stages: pre-tokenizer normalization → token-count + repetition
+    quality gate → benchmark decontamination (kept docs sharing any
+    normalized 8-gram with the eval split are dropped, via the
+    distinct-shingle equi-join — never a self-cross) → md5-threshold
+    split assignment → per-(split, lang) doc/token accounting.
+
+    Shape (the invariant-4 lesson, measured here too): the quality gate
+    and gram generation run as EXPLODE + AGGREGATE over the normalized
+    token array, never as array lambdas inside a filter. A filter on
+    ``1 − distinct/total`` pushes below the exchange, CollapseProject
+    inlines the 3-regex normalization into every ``element_at`` of every
+    gram lambda, and the pipeline re-normalizes each document ~160×
+    (measured 15 s → 4.7 s for the gate, 15 s → 1.8 s for the
+    decontamination join at sf0.1). Generators don't push through
+    exchanges, so each document normalizes once per explode. Eval-split
+    docs feed the contamination side from the RAW normalized corpus
+    (quality-rejected eval docs still contaminate — benchmarks don't
+    pass quality gates). At 100 TB the 8-gram join key would be
+    ``xxhash64(sh)`` (8 bytes vs ~50); the string key keeps the oracle
+    portable.
     """
     register_tables(spark, sf_dir)
     nt = F.trim(
@@ -744,30 +752,46 @@ def llm_pretrain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         )
     )
-    tok = spark.table("documents").select(
-        "doc_id", "lang", F.split(nt, " ").alias("ws")
+    par = spark.sparkContext.defaultParallelism
+    # projection BELOW the exchange: ws is a shuffled column upstream of
+    # every gram generator — the regexes run once per document
+    tok = (
+        spark.table("documents")
+        .select("doc_id", "lang", F.split(nt, " ").alias("ws"))
+        .repartition(par, "doc_id")
     )
-    n_grams = F.greatest(F.size("ws") - 3, F.lit(0)) + 1
-    rep = 1.0 - F.size(
-        F.array_distinct(_ngrams_all(F.col("ws"), 3))
-    ).cast("double") / n_grams
-    q = tok.filter(
-        F.size("ws").between(MIX_MIN_TOKENS, MIX_MAX_TOKENS) & (rep <= MIX_MAX_REP)
+    g3 = tok.select(
+        "doc_id",
+        "lang",
+        F.size("ws").alias("n_tok"),
+        F.explode(_ngrams_all(F.col("ws"), 3)).alias("g"),
     )
-    grams8 = F.explode(
-        F.array_distinct(_ngrams_all(F.col("ws"), DECONTAM_N))
-    ).alias("sh")
-    ev = (
-        tok.filter(F.col("doc_id") % 10 == 0).select(grams8).distinct()
+    stats = g3.groupBy("doc_id").agg(
+        F.first("lang").alias("lang"),
+        F.first("n_tok").alias("n_tok"),
+        F.count(F.lit(1)).alias("n_g"),
+        F.countDistinct("g").alias("n_d"),
     )
+    rep = 1.0 - F.col("n_d").cast("double") / F.col("n_g")
+    quality = stats.filter(
+        F.col("n_tok").between(MIX_MIN_TOKENS, MIX_MAX_TOKENS)
+        & (rep <= MIX_MAX_REP)
+    )
+    g8 = tok.select(
+        "doc_id",
+        F.explode(F.array_distinct(_ngrams_all(F.col("ws"), DECONTAM_N))).alias(
+            "sh"
+        ),
+    )
+    ev = g8.filter(F.col("doc_id") % 10 == 0).select("sh").distinct()
     contam = (
-        q.filter(F.col("doc_id") % 10 != 0)
-        .select("doc_id", grams8)
+        g8.filter(F.col("doc_id") % 10 != 0)
+        .join(quality.select("doc_id"), "doc_id")
         .join(ev, "sh")
         .select("doc_id")
         .distinct()
     )
-    keep = q.filter(F.col("doc_id") % 10 != 0).join(
+    keep = quality.filter(F.col("doc_id") % 10 != 0).join(
         contam, "doc_id", "left_anti"
     )
     h = F.md5(F.col("doc_id").cast("string"))
@@ -778,7 +802,7 @@ def llm_pretrain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return keep.groupBy(split.alias("split"), "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size("ws")).cast("bigint").alias("n_tokens"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
     )
 
 

@@ -288,3 +288,30 @@ def test_stream_dedup_ingest_is_batch_split_invariant(spark, sf_dir, tmp_path):
     assert set(flags_one) == all_ids
     assert flags_one == flags_three, "flags changed with batch split"
     assert {d for d, f in flags_one.items() if f} == dup_truth
+
+
+def test_continuous_rollup_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: re-running a batch with the SAME
+    epoch id must leave the rollup bit-identical (the (day, epoch)
+    dynamic-overwrite layout is the idempotence mechanism)."""
+    from hive_plan_service_spark.streaming.continuous_agg import (
+        ContinuousHourlyRollup,
+    )
+
+    register_tables(spark, sf_dir)
+    ev = _events(spark, table_path(sf_dir, "events"))
+    maintainer = ContinuousHourlyRollup(
+        spark, table_path(sf_dir, "events"), str(tmp_path / "work_idem")
+    )
+    maintainer._refresh_buckets(ev, epoch_id=0)
+    before = {
+        (r["hour_bucket"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.read.parquet(maintainer.out).collect()
+    }
+    # crash-replay: the identical batch arrives again under the same epoch
+    maintainer._refresh_buckets(ev, epoch_id=0)
+    after = {
+        (r["hour_bucket"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.read.parquet(maintainer.out).collect()
+    }
+    assert before == after, "replayed batch double-counted"
