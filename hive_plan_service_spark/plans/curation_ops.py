@@ -117,8 +117,11 @@ def llm_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys and AQE coalesces.
     """
     register_tables(spark, sf_dir)
-    d = spark.table("documents").select(
-        "doc_id", _segments(F.split("text", " ")).alias("segs")
+    # spread the single-file scan before the CPU-bound segment stage
+    d = (
+        spark.table("documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", _segments(F.split("text", " ")).alias("segs"))
     )
     segs = d.select("doc_id", F.posexplode("segs").alias("pos", "seg"))
     doc_freq = segs.groupBy("seg").agg(
@@ -186,11 +189,19 @@ def llm_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     no broadcast hint.
     """
     register_tables(spark, sf_dir)
-    d = spark.table("documents").select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(_ngrams_all(F.split("text", " "), DECONTAM_N))
-        ).alias("sh"),
+    # spread the unsplittable single-file scan before the CPU-bound
+    # shingle stage (the dedup operators' _spread rule): one cheap
+    # shuffle of raw rows buys whole-cluster parallelism for the
+    # explode + join
+    d = (
+        spark.table("documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(_ngrams_all(F.split("text", " "), DECONTAM_N))
+            ).alias("sh"),
+        )
     )
     train = d.filter(F.col("doc_id") % 10 != 0)
     ev = d.filter(F.col("doc_id") % 10 == 0).withColumnRenamed(
@@ -504,8 +515,11 @@ def llm_line_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     every segment already appeared elsewhere survive with empty text.
     """
     register_tables(spark, sf_dir)
-    d = spark.table("documents").select(
-        "doc_id", _segments(F.split("text", " ")).alias("segs")
+    # spread the single-file scan before the CPU-bound segment stage
+    d = (
+        spark.table("documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", _segments(F.split("text", " ")).alias("segs"))
     )
     segs = d.select("doc_id", F.posexplode("segs").alias("pos", "seg"))
     w = Window.partitionBy("seg").orderBy("doc_id", "pos")
