@@ -22,7 +22,47 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hive_plan_service_spark.operators.textops import shingles, tokens
+from hive_plan_service_spark.operators.textops import (
+    FNV_MOD,
+    rolling_fingerprint,
+    shingles,
+    tokens,
+)
+
+# Affine-rehash constants for the PORTABLE MinHash family: the i-th hash
+# is (A_i·h + B_i) mod FNV_MOD over the 31-bit base string hash h.
+# FNV_MOD is prime and A_i ≢ 0, so each map is a bijection on [0, FNV_MOD)
+# — a valid min-wise hash family. Mirrored verbatim by the DuckDB oracles
+# in plans/llm_ops.py.
+_MINHASH_A = 1103515245
+_MINHASH_B = 12345
+_BUCKET_MULT = 1000003
+#: Avalanche lift constant: (FNV_MOD + _AVA_C)² < 2^63, so the squares
+#: below never overflow int64 (DuckDB *raises* on BIGINT overflow).
+_AVA_C = 700000001
+
+
+def _portable_rehash(h, i: int):
+    """i-th portable rehash of a base hash column (exact in int64)."""
+    return (h * F.lit(_MINHASH_A + 2 * i) + F.lit(_MINHASH_B + 97 * i)) % F.lit(
+        FNV_MOD
+    )
+
+
+def _portable_avalanche(h):
+    """Two squaring rounds mod 2^31−1 — bit diffusion for SimHash.
+
+    The raw polynomial hash of a short token is a SMALL number (31^5 ≈
+    2^25 for a 5-char word), so its high bits are constantly zero and a
+    sketch built from it is degenerate (measured: 1.36M Hamming≤3 pairs
+    at sf0.1 vs 525 healthy). ``((h+C)²) mod M`` twice spreads any input
+    across the full 31 bits (measured within 2.5× of an ideal hash's
+    pair count); plain int64 arithmetic, so DuckDB reproduces it.
+    """
+    c = F.lit(_AVA_C)
+    m = F.lit(FNV_MOD)
+    h1 = ((h + c) * (h + c)) % m
+    return ((h1 + c) * (h1 + c)) % m
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
@@ -145,25 +185,40 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 16,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig) MinHash signatures via explode + partial-aggregated mins.
 
-    Each shingle *string* is xxhash64'd exactly once; the ``num_hashes``
-    hash functions are cheap long-rehashes ``xxhash64(h, i)`` evaluated
+    Each shingle *string* is hashed exactly once; the ``num_hashes``
+    hash functions are cheap integer rehashes of that base hash evaluated
     as ``min()`` aggregates. Because a document's shingle rows stay in
     the partition that exploded them, map-side combine reduces the
     shuffle to ~#docs × num_hashes longs — this is what keeps MinHash
     linear at corpus scale (the array-lambda formulation re-hashed every
     shingle string per hash function: 60× slower at sf0.1).
+
+    ``hash_fn`` picks the hash family, not the plan shape:
+
+    * ``"xxhash64"`` (default) — engine builtin, the throughput path.
+    * ``"portable"`` — 31-bit polynomial base hash + affine rehashes,
+      plain integer arithmetic an external engine reproduces bit-for-bit;
+      the canonical driver query uses this so the WHOLE sketch (not just
+      its recall) is oracle-checked against DuckDB.
     """
     sh = _spread(docs, id_col).select(
         F.col(id_col).alias("doc_id_"),
         F.explode(shingles(tokens(text_col), n)).alias("sh"),
     )
-    hashed = sh.select("doc_id_", F.xxhash64("sh").alias("h"))
+    if hash_fn == "portable":
+        base = rolling_fingerprint(F.col("sh"))
+        rehash = _portable_rehash
+    else:
+        base = F.xxhash64("sh")
+        rehash = lambda h, i: F.xxhash64(h, F.lit(i))  # noqa: E731
+    hashed = sh.select("doc_id_", base.alias("h"))
     mins = hashed.groupBy("doc_id_").agg(
         *[
-            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"_m{i}")
+            F.min(rehash(F.col("h"), i)).alias(f"_m{i}")
             for i in range(num_hashes)
         ]
     )
@@ -173,15 +228,36 @@ def minhash_signatures(
 
 
 def banded_signatures(
-    sigs: DataFrame, *, num_hashes: int = 16, bands: int = 4
+    sigs: DataFrame, *, num_hashes: int = 16, bands: int = 4, hash_fn: str = "xxhash64"
 ) -> DataFrame:
     """(doc_id_, sig, band, bucket) rows — one per (doc, band).
 
-    Each band's bucket is the xxhash64 of its signature slice; docs
-    colliding on any full band share a (band, bucket) key. Factored out
-    of :func:`minhash_lsh_pairs` so incremental consumers (the streaming
-    ingest store) band new documents with the identical hash."""
+    Each band's bucket is a hash of its signature slice; docs colliding
+    on any full band share a (band, bucket) key. Factored out of
+    :func:`minhash_lsh_pairs` so incremental consumers (the streaming
+    ingest store) band new documents with the identical hash. The
+    ``"portable"`` bucket is a polynomial fold of the slice (exact in
+    int64, DuckDB-reproducible); the default is xxhash64 of the slice.
+    """
     rows = num_hashes // bands
+
+    def _bucket(band):
+        if hash_fn == "portable":
+            return F.aggregate(
+                F.slice(F.col("sig"), band * rows + 1, rows),
+                F.lit(0).cast("bigint"),
+                lambda acc, m: (acc * F.lit(_BUCKET_MULT) + m) % F.lit(FNV_MOD),
+            )
+        return F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("sig"), band * rows + 1, rows),
+                    lambda v: v.cast("string"),
+                ),
+            )
+        )
+
     return sigs.select(
         "doc_id_",
         "sig",
@@ -190,15 +266,7 @@ def banded_signatures(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda band: F.struct(
                     band.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), band * rows + 1, rows),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
+                    _bucket(band).alias("bucket"),
                 ),
             )
         ).alias("bb"),
@@ -220,6 +288,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     est_threshold: float = 0.5,
     max_bucket: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH candidate pairs with estimated Jaccard.
 
@@ -239,9 +308,16 @@ def minhash_lsh_pairs(
     production knob, not a test-fixture one.
     """
     sigs = minhash_signatures(
-        docs, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        num_hashes=num_hashes,
+        hash_fn=hash_fn,
     )
-    banded = banded_signatures(sigs, num_hashes=num_hashes, bands=bands)
+    banded = banded_signatures(
+        sigs, num_hashes=num_hashes, bands=bands, hash_fn=hash_fn
+    )
     if max_bucket is not None:
         # same (band, bucket) key as the pair join below — the size
         # aggregate and the join reuse one exchange partitioning
@@ -279,35 +355,62 @@ def minhash_lsh_pairs(
 
 
 def simhash_sketches(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(id, simhash) 64-bit SimHash sketches via explode + bit-vote aggregates.
+    """(id, simhash) SimHash sketches via explode + bit-vote aggregates.
 
-    Tokens explode to (id, xxhash64(token)) rows — each token string
-    hashed exactly once — then 64 ``sum((h >> b) & 1)`` aggregates vote
-    per bit (map-side combined, one shuffle of ~#docs × 65 longs). The
+    Tokens explode to (id, hash(token)) rows — each token string hashed
+    exactly once — then per-bit ``sum((h >> b) & 1)`` aggregates vote
+    (map-side combined, one shuffle of ~#docs × bits+1 longs). The
     array-lambda formulation would re-hash every token per bit after
-    Catalyst's CollapseProject inlines the projection into all 64
+    Catalyst's CollapseProject inlines the projection into all the
     lambdas — the same 60× trap as MinHash.
+
+    ``hash_fn="xxhash64"`` (default) gives a 64-bit sketch; ``"portable"``
+    gives a 62-bit sketch from TWO independent 31-bit polynomial hashes
+    (bases 31 and 131, avalanched — a single 31-bit hash is too narrow
+    for a discriminative Hamming≤3 sketch) so the canonical driver query
+    is hash-checked end-to-end against the DuckDB oracle.
     """
     ex = _spread(docs, id_col).select(
         F.col(id_col).alias("doc_id_"), F.explode(tokens(text_col)).alias("w")
     )
-    h = ex.select("doc_id_", F.xxhash64("w").alias("h"))
+    if hash_fn == "portable":
+        # one projection computes both halves; aggregates reference the
+        # named columns (never inline the fold per bit — invariant 4)
+        h = ex.select(
+            "doc_id_",
+            _portable_avalanche(rolling_fingerprint(F.col("w"), base=31)).alias(
+                "ha"
+            ),
+            _portable_avalanche(rolling_fingerprint(F.col("w"), base=131)).alias(
+                "hb"
+            ),
+        )
+        halves = [("ha", 31, 0), ("hb", 31, 31)]
+    else:
+        h = ex.select("doc_id_", F.xxhash64("w").alias("ha"))
+        halves = [("ha", 64, 0)]
     votes = h.groupBy("doc_id_").agg(
         F.count(F.lit(1)).alias("_n"),
         *[
-            F.sum(F.expr(f"shiftright(h, {b}) & 1")).alias(f"_o{b}")
-            for b in range(64)
+            F.sum(F.expr(f"shiftright({col}, {b}) & 1")).alias(f"_o{off + b}")
+            for col, nbits, off in halves
+            for b in range(nbits)
         ],
     )
     simhash = None
-    for b in range(64):
-        bit = F.when(
-            2 * F.col(f"_o{b}") > F.col("_n"),
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), {b})"),
-        ).otherwise(F.lit(0).cast("bigint"))
-        simhash = bit if simhash is None else simhash + bit
+    for _, nbits, off in halves:
+        for b in range(nbits):
+            bit = F.when(
+                2 * F.col(f"_o{off + b}") > F.col("_n"),
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {off + b})"),
+            ).otherwise(F.lit(0).cast("bigint"))
+            simhash = bit if simhash is None else simhash + bit
     return votes.select("doc_id_", simhash.alias("simhash"))
 
 
@@ -317,13 +420,18 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: bucket by 16-bit chunks, verify Hamming.
 
     Hamming ≤ 3 over 4 chunks ⇒ at least one chunk is identical
-    (pigeonhole), so chunk-bucketing is lossless for the verify filter.
+    (pigeonhole), so chunk-bucketing is lossless for the verify filter —
+    for the 64-bit and the 62-bit (portable) sketch alike: the 4 chunks
+    partition every sketch bit either way.
     """
-    sketched = simhash_sketches(docs, id_col=id_col, text_col=text_col)
+    sketched = simhash_sketches(
+        docs, id_col=id_col, text_col=text_col, hash_fn=hash_fn
+    )
     # chunk value extraction needs a column shift amount → SQL expr
     chunks = sketched.selectExpr(
         "doc_id_",

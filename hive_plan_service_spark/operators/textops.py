@@ -47,19 +47,21 @@ def shingles(words: Column, n: int = 3) -> Column:
     )
 
 
-def rolling_fingerprint(text: Column | str) -> Column:
+def rolling_fingerprint(text: Column | str, base: int = FNV_BASE) -> Column:
     """Polynomial rolling hash of the character stream, mod 2^31−1.
 
     Deliberately engine-portable (plain integer arithmetic, no engine
     hash builtin) so the DuckDB oracle can verify it bit-for-bit; the
-    fast non-portable alternative is ``F.xxhash64``.
+    fast non-portable alternative is ``F.xxhash64``. ``base`` selects a
+    hash-family member (31 default; 131 gives an independent second hash
+    for the 62-bit portable SimHash).
     """
     c = F.col(text) if isinstance(text, str) else text
     codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("bigint"))
     return F.aggregate(
         codes,
         F.lit(0).cast("bigint"),
-        lambda acc, code: (acc * FNV_BASE + code) % FNV_MOD,
+        lambda acc, code: (acc * base + code) % FNV_MOD,
     )
 
 

@@ -170,18 +170,23 @@ def _hyperplane_band_buckets(
     """Array of banded hyperplane-LSH bucket structs for one vector.
 
     Hyperplane components are pseudo-random but data-independent and
-    engine-deterministic: h_p[j] = (xxhash64(p, j) mod 2001 − 1000)/1000.
+    ENGINE-PORTABLE — plain int64 arithmetic, no engine hash builtin:
+    ``h_p[j] = (((p·dim + j + 1)·2654435761 mod (2^31−1)) mod 2001 − 1000)/1000``
+    (Knuth multiplicative constant), so an external engine reproduces the
+    planes, sign bits, buckets — and therefore the candidate set — bit-
+    for-bit; the canonical ANN query is oracle-checked on exactly this.
     Sign bits are grouped into ``bands`` bands (MinHash-style banding:
-    any band agreeing → candidate), each band's bit pattern hashed into
+    any band agreeing → candidate), each band's bit pattern summed into
     a bucket id. Unrolled in Python so every shift amount is a literal.
     """
     def _plane_fold(p: int):
         # closure factory: a default-arg lambda would look 3-ary to
         # PySpark's higher-order-function signature inspection
         def fold(acc: Column, j: Column) -> Column:
-            component = (
-                F.pmod(F.xxhash64(F.lit(p), j), F.lit(2001)) - 1000
-            ) / F.lit(1000.0)
+            v = (
+                (j.cast("bigint") + F.lit(p * dim + 1)) * F.lit(2654435761)
+            ) % F.lit(2147483647)
+            component = (v % F.lit(2001) - 1000) / F.lit(1000.0)
             return acc + F.element_at(F.col(vec_col), j + 1).cast("double") * component
 
         return fold

@@ -223,27 +223,164 @@ def b27_dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# B27 — MinHash-LSH (the 100 TB path; engine-hash-based → rows-only,
-# exact-twin agreement asserted in pytest).
+# B27 — MinHash-LSH (the 100 TB path). The canonical query runs the
+# PORTABLE hash family (31-bit polynomial base hash + affine rehashes +
+# polynomial band buckets — operators/dedup.py), so the oracle recomputes
+# the ENTIRE sketch pipeline — signatures, banding, bucket join, estimate
+# — bit-for-bit in DuckDB: a full hash check, not a recall argument.
+# The xxhash64 family (engine-builtin, the throughput default) keeps the
+# same plan shape and is registered below as a pytest-checked variant.
 # --------------------------------------------------------------------------
+
+# DuckDB mirror of the portable MinHash constants in operators/dedup.py.
+_DUCK_STR_HASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(string_split({s}, ''), c -> CAST(ascii(c) AS BIGINT))),"
+    " (acc, c) -> (acc * 31 + c) % 2147483647)"
+)
+
+
 @register(
     "b27_dedup_minhash_lsh",
-    oracle=None,
-    doc="MinHash(16) + 4-band LSH candidate pairs with estimated Jaccard ≥ 0.5.",
+    oracle=f"""
+      WITH {_DUCK_SHINGLES},
+      hs AS (
+        SELECT doc_id, {_DUCK_STR_HASH.format(s='shingle')} AS h FROM sh
+      ),
+      mins AS (
+        SELECT doc_id, t.i AS i,
+               MIN((h * (1103515245 + 2 * t.i) + (12345 + 97 * t.i))
+                   % 2147483647) AS m
+        FROM hs, UNNEST(generate_series(0, 15)) AS t(i)
+        GROUP BY doc_id, t.i
+      ),
+      sig AS (
+        SELECT doc_id, list(m ORDER BY i) AS sig FROM mins GROUP BY doc_id
+      ),
+      banded AS (
+        SELECT doc_id, sig, tb.band AS band,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                              sig[tb.band * 4 + 1 : tb.band * 4 + 4]),
+                 (acc, m) -> (acc * 1000003 + m) % 2147483647) AS bucket
+        FROM sig, UNNEST(generate_series(0, 3)) AS tb(band)
+      )
+      SELECT DISTINCT doc_a, doc_b, est_jaccard FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_filter(generate_series(1, 16),
+                                    i -> a.sig[i] = b.sig[i])) AS DOUBLE)
+                 / 16.0 AS est_jaccard
+        FROM banded a
+        JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      ) WHERE est_jaccard >= 0.5
+    """,
+    doc="MinHash(16, portable hash family) + 4-band LSH candidate pairs, est Jaccard ≥ 0.5.",
     tags=("B27",),
 )
 def b27_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
+    return dd.minhash_lsh_pairs(spark.table("documents"), hash_fn="portable")
+
+
+@register(
+    "b27_dedup_minhash_lsh_xx",
+    oracle=None,
+    doc="MinHash-LSH, xxhash64 family (throughput default; same plan shape as canonical).",
+    tags=("B27",),
+)
+def b27_dedup_minhash_lsh_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
     return dd.minhash_lsh_pairs(spark.table("documents"))
+
+
+def _duck_poly_hash(base: int) -> str:
+    """Polynomial token hash with the given base (mirror of
+    textops.rolling_fingerprint(w, base))."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        " list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),"
+        f" (acc, c) -> (acc * {base} + c) %% 2147483647)"
+    ).replace("%%", "%")
+
+
+def _duck_simhash_pairs() -> str:
+    """DuckDB mirror of the portable 62-bit SimHash (operators/dedup.py):
+    two independent 31-bit polynomial hashes (bases 31/131), double-square
+    avalanche, bit votes, 16-bit chunk buckets, Hamming ≤ 3."""
+    votes = ",\n               ".join(
+        [f"SUM((ha >> {b}) & 1) AS o{b}" for b in range(31)]
+        + [f"SUM((hb >> {b}) & 1) AS o{31 + b}" for b in range(31)]
+    )
+    sketch = "\n               + ".join(
+        f"CASE WHEN 2 * o{b} > n THEN CAST(1 AS BIGINT) << {b} ELSE 0 END"
+        for b in range(62)
+    )
+    return f"""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ),
+      th AS (
+        SELECT doc_id, {_duck_poly_hash(31)} AS pa, {_duck_poly_hash(131)} AS pb
+        FROM tok
+      ),
+      t1 AS (
+        SELECT doc_id,
+               ((pa + 700000001) * (pa + 700000001)) % 2147483647 AS a1,
+               ((pb + 700000001) * (pb + 700000001)) % 2147483647 AS b1
+        FROM th
+      ),
+      t2 AS (
+        SELECT doc_id,
+               ((a1 + 700000001) * (a1 + 700000001)) % 2147483647 AS ha,
+               ((b1 + 700000001) * (b1 + 700000001)) % 2147483647 AS hb
+        FROM t1
+      ),
+      votes AS (
+        SELECT doc_id, COUNT(*) AS n,
+               {votes}
+        FROM t2 GROUP BY doc_id
+      ),
+      sk AS (
+        SELECT doc_id,
+               ({sketch}) AS simhash
+        FROM votes
+      ),
+      chunks AS (
+        SELECT doc_id, simhash, tc.c AS chunk,
+               (simhash >> (tc.c * 16)) & 65535 AS val
+        FROM sk, UNNEST(generate_series(0, 3)) AS tc(c)
+      )
+      SELECT DISTINCT doc_a, doc_b, hamming FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_filter(generate_series(0, 61),
+                      bb -> ((xor(a.simhash, b.simhash) >> bb) & 1) = 1))
+                    AS BIGINT) AS hamming
+        FROM chunks a
+        JOIN chunks b
+          ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+      ) WHERE hamming <= 3
+    """
 
 
 @register(
     "b27_dedup_simhash",
-    oracle=None,
-    doc="SimHash64 near-dup pairs (16-bit chunk buckets, Hamming ≤ 3).",
+    oracle=_duck_simhash_pairs(),
+    doc="SimHash62 (portable two-hash family) near-dup pairs: 16-bit chunk buckets, Hamming ≤ 3.",
     tags=("B27",),
 )
 def b27_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return dd.simhash_pairs(spark.table("documents"), hash_fn="portable")
+
+
+@register(
+    "b27_dedup_simhash_xx",
+    oracle=None,
+    doc="SimHash64, xxhash64 family (throughput default; same plan shape as canonical).",
+    tags=("B27",),
+)
+def b27_dedup_simhash_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
     return dd.simhash_pairs(spark.table("documents"))
 
@@ -319,7 +456,47 @@ def b28_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "b28_ann_ivf",
-    oracle=None,
+    # Fully deterministic (fixed vec_id%97 centroid seeding + sequential-
+    # fold cosine, the same fold b28_cosine_topk already hash-matches), so
+    # the whole IVF pipeline — argmin assignment, nprobe probe, bucket-
+    # local rank — is plain SQL over the same fixture.
+    oracle=f"""
+      WITH cents AS (
+        SELECT vec_id AS centroid_id, embedding FROM embeddings
+        WHERE vec_id % 97 = 0
+      ),
+      assign AS (
+        SELECT vec_id, centroid_id FROM (
+          SELECT e.vec_id, c.centroid_id,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_DUCK_COS.format(a='e', b='c')} DESC, c.centroid_id) AS rn
+          FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+      ),
+      probe AS (
+        SELECT query_id, centroid_id FROM (
+          SELECT q.vec_id AS query_id, c.centroid_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_DUCK_COS.format(a='q', b='c')} DESC, c.centroid_id) AS rn
+          FROM embeddings q CROSS JOIN cents c
+          WHERE q.vec_id < 5
+        ) WHERE rn <= 2
+      ),
+      cand AS (
+        SELECT p.query_id, e.vec_id AS neighbor_id,
+               {_DUCK_COS.format(a='q', b='e')} AS cos
+        FROM probe p
+        JOIN assign a ON a.centroid_id = p.centroid_id
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        WHERE e.vec_id <> p.query_id
+      )
+      SELECT query_id, neighbor_id, cos, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        FROM cand
+      ) WHERE rank <= 5
+    """,
     doc="IVF ANN: nearest-centroid buckets (vec_id %% 97 == 0 seeds), nprobe=2, top-5.",
     tags=("B28",),
 )
@@ -786,11 +963,64 @@ def _pack_sharded(docs: DataFrame, shards: int = 32) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # B28 — banded random-hyperplane LSH ANN (the vector analog of the
-# MinHash-LSH text path). Rows-only; recall vs brute force in pytest.
+# MinHash-LSH text path). The plane components are engine-portable int64
+# arithmetic (operators/vectors.py:_hyperplane_band_buckets), so the
+# oracle reproduces planes → sign bits → band buckets → candidate set →
+# exact rerank bit-for-bit: the full ANN pipeline is hash-checked.
 # --------------------------------------------------------------------------
+
+
+def _duck_lsh_hyperplane() -> str:
+    """DuckDB mirror of lsh_topk(planes=16, bands=4, dim=64, k=5)."""
+
+    def dot(p: int) -> str:
+        # identical fold order + arithmetic as _plane_fold: left fold over
+        # j = 0..63 of emb[j+1] * ((((j + p*64 + 1) * 2654435761)
+        # % (2^31-1)) % 2001 - 1000) / 1000.0
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(generate_series(0, 63), "
+            f"j -> e.embedding[j + 1]::DOUBLE * (((((j + {p * 64 + 1}) * 2654435761) "
+            "% 2147483647) % 2001 - 1000) / 1000.0))), (x, y) -> x + y)"
+        )
+
+    def bucket(band: int) -> str:
+        return " + ".join(
+            f"CASE WHEN {dot(band * 4 + i)} > 0 THEN {1 << i} ELSE 0 END"
+            for i in range(4)
+        )
+
+    bb = "\n        UNION ALL ".join(
+        f"SELECT vec_id, {band} AS band, CAST({bucket(band)} AS BIGINT) AS bucket FROM embeddings e"
+        for band in range(4)
+    )
+    return f"""
+      WITH bb AS (
+        {bb}
+      ),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM bb c JOIN bb q ON c.band = q.band AND c.bucket = q.bucket
+        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+      ),
+      scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               {_DUCK_COS.format(a='qe', b='ce')} AS cos
+        FROM cand
+        JOIN embeddings qe ON qe.vec_id = cand.query_id
+        JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+      )
+      SELECT query_id, neighbor_id, cos, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored
+      ) WHERE rank <= 5
+    """
+
+
 @register(
     "b28_ann_lsh_hyperplane",
-    oracle=None,
+    oracle=_duck_lsh_hyperplane(),
     doc="Banded hyperplane-LSH ANN: 16 sign bits / 4 bands, bucket-local exact rerank.",
     tags=("B28",),
 )
