@@ -12,10 +12,23 @@ never O(corpus²).
 Batch-split invariance (pytest-pinned): a document is flagged iff some
 *earlier* document (previous batch, or same batch with a smaller id)
 collides on a full band with signature agreement ≥ the threshold. That
-predicate does not mention batch boundaries, so any split of the feed —
-one batch, three batches, one file per document — yields identical
-flags, and the single-batch run equals the flags derived from the batch
-operator ``minhash_lsh_pairs``.
+predicate does not mention batch boundaries, so any split of the feed
+yields identical flags PROVIDED arrival order is id-monotone (each batch
+holds ids larger than every previous batch's — the natural shape for
+log-structured ingest where doc ids are assigned at arrival). If a
+SMALLER id arrives after a larger near-duplicate, the ``doc_a < doc_b``
+orientation means the earlier larger id keeps its not-dup flag — the
+late arrival is flagged instead; flags then differ from the single-batch
+run, which would have flagged the larger id. The invariance claim and
+its pytest pin cover the id-monotone regime only.
+
+Durability (mirrors streaming/epoch_store.py): both sinks are
+epoch-partitioned with dynamic partition overwrite, so a crash-replayed
+micro-batch (foreachBatch is at-least-once) overwrites its OWN epoch
+partition instead of appending duplicate flag rows / dead store copies.
+The signature store additionally compacts into a base partition once it
+holds more than ``compact_after`` live epochs, bounding per-batch file
+listing and read fan-in on long-lived streams.
 """
 
 from __future__ import annotations
@@ -24,24 +37,15 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from hive_plan_service_spark.operators.dedup import (
     banded_signatures,
     minhash_signatures,
 )
 from hive_plan_service_spark.session import tune
+from hive_plan_service_spark.streaming import epoch_store
 
-#: File schema of the documents parquet (TESTDATA.md).
-DOCS_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("lang", T.StringType()),
-        T.StructField("source", T.StringType()),
-        T.StructField("n_chars", T.LongType()),
-    ]
-)
+_STORE_COLS = ("doc_a", "sig_a", "band", "bucket")
 
 
 class StreamingDedupIngest:
@@ -57,6 +61,7 @@ class StreamingDedupIngest:
         num_hashes: int = 16,
         bands: int = 4,
         est_threshold: float = 0.5,
+        compact_after: int = 8,
     ):
         self.spark = spark
         self.docs_path = docs_path
@@ -66,6 +71,7 @@ class StreamingDedupIngest:
         self.num_hashes = num_hashes
         self.bands = bands
         self.est_threshold = est_threshold
+        self.compact_after = compact_after
 
     def _est(self) -> F.Column:
         agree = F.size(
@@ -75,6 +81,23 @@ class StreamingDedupIngest:
             )
         )
         return agree / F.lit(float(self.num_hashes))
+
+    def _read_store(self) -> DataFrame | None:
+        """Live signature rows (newest base + epochs beyond it), or None.
+
+        The read rule resolves from the directory listing (driver-side
+        metadata, no Spark job); the common never-compacted case skips
+        the coverage join entirely.
+        """
+        if not os.path.isdir(self.store):
+            return None
+        base, _ = epoch_store.live_epochs(
+            epoch_store.scan_epoch_dirs(self.store)
+        )
+        df = self.spark.read.parquet(self.store)
+        if base is not None:
+            df = epoch_store.valid_partials(df)
+        return df.select(*_STORE_COLS)
 
     def _ingest(self, batch_df: DataFrame, epoch_id: int) -> None:
         banded = banded_signatures(
@@ -92,23 +115,22 @@ class StreamingDedupIngest:
             "band",
             "bucket",
         )
-        # earlier docs: everything in the store (previous batches) …
-        earlier_sides = []
-        if os.path.isdir(self.store):
-            earlier_sides.append(self.spark.read.parquet(self.store))
+        # earlier docs: everything live in the store (previous batches;
+        # on a crash-replay this may already include this very batch's
+        # rows — harmless: they duplicate the same-batch side below and
+        # dup_ids is distinct) …
+        earlier = self._read_store()
         # … plus same-batch docs with a smaller id (the batch twin's
         # doc_a < doc_b orientation)
-        earlier_sides.append(
-            banded.select(
-                F.col("doc_id_").alias("doc_a"),
-                F.col("sig").alias("sig_a"),
-                "band",
-                "bucket",
-            )
+        same_batch = banded.select(
+            F.col("doc_id_").alias("doc_a"),
+            F.col("sig").alias("sig_a"),
+            "band",
+            "bucket",
         )
-        earlier = earlier_sides[0]
-        for side in earlier_sides[1:]:
-            earlier = earlier.unionByName(side)
+        earlier = (
+            same_batch if earlier is None else earlier.unionByName(same_batch)
+        )
 
         dup_ids = (
             new.join(earlier, ["band", "bucket"])
@@ -122,20 +144,60 @@ class StreamingDedupIngest:
             .join(dup_ids.withColumn("is_dup", F.lit(True)), "doc_id", "left")
             .select("doc_id", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
         )
-        flags.write.mode("append").parquet(self.flags)
+        (
+            flags.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(self.flags)
+        )
         # duplicates append too: they are legitimate earliest-matches for
         # later arrivals (and this is what makes flags split-invariant)
-        banded.select(
-            F.col("doc_id_").alias("doc_a"),
-            F.col("sig").alias("sig_a"),
-            "band",
-            "bucket",
-        ).write.mode("append").parquet(self.store)
+        (
+            same_batch.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(self.store)
+        )
+        self._compact_store(epoch_id)
+
+    def _compact_store(self, epoch_id: int) -> None:
+        """Rewrite the live store under a base epoch once the epoch count
+        exceeds ``compact_after``. Signature rows are an append-only set
+        (each doc ingested once), so "merge" is a plain rewrite — the
+        simple full-rewrite policy; a tiered scheme would amortize better
+        at extreme batch counts but the read rule is identical."""
+        old_base, raw = epoch_store.live_epochs(
+            epoch_store.scan_epoch_dirs(self.store)
+        )
+        if (1 if old_base is not None else 0) + len(raw) <= self.compact_after:
+            return
+        live = self.spark.read.parquet(self.store)
+        if old_base is not None:
+            live = epoch_store.valid_partials(live)
+        base = epoch_store.base_epoch(epoch_id)
+        (
+            live.select(*_STORE_COLS)
+            .withColumn("epoch", F.lit(base))
+            .repartition("bucket")  # cluster the probe join key
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(self.store)
+        )
+        epoch_store.gc_stale_epochs(self.store, base)
 
     def run(self, max_files_per_trigger: int | None = None) -> DataFrame:
-        """Ingest everything pending; return the (doc_id, is_dup) flags."""
+        """Ingest everything pending; return the (doc_id, is_dup) flags.
+
+        The stream schema is SNIFFED from the parquet footers (one batch
+        driver-side metadata read), never hardcoded — fixture physical
+        types are not contractual (CLAUDE.md invariant 3).
+        """
         tune(self.spark)
-        reader = self.spark.readStream.schema(DOCS_SCHEMA)
+        observed = self.spark.read.parquet(self.docs_path).schema
+        reader = self.spark.readStream.schema(observed)
         if max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         path = self.docs_path
@@ -150,4 +212,4 @@ class StreamingDedupIngest:
             .start()
         )
         q.awaitTermination()
-        return self.spark.read.parquet(self.flags)
+        return self.spark.read.parquet(self.flags).select("doc_id", "is_dup")

@@ -290,6 +290,146 @@ def test_stream_dedup_ingest_is_batch_split_invariant(spark, sf_dir, tmp_path):
     assert {d for d, f in flags_one.items() if f} == dup_truth
 
 
+def test_continuous_rollup_compaction_bounds_refresh_input(spark, sf_dir, tmp_path):
+    """A hot day replayed across many epochs must NOT make each refresh
+    re-read O(#batches) partial files: once live epochs exceed
+    ``compact_after`` they fold into a base partial, so per-refresh
+    staged input stays bounded — and the rollup still equals the full
+    recompute, including after a crash-replay of the compacting epoch."""
+    from hive_plan_service_spark.streaming.continuous_agg import (
+        ContinuousHourlyRollup,
+    )
+
+    register_tables(spark, sf_dir)
+    ev = _events(spark, table_path(sf_dir, "events"))
+    min_day = ev.select(
+        F.expr("min(unix_timestamp(ts) div 86400)").alias("d")
+    ).collect()[0]["d"]
+    hot = ev.filter(F.expr(f"unix_timestamp(ts) div 86400 = {min_day}"))
+    buckets_day = (
+        hot.select(
+            F.expr("unix_timestamp(ts) div 3600").alias("h"), "event_type"
+        )
+        .distinct()
+        .count()
+    )
+    n_batches = 12
+    maintainer = ContinuousHourlyRollup(
+        spark,
+        table_path(sf_dir, "events"),
+        str(tmp_path / "work_hot"),
+        track_batch_input_rows=True,
+        compact_after=3,
+    )
+    for e in range(n_batches):
+        maintainer._refresh_buckets(
+            hot.filter(F.col("event_id") % n_batches == e), epoch_id=e
+        )
+    # bounded: at most compact_after epoch partials + one base partial
+    # are ever live, each holding ≤ buckets_day rows
+    bound = (maintainer.compact_after + 2) * buckets_day
+    assert max(maintainer.batch_input_rows) <= bound, (
+        maintainer.batch_input_rows,
+        bound,
+    )
+    # without compaction the LAST refresh alone would have read all 12
+    # epoch partials — prove the bound is actually doing something
+    assert maintainer.batch_input_rows[-1] < n_batches * buckets_day / 2
+
+    def _rollup_state():
+        return {
+            (r["hour_bucket"], r["event_type"]): (r["n"], r["total_value"])
+            for r in spark.read.parquet(maintainer.out).collect()
+        }
+
+    want = {
+        (r["hour_bucket"], r["event_type"]): (r["n"], r["tv"])
+        for r in hot.withColumn(
+            "hour_bucket", F.expr("unix_timestamp(ts) div 3600")
+        )
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("tv"),
+        )
+        .collect()
+    }
+    assert _rollup_state() == want
+    # crash-replay of the final epoch (which may have compacted): the
+    # read rule must ignore the re-staged rows against the base
+    maintainer._refresh_buckets(
+        hot.filter(F.col("event_id") % n_batches == n_batches - 1),
+        epoch_id=n_batches - 1,
+    )
+    assert _rollup_state() == want, "replay after compaction double-counted"
+
+
+def test_stream_dedup_ingest_replay_and_compaction(spark, sf_dir, tmp_path):
+    """(1) Replaying an ingest epoch leaves flags AND the signature store
+    identical (epoch-partitioned dynamic overwrite, not blind append).
+    (2) With aggressive store compaction the many-batch flags still equal
+    the batch operator's truth."""
+    import hive_plan_service_spark.operators.dedup as dd
+    from hive_plan_service_spark.streaming.dedup_ingest import (
+        StreamingDedupIngest,
+    )
+
+    register_tables(spark, sf_dir)
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+
+    # (1) replay idempotence
+    ing = StreamingDedupIngest(
+        spark, table_path(sf_dir, "documents"), str(tmp_path / "replay")
+    )
+    ing._ingest(docs, epoch_id=0)
+
+    def _state():
+        flags = {
+            (r["doc_id"], r["is_dup"])
+            for r in spark.read.parquet(ing.flags).collect()
+        }
+        store = spark.read.parquet(ing.store).count()
+        return flags, store
+
+    before = _state()
+    ing._ingest(docs, epoch_id=0)  # crash-replay, same epoch
+    assert _state() == before, "replayed ingest epoch appended duplicates"
+
+    # (2) compaction preserves flags across many batches
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    n_batches = 6
+    cuts = [ids[len(ids) * k // n_batches] for k in range(1, n_batches)]
+    ing2 = StreamingDedupIngest(
+        spark,
+        table_path(sf_dir, "documents"),
+        str(tmp_path / "compact"),
+        compact_after=2,
+    )
+    lo = None
+    for e, hi in enumerate(cuts + [None]):
+        cond = F.lit(True) if lo is None else (F.col("doc_id") >= lo)
+        if hi is not None:
+            cond = cond & (F.col("doc_id") < hi)
+        ing2._ingest(docs.filter(cond), epoch_id=e)
+        lo = hi
+    import os as _os
+
+    live_dirs = [
+        d for d in _os.listdir(ing2.store) if d.startswith("epoch=")
+    ]
+    assert len(live_dirs) <= ing2.compact_after + 2, live_dirs
+    flags = {
+        r["doc_id"]
+        for r in spark.read.parquet(ing2.flags).collect()
+        if r["is_dup"]
+    }
+    truth = {
+        r["doc_b"]
+        for r in dd.minhash_lsh_pairs(docs, est_threshold=0.5).collect()
+    }
+    assert flags == truth
+
+
 def test_continuous_rollup_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
     """foreachBatch is at-least-once: re-running a batch with the SAME
     epoch id must leave the rollup bit-identical (the (day, epoch)
