@@ -295,6 +295,7 @@ def pq_train_codebooks(
     corpus: DataFrame,
     *,
     vec: str = "embedding",
+    id_col: str = "vec_id",
     subspaces: int = 4,
     codes: int = 16,
     dim: int = 64,
@@ -313,14 +314,24 @@ def pq_train_codebooks(
 
     width = dim // subspaces
     subs = corpus.select(
+        F.col(id_col),
         F.posexplode(_subvectors(F.col(vec), subspaces, dim)).alias(
             "s", "subvec"
-        )
+        ),
     )
     rows = []
     for s in range(subspaces):
-        feat = subs.filter(F.col("s") == s).select(
-            array_to_vector(F.col("subvec")).alias("features")
+        # k-means centers are float sums, so they depend on the reduction
+        # order. Pinning the training input to a FIXED partition count,
+        # hash-keyed and sorted by id, makes the per-partition fold and
+        # the partition-combine order functions of the data alone — the
+        # registered PQ/IVF queries reproduce across cluster layouts,
+        # not just within one session.
+        feat = (
+            subs.filter(F.col("s") == s)
+            .repartition(8, F.col(id_col))
+            .sortWithinPartitions(id_col)
+            .select(array_to_vector(F.col("subvec")).alias("features"))
         )
         model = KMeans(k=codes, seed=seed + s, maxIter=max_iter).fit(feat)
         rows += [

@@ -762,8 +762,13 @@ def b28_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_tables(spark, sf_dir)
     emb = spark.table("embeddings")
-    feat = emb.select(
-        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+    # fixed-count, id-keyed, sorted training partitioning: the float
+    # reduction order (and so the centers) reproduces across cluster
+    # layouts, not just within one session (see pq_train_codebooks)
+    feat = (
+        emb.select("vec_id", array_to_vector(F.col("embedding")).alias("features"))
+        .repartition(8, F.col("vec_id"))
+        .sortWithinPartitions("vec_id")
     )
     model = KMeans(k=8, seed=42, maxIter=5).fit(feat)
     centroids = spark.createDataFrame(

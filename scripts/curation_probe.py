@@ -9,7 +9,9 @@ shuffle-free ops (normalize, PII scrub, split) should grow sub-linearly
 (scan-bound); nothing should inflect quadratically — that would mean a
 pair explosion or a lost partial aggregate.
 
-Usage: python scripts/curation_probe.py [multipliers...]  (default 1 4 16)
+Usage: python scripts/curation_probe.py [--hash-keys] [multipliers...]
+(default 1 4 16; --hash-keys switches the segment/shingle join keys to
+xxhash64 — the production shuffle-width knob, see curation_ops.HASH_JOIN_KEYS)
 """
 
 from __future__ import annotations
@@ -43,7 +45,12 @@ PROBED = (
 
 
 def main() -> None:
-    mults = [int(m) for m in sys.argv[1:]] or [1, 4, 16]
+    args = sys.argv[1:]
+    if "--hash-keys" in args:
+        args.remove("--hash-keys")
+        import hive_plan_service_spark.plans.curation_ops as co
+        co.HASH_JOIN_KEYS = True
+    mults = [int(m) for m in args] or [1, 4, 16]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="hpss-curation-probe")
     register_tables(spark, sf_dir)

@@ -6,7 +6,10 @@ The exact shingle self-join grows with candidate pairs; the LSH path
 stays ~linear in documents — the measured basis for the engine's claim
 that LSH is the 100 TB path. Not part of CI (minutes at high N).
 
-Usage: python scripts/scale_probe.py [multipliers...]  (default 1 2 4)
+Usage: python scripts/scale_probe.py [--no-exact] [multipliers...]
+(default 1 2 4; --no-exact skips the all-pairs truth join — required
+past ~100k docs; also times the max_bucket-capped LSH variant, the
+degenerate-bucket guard for boilerplate-heavy corpora)
 """
 
 from __future__ import annotations
@@ -39,7 +42,11 @@ def multiplied_docs(spark, mult: int):
 
 
 def main() -> None:
-    mults = [int(m) for m in sys.argv[1:]] or [1, 2, 4]
+    args = sys.argv[1:]
+    run_exact = "--no-exact" not in args
+    if not run_exact:
+        args.remove("--no-exact")
+    mults = [int(m) for m in args] or [1, 2, 4]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="hpss-scale-probe")
     register_tables(spark, sf_dir)
@@ -51,15 +58,22 @@ def main() -> None:
         lsh_pairs = dd.minhash_lsh_pairs(docs).count()
         t_lsh = time.perf_counter() - t0
         t0 = time.perf_counter()
-        exact_pairs = dd.jaccard_pairs(docs, threshold=0.5).count()
-        t_exact = time.perf_counter() - t0
+        capped_pairs = dd.minhash_lsh_pairs(docs, max_bucket=64).count()
+        t_capped = time.perf_counter() - t0
+        exact_pairs, t_exact = None, None
+        if run_exact:
+            t0 = time.perf_counter()
+            exact_pairs = dd.jaccard_pairs(docs, threshold=0.5).count()
+            t_exact = time.perf_counter() - t0
         results.append(
             {
                 "mult": mult,
                 "n_docs": n_docs,
                 "lsh_sec": round(t_lsh, 2),
+                "lsh_capped_sec": round(t_capped, 2),
+                "capped_pairs": capped_pairs,
                 "lsh_pairs": lsh_pairs,
-                "exact_sec": round(t_exact, 2),
+                "exact_sec": round(t_exact, 2) if t_exact is not None else None,
                 "exact_pairs": exact_pairs,
             }
         )

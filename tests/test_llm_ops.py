@@ -353,3 +353,49 @@ def test_pagerank_matches_integer_model(spark, sf_dir):
             for v in nodes
         }
     assert got == rank
+
+
+def test_lsh_banding_survives_adversarial_near_threshold_pairs(spark):
+    """Fixture-regeneration canary (VERDICT r2 watch item): the oracle-
+    green cluster/pipeline queries tie a PROBABILISTIC LSH candidate
+    stage to an EXACT oracle. Construct pairs engineered to sit right at
+    the thresholds — J ≈ 0.885/0.903 around the pipeline's 0.9 verify,
+    J ≈ 0.496/0.508 around the clusters' 0.5 — and assert both banded
+    shapes still recover the exact edge set. xxhash64 is deterministic,
+    so this either holds for good or fails loudly now, never flakily.
+    """
+    rows = []
+    doc_id = 0
+    # each pair gets its own token namespace: no cross-pair shingles
+    for pair, swap in enumerate([5, 6] * 15 + [32, 33] * 15):
+        n = 100
+        base = [f"p{pair}t{i}" for i in range(n)]
+        rows.append((doc_id, " ".join(base)))
+        mutated = base[: n - swap] + [f"p{pair}u{i}" for i in range(swap)]
+        rows.append((doc_id + 1, " ".join(mutated)))
+        doc_id += 2
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def edges(df):
+        return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+    # pipeline shape: 16 hashes / 8 bands, est >= 0.5, verify 0.9
+    cands = dd.minhash_lsh_pairs(docs, num_hashes=16, bands=8, est_threshold=0.5)
+    verified = edges(dd.jaccard_verify_pairs(docs, cands, threshold=0.9))
+    exact_09 = edges(dd.jaccard_pairs(docs, threshold=0.9))
+    assert verified == exact_09, (
+        len(verified), len(exact_09), "pipeline banding missed a J~0.9 pair"
+    )
+    assert len(exact_09) == 15, len(exact_09)  # the J=0.903 side only
+
+    # clusters shape: 64 hashes / 32 bands, est >= 0.0, verify 0.5
+    cands_w = dd.minhash_lsh_pairs(
+        docs, num_hashes=64, bands=32, est_threshold=0.0
+    )
+    verified_05 = edges(dd.jaccard_verify_pairs(docs, cands_w, threshold=0.5))
+    exact_05 = edges(dd.jaccard_pairs(docs, threshold=0.5))
+    assert verified_05 == exact_05, (
+        len(verified_05), len(exact_05), "cluster banding missed a J~0.5 pair"
+    )
+    # everything at or above 0.5: the 0.903, 0.885 and 0.508 sides
+    assert len(exact_05) == 45, len(exact_05)

@@ -18,3 +18,20 @@ def test_rows_only_query_is_deterministic(spark, sf_dir, name):
     a = canonical_rows(q.fn(spark, sf_dir).toPandas())
     b = canonical_rows(q.fn(spark, sf_dir).toPandas())
     assert a == b, f"{name} differs across identical runs"
+
+
+@pytest.mark.parametrize("name", ["b28_ann_pq", "b28_ann_ivf_kmeans"])
+def test_kmeans_queries_survive_partitioning_change(spark, sf_dir, name):
+    """MLlib k-means centers are float-accumulation-order dependent; the
+    queries pin an explicit fixed training partitioning, so the result
+    must not move when the SESSION's default parallelism knobs do — the
+    proxy for running on a differently-sized cluster."""
+    q = all_queries()[name]
+    a = canonical_rows(q.fn(spark, sf_dir).toPandas())
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        b = canonical_rows(q.fn(spark, sf_dir).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert a == b, f"{name} moved with session partitioning"
