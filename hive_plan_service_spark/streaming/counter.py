@@ -65,6 +65,17 @@ def stateful_counter_stream(spark: SparkSession, events_path: str) -> DataFrame:
     Emits the running value per batch; the last emission is the answer.
     On a full single-batch replay this equals the batch last-writer-wins
     fold (oracle-checked).
+
+    DELIBERATE no-Python-rule carve-out: this is the one registered query
+    whose data path executes Python (``applyInPandasWithState`` has no
+    JVM surface — demonstrating the custom-stateful-operator API is the
+    point of B24). It stays scale-safe anyway: state is O(#counter keys),
+    each key's per-batch commands arrive as ONE Arrow batch, and the fold
+    is a per-key serial reduction that no JVM aggregate can express
+    (order-dependent SET). tests/test_plans.py's BatchEvalPython ban
+    covers scalar paths; streaming/effectful queries are excluded there
+    (``_EFFECTFUL``), so the ban stays crisp: JVM-side everywhere except
+    where Python IS the operator under test (B24/B26/B30).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
