@@ -226,18 +226,29 @@ class ContinuousHourlyRollup:
         Compacting every day present in the raw files is what makes the
         raw-epoch GC sound: a raw directory may hold days this batch did
         not touch, and it can only be deleted once each of its days is
-        covered by a base. Cost is O(live partial rows) — bounded by
-        ``compact_after`` batches of partials — paid once per
+        covered by a base. Days with NO live raw rows keep their old
+        bases untouched (per-day coverage is independent), so a
+        compaction rewrites O(days recently touched), never the full
+        history — on a years-long stream the base for a cold day is
+        written once and never again. Cost is O(live raw partial rows) —
+        bounded by ``compact_after`` batches — paid once per
         ``compact_after`` batches.
         """
         raw = self.spark.read.parquet(self.seen_raw).select(
             *_PARTIAL_COLS, "epoch"
         )
+        # bounded control-flow collect: distinct days inside ≤
+        # compact_after+1 epochs of partials
+        raw_days = [
+            r["day_bucket"]
+            for r in raw.select("day_bucket").distinct().collect()
+        ]
+        raw = raw.filter(F.col("day_bucket").isin(raw_days))
         if os.path.isdir(self.seen_base):
             raw = raw.unionByName(
-                self.spark.read.parquet(self.seen_base).select(
-                    *_PARTIAL_COLS, "epoch"
-                )
+                self.spark.read.parquet(self.seen_base)
+                .filter(F.col("day_bucket").isin(raw_days))
+                .select(*_PARTIAL_COLS, "epoch")
             )
         live = epoch_store.valid_partials(raw, group_cols=("day_bucket",))
         merged_all = (
@@ -247,10 +258,7 @@ class ContinuousHourlyRollup:
             .withColumn("epoch", F.lit(epoch_store.base_epoch(epoch_id)))
         ).persist()
         try:
-            days = [
-                r["day_bucket"]
-                for r in merged_all.select("day_bucket").distinct().collect()
-            ]
+            days = raw_days
             conf = self.spark.conf
             before = conf.get(
                 "spark.sql.adaptive.coalescePartitions.enabled", "true"

@@ -364,6 +364,69 @@ def test_continuous_rollup_compaction_bounds_refresh_input(spark, sf_dir, tmp_pa
     assert _rollup_state() == want, "replay after compaction double-counted"
 
 
+def test_continuous_rollup_compaction_leaves_cold_days_alone(spark, sf_dir, tmp_path):
+    """A compaction triggered by recent batches must not rewrite the
+    bases of days with no live raw rows — on a years-long stream a cold
+    day's base is written once, ever (O(recent) compaction cost)."""
+    import os
+
+    from hive_plan_service_spark.streaming.continuous_agg import (
+        ContinuousHourlyRollup,
+    )
+    from hive_plan_service_spark.streaming import epoch_store
+
+    register_tables(spark, sf_dir)
+    ev = _events(spark, table_path(sf_dir, "events"))
+    days = sorted(
+        r["d"]
+        for r in ev.select(
+            F.expr("unix_timestamp(ts) div 86400").alias("d")
+        ).distinct().collect()
+    )
+    assert len(days) >= 2
+    day_a, day_b = days[0], days[1]
+    of_day = lambda d: ev.filter(F.expr(f"unix_timestamp(ts) div 86400 = {d}"))  # noqa: E731
+
+    m = ContinuousHourlyRollup(
+        spark, table_path(sf_dir, "events"), str(tmp_path / "cold"),
+        compact_after=2,
+    )
+    # epochs 0-2 hammer day A; the 3rd exceeds compact_after=2 raw dirs
+    # and compacts, GC-ing every day-A raw row
+    for e in range(3):
+        m._refresh_buckets(of_day(day_a), epoch_id=e)
+    a_dir = os.path.join(m.seen_base, f"day_bucket={day_a}")
+    a_base_before = epoch_store.scan_epoch_dirs(a_dir)
+    assert a_base_before and all(v < 0 for v in a_base_before)
+    # epochs 3-6 hammer day B → second compaction; day A has no live raw
+    # rows anywhere, so its base must not move
+    for e in range(3, 7):
+        m._refresh_buckets(of_day(day_b), epoch_id=e)
+    b_dir = os.path.join(m.seen_base, f"day_bucket={day_b}")
+    assert epoch_store.scan_epoch_dirs(b_dir), "day B never compacted"
+    assert epoch_store.scan_epoch_dirs(a_dir) == a_base_before, (
+        "cold day A's base was rewritten by day B's compaction"
+    )
+    # and the rollup is still the full recompute: each hammer epoch
+    # re-fed the whole day, so day A buckets count 3x, day B 4x
+    got = {
+        (r["hour_bucket"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(m.out).collect()
+    }
+    want = {
+        (r["hour_bucket"], r["event_type"]): r["n"]
+        * (3 if r["hour_bucket"] // 24 == day_a else 4)
+        for r in ev.filter(
+            F.expr(f"unix_timestamp(ts) div 86400 in ({day_a}, {day_b})")
+        )
+        .withColumn("hour_bucket", F.expr("unix_timestamp(ts) div 3600"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_stream_dedup_ingest_replay_and_compaction(spark, sf_dir, tmp_path):
     """(1) Replaying an ingest epoch leaves flags AND the signature store
     identical (epoch-partitioned dynamic overwrite, not blind append).
