@@ -381,15 +381,17 @@ def simhash_sketches(
     )
     if hash_fn == "portable":
         # one projection computes both halves; aggregates reference the
-        # named columns (never inline the fold per bit — invariant 4)
+        # named columns (never inline the fold per bit — invariant 4),
+        # and the avalanche runs in the fold's FINISH lambda so its 4
+        # references re-read the accumulator variable, not the fold
         h = ex.select(
             "doc_id_",
-            _portable_avalanche(rolling_fingerprint(F.col("w"), base=31)).alias(
-                "ha"
-            ),
-            _portable_avalanche(rolling_fingerprint(F.col("w"), base=131)).alias(
-                "hb"
-            ),
+            rolling_fingerprint(
+                F.col("w"), base=31, finish=_portable_avalanche
+            ).alias("ha"),
+            rolling_fingerprint(
+                F.col("w"), base=131, finish=_portable_avalanche
+            ).alias("hb"),
         )
         halves = [("ha", 31, 0), ("hb", 31, 31)]
     else:

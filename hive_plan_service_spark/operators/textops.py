@@ -47,7 +47,9 @@ def shingles(words: Column, n: int = 3) -> Column:
     )
 
 
-def rolling_fingerprint(text: Column | str, base: int = FNV_BASE) -> Column:
+def rolling_fingerprint(
+    text: Column | str, base: int = FNV_BASE, finish=None
+) -> Column:
     """Polynomial rolling hash of the character stream, mod 2^31−1.
 
     Deliberately engine-portable (plain integer arithmetic, no engine
@@ -55,6 +57,13 @@ def rolling_fingerprint(text: Column | str, base: int = FNV_BASE) -> Column:
     fast non-portable alternative is ``F.xxhash64``. ``base`` selects a
     hash-family member (31 default; 131 gives an independent second hash
     for the 62-bit portable SimHash).
+
+    ``finish`` (a Column→Column post-map, e.g. an avalanche) runs inside
+    the aggregate's finish lambda, where its argument is the accumulator
+    VARIABLE: referencing it many times re-reads a slot instead of
+    re-evaluating the whole fold (expression-tree duplication would
+    otherwise lean on runtime subexpression elimination to stay cheap —
+    pinned by tests/test_plans.py's fold-once plan assertion).
     """
     c = F.col(text) if isinstance(text, str) else text
     codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("bigint"))
@@ -62,6 +71,7 @@ def rolling_fingerprint(text: Column | str, base: int = FNV_BASE) -> Column:
         codes,
         F.lit(0).cast("bigint"),
         lambda acc, code: (acc * base + code) % FNV_MOD,
+        finish if finish is not None else lambda acc: acc,
     )
 
 

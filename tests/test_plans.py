@@ -240,3 +240,26 @@ def test_zorder_layout_improves_box_locality(spark, sf_dir, tmp_path):
     z, p = files_touched(zdir), files_touched(pdir)
     assert z < p, f"z-order should beat the 1-D sort on a 2-D box ({z} vs {p})"
     assert p < n_files, "1-D sort should at least prune its own dimension"
+
+
+@pytest.mark.parametrize(
+    "name,max_folds",
+    [
+        # one char-fold per shingle per self-join side
+        ("b27_dedup_minhash_lsh", 2),
+        # two independent hashes (bases 31/131) per token per side
+        ("b27_dedup_simhash", 4),
+    ],
+)
+def test_portable_sketch_hashes_fold_once_per_row(spark, sf_dir, name, max_folds):
+    """Invariant 4/15 guard for the PORTABLE sketch families: the
+    polynomial char-fold must appear in a Project below the aggregates —
+    once per hash per join side — never re-inlined into each of the
+    16 min() / 62 bit-vote aggregate expressions (the measured 60×
+    CollapseProject trap). `ascii(` counts the fold's only distinctive
+    leaf; Python eval must never appear."""
+    plan = plan_of(spark, sf_dir, name)
+    assert plan.count("ascii") <= max_folds, (
+        f"{name}: char-fold re-inlined {plan.count('ascii')}×"
+    )
+    assert "BatchEvalPython" not in plan, f"{name} fell back to row-python"
