@@ -407,14 +407,39 @@ def b27_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # B27 — embedding near-dup, open-domain scale path (SemDeDup shape):
-# multi-probe nearest-centroid blocking + exact cosine verify. Rows-only
-# (engine-hash centroid seeds); recall ties in tests/test_llm_ops.py —
-# 1.0 on a synthetic near-identical corpus (the target regime), measured
-# floor on the mid-similarity fixture.
+# multi-probe nearest-centroid blocking + exact cosine verify. Fully
+# deterministic (vec_id % 31 centroid seeds + sequential-fold cosine),
+# so the whole blocking pipeline is SQL — oracle-hash-checked since r3;
+# recall ties in tests/test_llm_ops.py cover the label-free regime.
 # --------------------------------------------------------------------------
 @register(
     "b27_dedup_embedding_centroid",
-    oracle=None,
+    oracle=f"""
+      WITH cents AS (
+        SELECT vec_id AS centroid_id, embedding FROM embeddings
+        WHERE vec_id % 31 = 0
+      ),
+      assigned AS (
+        SELECT vec_id, centroid_id FROM (
+          SELECT e.vec_id, c.centroid_id,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_DUCK_COS.format(a='e', b='c')} DESC, c.centroid_id) AS rn
+          FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn <= 4
+      ),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM assigned a
+        JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      )
+      SELECT cand.vec_a, cand.vec_b,
+             {_DUCK_COS.format(a='ea', b='eb')} AS cos
+      FROM cand
+      JOIN embeddings ea ON ea.vec_id = cand.vec_a
+      JOIN embeddings eb ON eb.vec_id = cand.vec_b
+      WHERE {_DUCK_COS.format(a='ea', b='eb')} >= 0.35
+    """,
     doc="Centroid-blocked (nprobe=4) embedding near-dup pairs — label-free scale path.",
     tags=("B27", "B28"),
 )
@@ -544,7 +569,28 @@ def b30_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "b30_multimodal_decode",
-    oracle=None,
+    # The stub decode's byte_sum is the sum of the payload's UTF-8 bytes;
+    # SQL reconstructs it from codepoints (a codepoint u encodes to bytes
+    # summing to u; 320+(u>>6)+(u&63); 480+...; 624+... for 1/2/3/4-byte
+    # forms), so even the Arrow mapInPandas stage is value-hash-checked.
+    oracle="""
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''), c -> CAST(
+                 CASE WHEN ascii(c) < 128 THEN ascii(c)
+                      WHEN ascii(c) < 2048 THEN 320 + (ascii(c) >> 6) + (ascii(c) & 63)
+                      WHEN ascii(c) < 65536 THEN 480 + (ascii(c) >> 12)
+                           + ((ascii(c) >> 6) & 63) + (ascii(c) & 63)
+                      ELSE 624 + (ascii(c) >> 18) + ((ascii(c) >> 12) & 63)
+                           + ((ascii(c) >> 6) & 63) + (ascii(c) & 63)
+                 END AS BIGINT))),
+               (a, b) -> a + b) AS BIGINT) AS byte_sum,
+             CAST(((doc_id % 1024) + 1024) % 1024 + 16 AS INT) AS width,
+             CAST((((doc_id * 7) % 768) + 768) % 768 + 16 AS INT) AS height,
+             'image/png' AS mime
+      FROM documents
+    """,
     doc="mapInPandas decode stage over binary payloads (STUB codec, real plumbing).",
     tags=("B30", "B26"),
 )
@@ -1196,12 +1242,66 @@ def b28_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Iterative graph op — PageRank authority over the order→part bipartite
 # graph. Integer micro-unit arithmetic: bit-identical at any
-# parallelism (rows-only because the semantics are iterative, not
-# because the numbers wobble — a Python model reproduces them exactly).
+# parallelism. Since r3 the 5 iterations are UNROLLED into chained CTEs
+# (standard SQL forbids aggregates in a recursive member, but a fixed
+# iteration count needs no recursion) — all integer div/multiply/sum,
+# so even this "genuinely iterative" operator is oracle-hash-checked.
 # --------------------------------------------------------------------------
+
+
+def _duck_pagerank(iterations: int = 5) -> str:
+    """DuckDB mirror of operators/pagerank.py (SCALE=1e12, damp 85/100).
+
+    `//` (floor div) equals Spark's `div` (truncation) here because every
+    operand is non-negative.
+    """
+    head = """
+      WITH edges AS (
+        SELECT l_orderkey AS src, -l_partkey - 1 AS dst FROM lineitem
+      ),
+      nodes AS (
+        SELECT DISTINCT node FROM (
+          SELECT src AS node FROM edges
+          UNION ALL SELECT dst FROM edges
+        )
+      ),
+      nn AS (SELECT COUNT(*) AS n FROM nodes),
+      deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+      r0 AS (
+        SELECT node, CAST(1000000000000 AS BIGINT) // (SELECT n FROM nn) AS rank
+        FROM nodes
+      )"""
+    steps = []
+    for k in range(1, iterations + 1):
+        p = k - 1
+        steps.append(f""",
+      c{k} AS (
+        SELECT e.dst AS node, SUM(r.rank // d.deg) AS contrib
+        FROM r{p} r JOIN deg d USING (node) JOIN edges e ON e.src = r.node
+        GROUP BY e.dst
+      ),
+      d{k} AS (
+        SELECT COALESCE(SUM(r.rank), 0) AS dang
+        FROM r{p} r LEFT JOIN deg d USING (node) WHERE d.deg IS NULL
+      ),
+      r{k} AS (
+        SELECT n.node,
+               (CAST(1000000000000 AS BIGINT) // (SELECT n FROM nn)) * 15 // 100
+               + 85 * (COALESCE(c.contrib, 0)
+                       + (SELECT dang FROM d{k}) // (SELECT n FROM nn)) // 100
+                 AS rank
+        FROM nodes n LEFT JOIN c{k} c USING (node)
+      )""")
+    tail = f"""
+      SELECT node, rank FROM r{iterations}
+      ORDER BY rank DESC, node LIMIT 20
+    """
+    return head + "".join(steps) + tail
+
+
 @register(
     "llm_pagerank_authority",
-    oracle=None,
+    oracle=_duck_pagerank(5),
     doc="5-iteration integer PageRank over order->part edges; top-20 by (rank desc, node).",
     tags=("B19", "llm"),
 )
