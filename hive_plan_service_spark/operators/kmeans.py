@@ -1,0 +1,160 @@
+"""Deterministic integer-arithmetic k-means (Lloyd, fixed iterations).
+
+Replaces MLlib's float k-means for index-build training (IVF coarse
+quantizers, PQ codebooks — reference parity: the capability closure's
+ANN family, SURVEY.md B28). MLlib centers are float sums, so they depend
+on the partition-reduction order; this trainer follows the PageRank
+discipline (operators/pagerank.py) instead: every accumulated quantity
+is an int64, so the result is bit-identical at ANY parallelism and any
+cluster layout — and, like the portable sketch families, the whole
+training loop is reproducible in plain SQL, which lets the registered
+PQ/IVF queries carry full DuckDB value-hash oracles instead of
+rows-only checks.
+
+Scheme (mirrored bit-for-bit by plans/llm_ops._duck_kmeans_cte):
+
+* quantize: ``q[j] = FLOOR((x[j] + 8.0) · 2^20)`` — one IEEE double add
+  and an exact power-of-two multiply, then floor: deterministic and
+  engine-portable. The +8 offset keeps every quantity NON-NEGATIVE for
+  ``|x| < 8`` so Spark's truncating ``div`` and DuckDB's flooring ``//``
+  agree.
+* init: the ``k`` smallest-id points of each group are the seeds
+  (code = row_number − 1) — no RNG to port.
+* iterate (fixed count, unrolled in SQL): assign each point to the
+  argmin-integer-L2 centroid (ties → smallest code), then recompute each
+  centroid component as ``sum div count``; a cluster that loses every
+  member keeps its previous centroid.
+* publish: centroid doubles ``c/2^20 − 8.0`` (numerator ≤ 2^24 ⇒ both
+  steps exact), ready for the existing double-cosine / L2 operators.
+
+Bounds (documented, asserted nowhere hot): components must satisfy
+``|x| < 8``; per-cluster member count must stay < 1e12 so component sums
+fit int64. Distances are ≤ dim·(16·2^20)² ≈ 2^51·dim — safe for any
+realistic dim, and under DuckDB's overflow-checked BIGINT multiply.
+
+At 100 TB this is INDEX-BUILD control flow: k and iters are tuning
+constants, training typically runs on a bounded sample (pass a sampled
+DataFrame), and each iteration is one broadcast join (k·dim ints) plus
+one map-side-combined aggregation — no collect of row data; the k-row
+centroid frame is localCheckpoint'ed per iteration to cut lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+#: quantization scale: 2^20 (exact power-of-two multiply on doubles)
+SCALE = 1 << 20
+#: offset making quantized components non-negative for |x| < 8
+OFFSET = 8.0
+
+
+def quantize(vec: Column) -> Column:
+    """array<double> → array<bigint> micro-units: FLOOR((x+8)·2^20)."""
+    return F.transform(
+        vec,
+        lambda x: F.floor((x.cast("double") + F.lit(OFFSET)) * F.lit(float(SCALE))),
+    )
+
+
+def dequantize(qvec: Column) -> Column:
+    """Integer centroid → exact double array: c/2^20 − 8 (both steps exact)."""
+    return F.transform(
+        qvec,
+        lambda c: c.cast("double") / F.lit(float(SCALE)) - F.lit(OFFSET),
+    )
+
+
+def _int_l2(a: Column, b: Column) -> Column:
+    """Integer squared-L2 distance of two bigint arrays (sequential fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_integer(
+    points: DataFrame,
+    *,
+    k: int,
+    dim: int,
+    iters: int = 5,
+    vec: str = "vec",
+    id_col: str = "vec_id",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Train per-group integer k-means; return (group…, code, centroid).
+
+    ``points`` carries one row per (group…, id, vec array<double>); all
+    groups train TOGETHER in one plan per iteration (PQ trains all S
+    subspaces in one pass — S separate MLlib fits before). ``centroid``
+    is the exact-double dequantized center.
+    """
+    g = [F.col(c) for c in group_cols]
+    q = points.select(
+        *group_cols, F.col(id_col).alias("_pid"), quantize(F.col(vec)).alias("_q")
+    )
+    # one quantize pass feeds every iteration's assignment join
+    q = q.localCheckpoint(eager=True)
+
+    w = W.partitionBy(*g).orderBy("_pid") if group_cols else W.orderBy("_pid")
+    cents = (
+        q.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(*group_cols, (F.col("_rn") - 1).cast("int").alias("code"),
+                F.col("_q").alias("_c"))
+        .localCheckpoint(eager=True)
+    )
+
+    join_keys = list(group_cols)
+    for _ in range(iters):
+        scored = (
+            q.join(F.broadcast(cents), join_keys)
+            if join_keys
+            else q.crossJoin(F.broadcast(cents))
+        )
+        assigned = (
+            scored.select(
+                *group_cols,
+                "_pid",
+                "_q",
+                F.col("code"),
+                _int_l2(F.col("_q"), F.col("_c")).alias("_d"),
+            )
+            .groupBy(*group_cols, "_pid")
+            .agg(
+                F.min(F.struct(F.col("_d"), F.col("code"))).alias("_best"),
+                F.first("_q").alias("_q"),
+            )
+            .select(*group_cols, F.col("_best.code").alias("code"), "_q")
+        )
+        # per-component integer mean: dim parallel SUM aggregates (one
+        # map-side-combined aggregation), then sum div count per slot
+        sums = assigned.groupBy(*group_cols, "code").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.element_at(F.col("_q"), j + 1)).alias(f"_s{j}")
+                for j in range(dim)
+            ],
+        )
+        means = sums.select(
+            *group_cols,
+            "code",
+            F.array(
+                *[F.expr(f"_s{j} div _n") for j in range(dim)]
+            ).alias("_m"),
+        )
+        cents = (
+            cents.join(means, join_keys + ["code"], "left")
+            .select(
+                *group_cols,
+                "code",
+                F.coalesce(F.col("_m"), F.col("_c")).alias("_c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return cents.select(*group_cols, "code", dequantize(F.col("_c")).alias("centroid"))

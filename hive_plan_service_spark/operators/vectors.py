@@ -299,49 +299,35 @@ def pq_train_codebooks(
     subspaces: int = 4,
     codes: int = 16,
     dim: int = 64,
-    seed: int = 42,
     max_iter: int = 5,
 ) -> DataFrame:
     """Per-subspace k-means codebooks → (s, code, centroid array<double>).
 
-    Index-BUILD control flow: S small MLlib fits driven from the driver
-    (one Spark job each), amortized over every later query — the same
-    budget class as IVF centroid training. S and ``codes`` are tuning
-    constants, never corpus-proportional.
+    Index-BUILD control flow: ALL subspaces train together in one
+    deterministic integer-Lloyd run (operators/kmeans.py — ``s`` is the
+    training group), one plan per iteration instead of S sequential
+    MLlib fits. Centers are int64 micro-unit arithmetic: bit-identical
+    at any parallelism/cluster layout AND reproducible in plain SQL, so
+    the registered PQ query is value-hash oracle-checked. S and
+    ``codes`` are tuning constants, never corpus-proportional.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from hive_plan_service_spark.operators.kmeans import kmeans_integer
 
-    width = dim // subspaces
     subs = corpus.select(
         F.col(id_col),
         F.posexplode(_subvectors(F.col(vec), subspaces, dim)).alias(
             "s", "subvec"
         ),
     )
-    rows = []
-    for s in range(subspaces):
-        # k-means centers are float sums, so they depend on the reduction
-        # order. Pinning the training input to a FIXED partition count,
-        # hash-keyed and sorted by id, makes the per-partition fold and
-        # the partition-combine order functions of the data alone — the
-        # registered PQ/IVF queries reproduce across cluster layouts,
-        # not just within one session.
-        feat = (
-            subs.filter(F.col("s") == s)
-            .repartition(8, F.col(id_col))
-            .sortWithinPartitions(id_col)
-            .select(array_to_vector(F.col("subvec")).alias("features"))
-        )
-        model = KMeans(k=codes, seed=seed + s, maxIter=max_iter).fit(feat)
-        rows += [
-            (s, int(c), [float(x) for x in center])
-            for c, center in enumerate(model.clusterCenters())
-        ]
-        assert len(model.clusterCenters()[0]) == width
-    return corpus.sparkSession.createDataFrame(
-        rows, "s int, code int, centroid array<double>"
-    )
+    return kmeans_integer(
+        subs,
+        k=codes,
+        dim=dim // subspaces,
+        iters=max_iter,
+        vec="subvec",
+        id_col=id_col,
+        group_cols=("s",),
+    ).select("s", "code", "centroid")
 
 
 def pq_encode(
@@ -402,8 +388,19 @@ def pq_topk(
             "s", "qsub"
         ),
     )
+    # per-subspace partial distances are quantized to int64 micro-units
+    # (FLOOR(d·2^40): power-of-two multiply is exact, the 2^-40 rounding
+    # is far below ADC's own quantization error) so the distributed SUM
+    # is an ORDER-FREE integer — the approximate ranking is bit-identical
+    # at any parallelism and reproducible in the DuckDB oracle, where a
+    # float partial-sum would depend on reduction order.
     table = q.join(F.broadcast(codebooks), "s").select(
-        "query_id", "s", "code", _l2sq(F.col("qsub"), F.col("centroid")).alias("pdist")
+        "query_id",
+        "s",
+        "code",
+        F.floor(
+            _l2sq(F.col("qsub"), F.col("centroid")) * F.lit(float(1 << 40))
+        ).alias("pdist"),
     )
     partials = codes_df.join(F.broadcast(table), ["s", "code"]).select(
         "query_id", F.col(id_col).alias("neighbor_id"), "pdist"

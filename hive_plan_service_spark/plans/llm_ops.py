@@ -239,11 +239,10 @@ _DUCK_STR_HASH = (
     " (acc, c) -> (acc * 31 + c) % 2147483647)"
 )
 
-
-@register(
-    "b27_dedup_minhash_lsh",
-    oracle=f"""
-      WITH {_DUCK_SHINGLES},
+# Shared CTE chain: portable signatures → banded buckets. Reused by the
+# canonical LSH-pairs oracle below AND the streaming-ingest flags oracle
+# (plans/streaming_queries.py) — one mirror of the sketch, two checks.
+_DUCK_MINHASH_BANDED = f"""{_DUCK_SHINGLES},
       hs AS (
         SELECT doc_id, {_DUCK_STR_HASH.format(s='shingle')} AS h FROM sh
       ),
@@ -264,7 +263,13 @@ _DUCK_STR_HASH = (
                               sig[tb.band * 4 + 1 : tb.band * 4 + 4]),
                  (acc, m) -> (acc * 1000003 + m) % 2147483647) AS bucket
         FROM sig, UNNEST(generate_series(0, 3)) AS tb(band)
-      )
+      )"""
+
+
+@register(
+    "b27_dedup_minhash_lsh",
+    oracle=f"""
+      WITH {_DUCK_MINHASH_BANDED}
       SELECT DISTINCT doc_a, doc_b, est_jaccard FROM (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(len(list_filter(generate_series(1, 16),
@@ -477,6 +482,66 @@ def b28_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
     emb = spark.table("embeddings")
     return vx.cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
+
+
+def _duck_kmeans_cte(*, k: int, dim: int, iters: int = 5) -> str:
+    """CTE chain mirroring operators/kmeans.kmeans_integer bit-for-bit.
+
+    Expects an existing CTE ``kpts(grp, pid, q)`` where ``q`` is the
+    quantized list<BIGINT> (FLOOR((x+8)·2^20) — see kmeans.quantize);
+    emits ``c0…c{iters}`` and a final ``kcents(grp, code, centroid)``
+    with exact-double dequantized centers. All arithmetic is int64 (sums
+    are order-free; `//` == Spark's `div` because operands are
+    non-negative), so the fixed-iteration Lloyd loop unrolls into plain
+    SQL the same way the PageRank oracle does.
+    """
+    dist = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(generate_series(1, {dim}),"
+        " j -> (p.q[j] - c.c[j]) * (p.q[j] - c.c[j]))),"
+        " (acc, v) -> acc + v)"
+    )
+    parts = [
+        f"""
+      c0 AS (
+        SELECT grp, CAST(rn - 1 AS INT) AS code, q AS c FROM (
+          SELECT grp, q,
+                 row_number() OVER (PARTITION BY grp ORDER BY pid) AS rn
+          FROM kpts
+        ) WHERE rn <= {k}
+      )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+      a{i} AS (
+        SELECT grp, pid, q, code FROM (
+          SELECT p.grp, p.pid, p.q, c.code,
+                 row_number() OVER (PARTITION BY p.grp, p.pid
+                   ORDER BY {dist}, c.code) AS rn
+          FROM kpts p JOIN c{i - 1} c ON p.grp = c.grp
+        ) WHERE rn = 1
+      ),
+      m{i} AS (
+        SELECT grp, code, t.j AS j,
+               CAST(SUM(q[t.j]) AS BIGINT) AS sm, COUNT(*) AS n
+        FROM a{i}, UNNEST(generate_series(1, {dim})) AS t(j)
+        GROUP BY grp, code, t.j
+      ),
+      c{i} AS (
+        SELECT prev.grp, prev.code, COALESCE(agg.c, prev.c) AS c
+        FROM c{i - 1} prev LEFT JOIN (
+          SELECT grp, code, list(sm // n ORDER BY j) AS c
+          FROM m{i} GROUP BY grp, code
+        ) agg ON agg.grp = prev.grp AND agg.code = prev.code
+      )""")
+    parts.append("""
+      kcents AS (
+        SELECT grp, code,
+               list_transform(c, v -> CAST(v AS DOUBLE) / 1048576.0 - 8.0)
+                 AS centroid
+        FROM c%d
+      )""" % iters)
+    return ",".join(parts)
 
 
 @register(
@@ -791,39 +856,90 @@ def b28_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# B28 — IVF with *trained* centroids: MLlib k-means (k-means|| init,
-# fixed seed) learns the coarse quantizer; assignment and probing reuse
-# the same broadcast-argmin operators as the hashed-seed variant.
-# Rows-only: k-means centers are float-accumulation-order dependent.
+# B28 — IVF with *trained* centroids: deterministic integer-Lloyd
+# k-means (operators/kmeans.py) learns the coarse quantizer; assignment
+# and probing reuse the same broadcast-argmin operators as the
+# hashed-seed variant. Oracle-green since r3: the unrolled training loop
+# is int64 arithmetic (the PageRank discipline), the published centers
+# are exact doubles, and the downstream cosine pipeline is the same fold
+# b28_cosine_topk already hash-matches — so the ENTIRE train→assign→
+# probe→rank pipeline is replayed by DuckDB bit-for-bit.
 # --------------------------------------------------------------------------
+
+# quantized-points CTE shared by the k-means-trained ANN oracles
+_DUCK_KPTS_EMB = """
+      kpts AS (
+        SELECT 0 AS grp, vec_id AS pid,
+               list_transform(embedding,
+                 x -> CAST(FLOOR((CAST(x AS DOUBLE) + 8.0) * 1048576.0)
+                           AS BIGINT)) AS q
+        FROM embeddings
+      )"""
+
+
 @register(
     "b28_ann_ivf_kmeans",
-    oracle=None,
-    doc="IVF-ANN over k-means-trained centroids (MLlib KMeans, seed=42), nprobe=2, top-5.",
+    oracle=f"""
+      WITH {_DUCK_KPTS_EMB},
+      {_duck_kmeans_cte(k=8, dim=64, iters=5)},
+      cents AS (
+        SELECT CAST(code AS BIGINT) AS centroid_id, centroid AS embedding
+        FROM kcents
+      ),
+      assign AS (
+        SELECT vec_id, centroid_id FROM (
+          SELECT e.vec_id, c.centroid_id,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_DUCK_COS.format(a='e', b='c')} DESC, c.centroid_id) AS rn
+          FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+      ),
+      probe AS (
+        SELECT query_id, centroid_id FROM (
+          SELECT q.vec_id AS query_id, c.centroid_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_DUCK_COS.format(a='q', b='c')} DESC, c.centroid_id) AS rn
+          FROM embeddings q CROSS JOIN cents c
+          WHERE q.vec_id < 5
+        ) WHERE rn <= 2
+      ),
+      cand AS (
+        SELECT p.query_id, e.vec_id AS neighbor_id,
+               {_DUCK_COS.format(a='q', b='e')} AS cos
+        FROM probe p
+        JOIN assign a ON a.centroid_id = p.centroid_id
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        WHERE e.vec_id <> p.query_id
+      )
+      SELECT query_id, neighbor_id, cos, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        FROM cand
+      ) WHERE rank <= 5
+    """,
+    doc="IVF-ANN over k-means-trained centroids (deterministic integer Lloyd, k=8×5 iters), nprobe=2, top-5.",
     tags=("B28",),
 )
 def b28_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from hive_plan_service_spark.operators.kmeans import kmeans_integer
 
     register_tables(spark, sf_dir)
     emb = spark.table("embeddings")
-    # fixed-count, id-keyed, sorted training partitioning: the float
-    # reduction order (and so the centers) reproduces across cluster
-    # layouts, not just within one session (see pq_train_codebooks)
-    feat = (
-        emb.select("vec_id", array_to_vector(F.col("embedding")).alias("features"))
-        .repartition(8, F.col("vec_id"))
-        .sortWithinPartitions("vec_id")
-    )
-    model = KMeans(k=8, seed=42, maxIter=5).fit(feat)
-    centroids = spark.createDataFrame(
-        [
-            (int(i), [float(x) for x in center])
-            for i, center in enumerate(model.clusterCenters())
-        ],
-        "centroid_id bigint, embedding array<float>",
-    )
+    centroids = kmeans_integer(
+        emb.select(
+            F.lit(0).alias("grp"),
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("vec"),
+        ),
+        k=8,
+        dim=64,
+        iters=5,
+        vec="vec",
+        id_col="vec_id",
+        group_cols=("grp",),
+    ).select(F.col("code").cast("bigint").alias("centroid_id"),
+             F.col("centroid").alias("embedding"))
     assigned = vx.ivf_assign(emb, centroids)
     return vx.ivf_topk(
         emb.filter(F.col("vec_id") < 5), assigned, centroids, k=5, nprobe=2
@@ -1204,14 +1320,106 @@ def b29_text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# B28 — product quantization (PQ-ADC): 64 floats → 4 codes; query-time
-# distance = 4 broadcast-table lookups per corpus row. Rows-only:
-# k-means codebooks are float-accumulation-order dependent.
+# B28 — product quantization (PQ-ADC): 64 floats → 8 codes; query-time
+# distance = 8 broadcast-table lookups per corpus row. Oracle-green since
+# r3: codebooks come from the deterministic integer-Lloyd trainer
+# (operators/kmeans.py), ADC partials are int64 micro-units (order-free
+# sums), and the re-rank cosine is the proven sequential fold — DuckDB
+# replays normalize → train → encode → ADC shortlist → exact re-rank.
 # --------------------------------------------------------------------------
+
+def _duck_pq_oracle(*, subspaces: int = 8, codes: int = 64, width: int = 8,
+                    shortlist: int = 50, k: int = 5) -> str:
+    """Full-SQL mirror of b28_ann_pq (see the register call below)."""
+    def fold(expr: str, init: str = "CAST(0.0 AS DOUBLE)") -> str:
+        return (
+            f"list_reduce(list_prepend({init}, {expr}), (acc, v) -> acc + v)"
+        )
+
+    # sequential-fold squared L2 between two double lists (a[j], b[j])
+    def l2sq(a: str, b: str) -> str:
+        return fold(
+            f"list_transform(generate_series(1, {width}),"
+            f" j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j]))"
+        )
+
+    # sequential-fold cosine between two double lists
+    def cos(a: str, b: str) -> str:
+        d = fold(f"list_transform(generate_series(1, 64), j -> {a}[j] * {b}[j])")
+        na = fold(f"list_transform(generate_series(1, 64), j -> {a}[j] * {a}[j])")
+        nb = fold(f"list_transform(generate_series(1, 64), j -> {b}[j] * {b}[j])")
+        return f"{d} / (sqrt({na}) * sqrt({nb}))"
+
+    sq_norm = fold(
+        "list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))"
+    )
+    sub = "e[t.s * {w} + 1 : t.s * {w} + {w}]".format(w=width)
+    return f"""
+      WITH un AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) / sqrt({sq_norm})) AS e
+        FROM embeddings
+      ),
+      kpts AS (
+        SELECT t.s AS grp, vec_id AS pid,
+               list_transform({sub},
+                 x -> CAST(FLOOR((x + 8.0) * 1048576.0) AS BIGINT)) AS q
+        FROM un, UNNEST(generate_series(0, {subspaces - 1})) AS t(s)
+      ),
+      {_duck_kmeans_cte(k=codes, dim=width, iters=5)},
+      sv AS (
+        SELECT t.s AS s, vec_id, {sub} AS sub
+        FROM un, UNNEST(generate_series(0, {subspaces - 1})) AS t(s)
+      ),
+      enc AS (
+        SELECT s, vec_id, code FROM (
+          SELECT v.s, v.vec_id, b.code,
+                 ROW_NUMBER() OVER (PARTITION BY v.s, v.vec_id
+                   ORDER BY {l2sq('v.sub', 'b.centroid')}, b.code) AS rn
+          FROM sv v JOIN kcents b ON b.grp = v.s
+        ) WHERE rn = 1
+      ),
+      ptab AS (
+        SELECT q.s, q.vec_id AS query_id, b.code,
+               CAST(FLOOR({l2sq('q.sub', 'b.centroid')}
+                          * 1099511627776.0) AS BIGINT) AS pdist
+        FROM sv q JOIN kcents b ON b.grp = q.s
+        WHERE q.vec_id < 5
+      ),
+      ad AS (
+        SELECT p.query_id, e.vec_id AS neighbor_id,
+               CAST(SUM(p.pdist) AS BIGINT) AS adist
+        FROM enc e JOIN ptab p ON p.s = e.s AND p.code = e.code
+        WHERE e.vec_id <> p.query_id
+        GROUP BY p.query_id, e.vec_id
+      ),
+      short AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY adist, neighbor_id) AS rn
+          FROM ad
+        ) WHERE rn <= {shortlist}
+      ),
+      rer AS (
+        SELECT s.query_id, s.neighbor_id, {cos('q.e', 'c.e')} AS cos
+        FROM short s
+        JOIN un q ON q.vec_id = s.query_id
+        JOIN un c ON c.vec_id = s.neighbor_id
+      )
+      SELECT query_id, neighbor_id, cos, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        FROM rer
+      ) WHERE rank <= {k}
+    """
+
+
 @register(
     "b28_ann_pq",
-    oracle=None,
-    doc="PQ ANN: 8 subspaces x 64 codes (MLlib k-means, seeded), ADC shortlist-50 + exact re-rank, top-5.",
+    oracle=_duck_pq_oracle(),
+    doc="PQ ANN: 8 subspaces x 64 codes (deterministic integer Lloyd), int64 ADC shortlist-50 + exact re-rank, top-5.",
     tags=("B28",),
 )
 def b28_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:

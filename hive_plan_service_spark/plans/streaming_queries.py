@@ -347,12 +347,35 @@ def b22_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are LSH-probed against the signature store of everything ingested
 # earlier; flags are invariant to how the feed is split into batches
 # (pytest ties the multi-batch run to the single-batch run and to the
-# batch operator's pair set). Sketch-dependent → rows-only.
+# batch operator's pair set). The registered query runs the PORTABLE
+# hash family, so under id-monotone arrival the final flags equal the
+# batch predicate "∃ smaller-id doc colliding on a full band with ≥ 8/16
+# signature agreement" — plain SQL: the ORACLE value-hash-checks the
+# streaming pipeline end-to-end (store reads, epoch overwrite, compaction
+# included). est ≥ 0.5 over 16 hashes ⇔ agree ≥ 8, kept integer-exact.
 # --------------------------------------------------------------------------
+def _dedup_ingest_oracle() -> str:
+    from hive_plan_service_spark.plans.llm_ops import _DUCK_MINHASH_BANDED
+
+    return f"""
+      WITH {_DUCK_MINHASH_BANDED},
+      dups AS (
+        SELECT DISTINCT b.doc_id
+        FROM banded a
+        JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE len(list_filter(generate_series(1, 16),
+                              i -> a.sig[i] = b.sig[i])) >= 8
+      )
+      SELECT d.doc_id, (dups.doc_id IS NOT NULL) AS is_dup
+      FROM documents d LEFT JOIN dups USING (doc_id)
+    """
+
+
 @register(
     "b27_stream_dedup_ingest",
-    oracle=None,
-    doc="Streaming LSH dedup against an incremental signature store; split-invariant flags.",
+    oracle=_dedup_ingest_oracle(),
+    doc="Streaming LSH dedup against an incremental signature store; split-invariant flags (portable family, oracle-checked).",
     tags=("B22", "B27", "llm"),
 )
 def b27_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -364,7 +387,7 @@ def b27_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_tables(spark, sf_dir)
     ingest = StreamingDedupIngest(
-        spark, table_path(sf_dir, "documents"), _workdir()
+        spark, table_path(sf_dir, "documents"), _workdir(), hash_fn="portable"
     )
     return ingest.run().orderBy("doc_id").select(
         "doc_id", F.col("is_dup").cast("boolean").alias("is_dup")

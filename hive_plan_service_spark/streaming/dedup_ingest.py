@@ -62,6 +62,7 @@ class StreamingDedupIngest:
         bands: int = 4,
         est_threshold: float = 0.5,
         compact_after: int = 8,
+        hash_fn: str = "xxhash64",
     ):
         self.spark = spark
         self.docs_path = docs_path
@@ -72,6 +73,11 @@ class StreamingDedupIngest:
         self.bands = bands
         self.est_threshold = est_threshold
         self.compact_after = compact_after
+        # hash family (operators/dedup.py): "xxhash64" is the throughput
+        # default; "portable" makes the whole flag pipeline DuckDB-
+        # reproducible — the registered query runs portable so even the
+        # STREAMING ingest is value-hash-checked by the driver's oracle.
+        self.hash_fn = hash_fn
 
     def _est(self) -> F.Column:
         agree = F.size(
@@ -101,9 +107,12 @@ class StreamingDedupIngest:
 
     def _ingest(self, batch_df: DataFrame, epoch_id: int) -> None:
         banded = banded_signatures(
-            minhash_signatures(batch_df, num_hashes=self.num_hashes),
+            minhash_signatures(
+                batch_df, num_hashes=self.num_hashes, hash_fn=self.hash_fn
+            ),
             num_hashes=self.num_hashes,
             bands=self.bands,
+            hash_fn=self.hash_fn,
         )
         # the same banded subtree feeds three joins — materialize once,
         # not three plan copies (each re-runs signature aggregation)
