@@ -97,8 +97,12 @@ def kmeans_integer(
     q = points.select(
         *group_cols, F.col(id_col).alias("_pid"), quantize(F.col(vec)).alias("_q")
     )
-    # one quantize pass feeds every iteration's assignment join
-    q = q.localCheckpoint(eager=True)
+    # the training set feeds every iteration's assignment join: persist
+    # (spill-safe MEMORY_AND_DISK, the canonical iterative-training
+    # shape) rather than recompute the scan+quantize per iteration;
+    # unpersisted before return — the published centroids derive only
+    # from the final checkpointed k-row frame
+    q = q.persist()
 
     w = W.partitionBy(*g).orderBy("_pid") if group_cols else W.orderBy("_pid")
     cents = (
@@ -157,4 +161,8 @@ def kmeans_integer(
             .localCheckpoint(eager=True)
         )
 
-    return cents.select(*group_cols, "code", dequantize(F.col("_c")).alias("centroid"))
+    out = cents.select(
+        *group_cols, "code", dequantize(F.col("_c")).alias("centroid")
+    )
+    q.unpersist()
+    return out

@@ -1,0 +1,108 @@
+"""Deterministic integer k-means (operators/kmeans.py).
+
+The registered PQ / IVF-kmeans oracles already hash-check the trainer
+end-to-end against DuckDB (tests/test_oracle_parity.py); these tests pin
+the properties the oracle can't see: parallelism invariance, the
+empty-cluster rule, and the exact-double publish contract.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from hive_plan_service_spark.operators.kmeans import (
+    OFFSET,
+    SCALE,
+    kmeans_integer,
+)
+
+
+def _centroid_map(df):
+    return {
+        (r.grp, r.code): tuple(r.centroid) for r in df.collect()
+    }
+
+
+@pytest.fixture()
+def training(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select(
+        F.lit(0).alias("grp"),
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+
+
+def test_centers_invariant_to_partitioning(spark, training):
+    """Integer sums are order-free: any input partitioning — including a
+    mid-flight shuffle-partition change — yields bit-identical centers
+    (the property MLlib's float accumulation could not give)."""
+    base = _centroid_map(
+        kmeans_integer(training, k=4, dim=64, iters=3,
+                       vec="vec", group_cols=("grp",))
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        scrambled = _centroid_map(
+            kmeans_integer(
+                training.repartition(13, "vec_id"),
+                k=4, dim=64, iters=3, vec="vec", group_cols=("grp",),
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert base == scrambled
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    """Duplicate seeds force a permanently-empty cluster: seeds 0 and 1
+    are identical points, so every tie assigns to code 0 and cluster 1
+    never owns a member — it must keep its ORIGINAL (quantized) seed
+    coordinates instead of vanishing or collapsing to zero."""
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [5.0, 0.0]),
+            (3, [5.25, 0.0]), (4, [-1.0, 2.0])]
+    pts = spark.createDataFrame(rows, "vec_id bigint, vec array<double>")
+    out = kmeans_integer(pts, k=3, dim=2, iters=4, vec="vec")
+    got = {r.code: tuple(r.centroid) for r in out.collect()}
+    assert set(got) == {0, 1, 2}
+
+    def quant_image(v):
+        import math
+
+        return tuple(
+            math.floor((x + OFFSET) * SCALE) / SCALE - OFFSET for x in v
+        )
+
+    assert got[1] == quant_image([0.0, 0.0]), got
+
+
+def test_published_centroids_are_exact_micro_unit_doubles(spark, training):
+    """centroid = c/2^20 − 8 must be exact: re-quantizing the published
+    doubles returns the integer grid point (round-trip with no drift)."""
+    out = kmeans_integer(training, k=4, dim=64, iters=2,
+                         vec="vec", group_cols=("grp",))
+    for r in out.collect():
+        for x in r.centroid:
+            scaled = (x + OFFSET) * SCALE
+            assert scaled == int(scaled), x
+
+
+def test_grouped_training_matches_independent_runs(spark, training):
+    """Groups are independent: training s=0,1 together equals two
+    separate single-group runs (no cross-group leakage)."""
+    two = training.withColumn("grp", F.col("vec_id") % 2)
+    joint = _centroid_map(
+        kmeans_integer(two, k=3, dim=64, iters=2, vec="vec",
+                       group_cols=("grp",))
+    )
+    for g in (0, 1):
+        solo = _centroid_map(
+            kmeans_integer(
+                two.filter(F.col("grp") == g), k=3, dim=64, iters=2,
+                vec="vec", group_cols=("grp",),
+            )
+        )
+        for key, val in solo.items():
+            assert joint[key] == val
