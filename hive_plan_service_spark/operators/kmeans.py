@@ -104,14 +104,32 @@ def kmeans_integer(
     # from the final checkpointed k-row frame
     q = q.persist()
 
-    w = W.partitionBy(*g).orderBy("_pid") if group_cols else W.orderBy("_pid")
-    cents = (
-        q.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select(*group_cols, (F.col("_rn") - 1).cast("int").alias("code"),
-                F.col("_q").alias("_c"))
-        .localCheckpoint(eager=True)
-    )
+    # Seeds: the k smallest-id points per group. Ungrouped (or a constant
+    # group column, which Catalyst folds to the same thing) a window
+    # would move EVERYTHING to one task with no partial limit — use
+    # orderBy+limit instead (TakeOrderedAndProject: per-partition top-k,
+    # then k rows on the driver-side reduce); the k-row code numbering
+    # window is then trivially cheap. Grouped, the rank-filter window
+    # gets Spark's WindowGroupLimit (per-map-task partial top-k), so the
+    # per-group sort task sees #partitions·k rows, not the corpus
+    # (pinned by tests/test_kmeans.py::test_seed_selection_plan_shape).
+    if group_cols:
+        w = W.partitionBy(*g).orderBy("_pid")
+        cents = (
+            q.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+        )
+    else:
+        cents = (
+            q.orderBy("_pid")
+            .limit(k)
+            .withColumn("_rn", F.row_number().over(W.orderBy("_pid")))
+        )
+    cents = cents.select(
+        *group_cols,
+        (F.col("_rn") - 1).cast("int").alias("code"),
+        F.col("_q").alias("_c"),
+    ).localCheckpoint(eager=True)
 
     join_keys = list(group_cols)
     for _ in range(iters):

@@ -928,16 +928,13 @@ def b28_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings")
     centroids = kmeans_integer(
         emb.select(
-            F.lit(0).alias("grp"),
-            "vec_id",
-            F.col("embedding").cast("array<double>").alias("vec"),
+            "vec_id", F.col("embedding").cast("array<double>").alias("vec")
         ),
         k=8,
         dim=64,
         iters=5,
         vec="vec",
         id_col="vec_id",
-        group_cols=("grp",),
     ).select(F.col("code").cast("bigint").alias("centroid_id"),
              F.col("centroid").alias("embedding"))
     assigned = vx.ivf_assign(emb, centroids)

@@ -19,18 +19,16 @@ from hive_plan_service_spark.operators.kmeans import (
 
 
 def _centroid_map(df):
-    return {
-        (r.grp, r.code): tuple(r.centroid) for r in df.collect()
-    }
+    cols = df.columns
+    key = (lambda r: (r.s, r.code)) if "s" in cols else (lambda r: r.code)
+    return {key(r): tuple(r.centroid) for r in df.collect()}
 
 
 @pytest.fixture()
 def training(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return emb.select(
-        F.lit(0).alias("grp"),
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("vec"),
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
 
 
@@ -38,22 +36,43 @@ def test_centers_invariant_to_partitioning(spark, training):
     """Integer sums are order-free: any input partitioning — including a
     mid-flight shuffle-partition change — yields bit-identical centers
     (the property MLlib's float accumulation could not give)."""
-    base = _centroid_map(
-        kmeans_integer(training, k=4, dim=64, iters=3,
-                       vec="vec", group_cols=("grp",))
-    )
+    base = _centroid_map(kmeans_integer(training, k=4, dim=64, iters=3, vec="vec"))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "7")
         scrambled = _centroid_map(
             kmeans_integer(
                 training.repartition(13, "vec_id"),
-                k=4, dim=64, iters=3, vec="vec", group_cols=("grp",),
+                k=4, dim=64, iters=3, vec="vec",
             )
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert base == scrambled
+
+
+def test_seed_selection_plan_shape(spark, training):
+    """Seed selection must never move the corpus to one task: ungrouped
+    → TakeOrderedAndProject (distributed partial top-k); grouped → the
+    rank-filter window carries Spark's partial WindowGroupLimit."""
+    from pyspark.sql.window import Window as W
+
+    from hive_plan_service_spark.operators.kmeans import quantize
+
+    qu = training.select(
+        F.col("vec_id").alias("_pid"), quantize(F.col("vec")).alias("_q")
+    )
+    planu = qu.orderBy("_pid").limit(8)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in planu
+
+    two = training.withColumn("s", (F.col("vec_id") % 2).cast("int"))
+    qg = two.select(
+        "s", F.col("vec_id").alias("_pid"), quantize(F.col("vec")).alias("_q")
+    )
+    w = W.partitionBy("s").orderBy("_pid")
+    seeds = qg.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 4)
+    plang = seeds._jdf.queryExecution().executedPlan().toString()
+    assert plang.count("WindowGroupLimit") >= 2, plang
 
 
 def test_empty_cluster_keeps_previous_centroid(spark):
@@ -81,8 +100,7 @@ def test_empty_cluster_keeps_previous_centroid(spark):
 def test_published_centroids_are_exact_micro_unit_doubles(spark, training):
     """centroid = c/2^20 − 8 must be exact: re-quantizing the published
     doubles returns the integer grid point (round-trip with no drift)."""
-    out = kmeans_integer(training, k=4, dim=64, iters=2,
-                         vec="vec", group_cols=("grp",))
+    out = kmeans_integer(training, k=4, dim=64, iters=2, vec="vec")
     for r in out.collect():
         for x in r.centroid:
             scaled = (x + OFFSET) * SCALE
@@ -92,16 +110,16 @@ def test_published_centroids_are_exact_micro_unit_doubles(spark, training):
 def test_grouped_training_matches_independent_runs(spark, training):
     """Groups are independent: training s=0,1 together equals two
     separate single-group runs (no cross-group leakage)."""
-    two = training.withColumn("grp", F.col("vec_id") % 2)
+    two = training.withColumn("s", F.col("vec_id") % 2)
     joint = _centroid_map(
         kmeans_integer(two, k=3, dim=64, iters=2, vec="vec",
-                       group_cols=("grp",))
+                       group_cols=("s",))
     )
     for g in (0, 1):
         solo = _centroid_map(
             kmeans_integer(
-                two.filter(F.col("grp") == g), k=3, dim=64, iters=2,
-                vec="vec", group_cols=("grp",),
+                two.filter(F.col("s") == g), k=3, dim=64, iters=2,
+                vec="vec", group_cols=("s",),
             )
         )
         for key, val in solo.items():

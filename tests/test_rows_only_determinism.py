@@ -22,10 +22,11 @@ def test_rows_only_query_is_deterministic(spark, sf_dir, name):
 
 @pytest.mark.parametrize("name", ["b28_ann_pq", "b28_ann_ivf_kmeans"])
 def test_kmeans_queries_survive_partitioning_change(spark, sf_dir, name):
-    """MLlib k-means centers are float-accumulation-order dependent; the
-    queries pin an explicit fixed training partitioning, so the result
-    must not move when the SESSION's default parallelism knobs do — the
-    proxy for running on a differently-sized cluster."""
+    """The k-means-trained ANN queries must not move when the SESSION's
+    default parallelism knobs do — the proxy for running on a
+    differently-sized cluster. Since r3 this holds by construction
+    (integer-Lloyd trainer, operators/kmeans.py) rather than by a pinned
+    training partitioning; the test stays as the regression tripwire."""
     q = all_queries()[name]
     a = canonical_rows(q.fn(spark, sf_dir).toPandas())
     before = spark.conf.get("spark.sql.shuffle.partitions")
