@@ -101,8 +101,12 @@ def kmeans_integer(
     # (spill-safe MEMORY_AND_DISK, the canonical iterative-training
     # shape) rather than recompute the scan+quantize per iteration;
     # unpersisted before return — the published centroids derive only
-    # from the final checkpointed k-row frame
-    q = q.persist()
+    # from the final checkpointed k-row frame. Spread by id first: a
+    # one-file parquet scan is ONE partition (CLAUDE.md invariant 14),
+    # which would serialize every iteration's k·dim distance evals onto
+    # a single core; integer sums make the result identical either way.
+    par = points.sparkSession.sparkContext.defaultParallelism
+    q = q.repartition(par, *group_cols, "_pid").persist()
 
     # Seeds: the k smallest-id points per group. Ungrouped (or a constant
     # group column, which Catalyst folds to the same thing) a window
