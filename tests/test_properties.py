@@ -177,3 +177,53 @@ def test_counter_fold_matches_python_model(spark, seq):
         else:
             value -= 1
     assert got == value
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    data=st.lists(
+        st.lists(
+            st.floats(min_value=-7.0, max_value=7.0,
+                      allow_nan=False, allow_infinity=False),
+            min_size=2, max_size=2,
+        ),
+        min_size=1, max_size=10,
+    ),
+    k=st.integers(1, 4),
+    iters=st.integers(1, 3),
+)
+def test_integer_kmeans_matches_python_model(spark, data, k, iters):
+    """operators/kmeans.kmeans_integer vs a single-threaded model of the
+    same spec: floor-quantize (+8·2^20), k smallest-id seeds, argmin ties
+    to the smallest code, integer trunc-div means, empty clusters keep
+    their centroid. Exact float equality — dequantization is exact."""
+    import math
+
+    from hive_plan_service_spark.operators.kmeans import kmeans_integer
+
+    SCALE = 1 << 20
+    qpts = {i: [math.floor((x + 8.0) * SCALE) for x in vec]
+            for i, vec in enumerate(data)}
+    cents = {code: list(qpts[pid]) for code, pid in enumerate(sorted(qpts)[:k])}
+    for _ in range(iters):
+        assign: dict[int, list[list[int]]] = {}
+        for pid in sorted(qpts):
+            v = qpts[pid]
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(v, cents[c])), c)
+                for c in cents
+            )[1]
+            assign.setdefault(best, []).append(v)
+        for c, members in assign.items():
+            n = len(members)
+            cents[c] = [sum(col) // n for col in zip(*members)]
+    want = {c: tuple(v / SCALE - 8.0 for v in cents[c]) for c in cents}
+
+    s = _get_spark()
+    pts = s.createDataFrame(
+        [(i, vec) for i, vec in enumerate(data)],
+        "vec_id bigint, vec array<double>",
+    )
+    out = kmeans_integer(pts, k=k, dim=2, iters=iters, vec="vec")
+    got = {r.code: tuple(r.centroid) for r in out.collect()}
+    assert got == want
