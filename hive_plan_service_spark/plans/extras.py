@@ -287,17 +287,160 @@ def b11_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# B11 canonical — approx aggregates in one plan: HLL distinct + GK
-# percentiles, all flat scalars. Sketches are engine-specific → rows-only;
-# tests/test_llm_ops.py ties the values to their exact twins.
+# B11 canonical — approximate aggregates via PORTABLE sketches, so the
+# DuckDB oracle recomputes the estimate bit-for-bit (the same move that
+# converted the MinHash/SimHash slots; engine HLL/GK sketches have no
+# cross-engine twin and live on in b11_approx_aggregates_native):
+#
+# * distinct count — KMV (k-minimum-values): keep the K smallest distinct
+#   avalanched 31-bit hashes per group; estimate = (K−1)·M div kth-min,
+#   exact when the group holds fewer than K distinct keys. Scale shape:
+#   dedup shuffle on (group, h), then a WindowGroupLimit top-K whose
+#   partial rank filter caps the final shuffle at K rows per input
+#   partition per group.
+# * p50/p95 — fixed-width histogram over exact cents (8192-cent bins):
+#   map-side-combinable (group, bin) counts, cumulative window over the
+#   tiny bin relation, threshold ceil(q·n) in pure integer arithmetic.
+#   Estimate = bin midpoint in cents (≤ $40.96 off; BIGINT, no floats).
+#
+# All arithmetic is non-negative int64 (div == DuckDB //; squares bounded
+# by the avalanche lift rule), so the value hash matches exactly.
 # --------------------------------------------------------------------------
+_KMV_K = 1024
+_HIST_BIN_CENTS = 8192
+
+# Inline SQL twin of operators.dedup._portable_avalanche over a BIGINT key.
+_AVALANCHE_SQL = (
+    "((((({key} % 2147483647) + 700000001) * (({key} % 2147483647) + 700000001))"
+    " % 2147483647 + 700000001)"
+    " * (((({key} % 2147483647) + 700000001) * (({key} % 2147483647) + 700000001))"
+    " % 2147483647 + 700000001)) % 2147483647"
+)
+
+
 @register(
     "b11_approx_aggregates",
-    oracle=None,
-    doc="approx_count_distinct + approx p50/p95 per order status (sketches, rows-only).",
+    oracle=f"""
+      WITH h AS (
+        SELECT DISTINCT o_orderstatus,
+               {_AVALANCHE_SQL.format(key="o_custkey")} AS h
+        FROM orders
+      ),
+      r AS (
+        SELECT o_orderstatus, h,
+               row_number() OVER (PARTITION BY o_orderstatus ORDER BY h) AS rn
+        FROM h
+      ),
+      kmv AS (
+        SELECT o_orderstatus,
+               CASE WHEN COUNT(*) < {_KMV_K} THEN COUNT(*)
+                    ELSE {(_KMV_K - 1) * 2147483647} // MAX(h) END AS n_custs_est
+        FROM r WHERE rn <= {_KMV_K} GROUP BY o_orderstatus
+      ),
+      bins AS (
+        SELECT o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 // {_HIST_BIN_CENTS} AS bin,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1, 2
+      ),
+      cums AS (
+        SELECT o_orderstatus, bin,
+               SUM(n) OVER (PARTITION BY o_orderstatus ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(n) OVER (PARTITION BY o_orderstatus) AS total
+        FROM bins
+      ),
+      quant AS (
+        SELECT o_orderstatus,
+               MIN(CASE WHEN cum >= (total + 1) // 2 THEN bin END)
+                 * {_HIST_BIN_CENTS} + {_HIST_BIN_CENTS // 2} AS p50_est_cents,
+               MIN(CASE WHEN cum >= (total * 95 + 99) // 100 THEN bin END)
+                 * {_HIST_BIN_CENTS} + {_HIST_BIN_CENTS // 2} AS p95_est_cents
+        FROM cums GROUP BY o_orderstatus
+      )
+      SELECT kmv.o_orderstatus, n_custs_est, p50_est_cents, p95_est_cents
+      FROM kmv JOIN quant USING (o_orderstatus)
+    """,
+    doc="Portable approx aggregates: KMV distinct estimate + histogram p50/p95, oracle-exact.",
     tags=("B11",),
 )
 def b11_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hive_plan_service_spark.operators.dedup import _portable_avalanche
+
+    register_tables(spark, sf_dir)
+    orders = spark.table("orders")
+
+    hashed = orders.select(
+        "o_orderstatus",
+        _portable_avalanche(F.col("o_custkey") % F.lit(2147483647)).alias("h"),
+    ).dropDuplicates(["o_orderstatus", "h"])
+    w = Window.partitionBy("o_orderstatus").orderBy("h")
+    kmv = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("o_orderstatus")
+        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("nk"))
+        .select(
+            "o_orderstatus",
+            F.when(F.col("nk") < _KMV_K, F.col("nk"))
+            .otherwise(F.expr(f"{(_KMV_K - 1) * 2147483647} div kth"))
+            .alias("n_custs_est"),
+        )
+    )
+
+    binned = (
+        orders.select(
+            "o_orderstatus",
+            (money("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("o_orderstatus", F.expr(f"cents div {_HIST_BIN_CENTS}").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wcum = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("o_orderstatus")
+    quant = (
+        binned.select(
+            "o_orderstatus",
+            "bin",
+            F.sum("n").over(wcum).alias("cum"),
+            F.sum("n").over(wtot).alias("total"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            (
+                F.min(F.when(F.expr("cum >= (total + 1) div 2"), F.col("bin")))
+                * _HIST_BIN_CENTS
+                + _HIST_BIN_CENTS // 2
+            ).alias("p50_est_cents"),
+            (
+                F.min(F.when(F.expr("cum >= (total * 95 + 99) div 100"), F.col("bin")))
+                * _HIST_BIN_CENTS
+                + _HIST_BIN_CENTS // 2
+            ).alias("p95_est_cents"),
+        )
+    )
+    return kmv.join(quant, "o_orderstatus")
+
+
+# --------------------------------------------------------------------------
+# B11 native variant — the engine's own HLL + GK sketches (the throughput
+# path, like the *_xx hash variants): estimates are engine-specific →
+# rows-only; tests/test_canonical.py ties the values to exact twins.
+# --------------------------------------------------------------------------
+@register(
+    "b11_approx_aggregates_native",
+    oracle=None,
+    doc="approx_count_distinct + approx p50/p95 per order status (engine sketches, rows-only).",
+    tags=("B11",),
+)
+def b11_approx_aggregates_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
     return (
         spark.table("orders")
