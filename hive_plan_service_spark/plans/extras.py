@@ -293,7 +293,10 @@ def b11_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cross-engine twin and live on in b11_approx_aggregates_native):
 #
 # * distinct count — KMV (k-minimum-values): keep the K smallest distinct
-#   avalanched 31-bit hashes per group; estimate = (K−1)·M div kth-min,
+#   avalanched 31-bit hashes per group (K=512 keeps the rank filter
+#   under spark.sql.optimizer.windowGroupLimitThreshold, so the top-K
+#   runs as a partial WindowGroupLimit before the shuffle); estimate =
+#   (K−1)·M div kth-min,
 #   exact when the group holds fewer than K distinct keys. Scale shape:
 #   dedup shuffle on (group, h), then a WindowGroupLimit top-K whose
 #   partial rank filter caps the final shuffle at K rows per input
@@ -306,7 +309,7 @@ def b11_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # All arithmetic is non-negative int64 (div == DuckDB //; squares bounded
 # by the avalanche lift rule), so the value hash matches exactly.
 # --------------------------------------------------------------------------
-_KMV_K = 1024
+_KMV_K = 512
 _HIST_BIN_CENTS = 8192
 
 # Inline SQL twin of operators.dedup._portable_avalanche over a BIGINT key.

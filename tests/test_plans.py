@@ -81,6 +81,10 @@ def test_per_group_topk_uses_window_group_limit(spark, sf_dir):
         "b13_topk_per_group",
         "b29_tfidf_top_terms",
         "llm_line_dedup_first",
+        # KMV top-K: K=512 must stay under windowGroupLimitThreshold
+        # (1000) or the partial rank filter silently vanishes and every
+        # distinct (group, hash) row crosses the shuffle.
+        "b11_approx_aggregates",
     ):
         plan = plan_of(spark, sf_dir, name)
         assert plan.count("WindowGroupLimit") >= 2, (
