@@ -52,10 +52,12 @@ def run(spark, sf_dir: str, names: tuple[str, ...] = HEADLINE) -> dict:
         for name in selected:
             registry[name].fn(spark, sf_dir).count()
 
-    # Median of 3 timed runs per query: observed run-to-run totals on
-    # this box range ±2 s (checkpoint/micro-batch I/O jitter dominates
-    # the streaming queries); the per-query median is the steady-state
-    # signal a long-lived cluster sees, single runs are noise.
+    # Min of 3 timed runs per query. External load on this shared box
+    # inflates whole runs by 30-50% for minutes at a time (observed: the
+    # same query 1.07 s on a quiet box, 3.19 s under a noisy neighbor) —
+    # sustained contention shifts the median too, while the minimum is
+    # the standard robust estimator of the query's true cost (cf.
+    # timeit's guidance): noise can only ADD time, never subtract it.
     timings: dict[str, float] = {}
     for name in selected:
         runs = []
@@ -63,7 +65,7 @@ def run(spark, sf_dir: str, names: tuple[str, ...] = HEADLINE) -> dict:
             t0 = time.perf_counter()
             registry[name].fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[1], 4)
+        timings[name] = round(min(runs), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     return {
