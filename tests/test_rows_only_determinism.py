@@ -36,3 +36,19 @@ def test_kmeans_queries_survive_partitioning_change(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     assert a == b, f"{name} moved with session partitioning"
+
+
+def test_kmv_histogram_estimator_survives_partitioning_change(spark, sf_dir):
+    """The portable approx-aggregate estimators (KMV distinct + histogram
+    quantiles) are pure integer rank/threshold arithmetic, so the result
+    must be bit-identical at any parallelism — the property that lets the
+    DuckDB oracle (a single-threaded engine) recompute them at all."""
+    q = all_queries()["b11_approx_aggregates"]
+    a = canonical_rows(q.fn(spark, sf_dir).toPandas())
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        b = canonical_rows(q.fn(spark, sf_dir).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert a == b, "b11 estimator moved with session partitioning"
