@@ -1,0 +1,45 @@
+"""Driver simulation: the real t2 gate, run locally.
+
+Builds a PLAIN SparkSession (no repo conf — exactly what the driver
+hands ``__spark_entry__``), applies ``session.tune`` the way the entry
+module does, then runs ``tests.parity.check_query`` over every
+CANONICAL registry slot at sf0.01 (the driver's correctness scale).
+
+Run: python scripts/driver_sim.py [sf_dir]
+Exit 0 iff every canonical slot passes its value-hash oracle (or is
+rows-only by design, which the canonical set no longer contains).
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+from pyspark.sql import SparkSession
+
+from hive_plan_service_spark.session import tune
+from hive_plan_service_spark.plans.registry import CANONICAL, all_queries
+from parity import check_query
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+spark = SparkSession.builder.master("local[32]").getOrCreate()
+tune(spark)
+
+qs = all_queries()
+fail = 0
+t_all = time.time()
+for name in CANONICAL:
+    t0 = time.time()
+    try:
+        check_query(spark, qs[name], sf_dir)
+        print(f"{name}: OK ({time.time() - t0:.1f}s)", flush=True)
+    except Exception as e:  # noqa: BLE001 — report every slot, then fail
+        fail += 1
+        print(f"{name}: FAIL {str(e)[:500]}", flush=True)
+print(f"=== {len(CANONICAL) - fail}/{len(CANONICAL)} OK in {time.time() - t_all:.0f}s ===")
+
+spark.stop()
+sys.exit(1 if fail else 0)
