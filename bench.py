@@ -52,16 +52,17 @@ def run(spark, sf_dir: str, names: tuple[str, ...] = HEADLINE) -> dict:
         for name in selected:
             registry[name].fn(spark, sf_dir).count()
 
-    # Min of 3 timed runs per query. External load on this shared box
-    # inflates whole runs by 30-50% for minutes at a time (observed: the
-    # same query 1.07 s on a quiet box, 3.19 s under a noisy neighbor) —
-    # sustained contention shifts the median too, while the minimum is
-    # the standard robust estimator of the query's true cost (cf.
-    # timeit's guidance): noise can only ADD time, never subtract it.
+    # Min of 5 timed runs per query. External load on this shared box
+    # inflates whole runs by 30-50% (sometimes 3×) for minutes at a time
+    # (observed: the same query 1.07 s on a quiet box, 3.19 s under a
+    # noisy neighbor) — sustained contention shifts the median too, while
+    # the minimum is the standard robust estimator of the query's true
+    # cost (cf. timeit's guidance): noise can only ADD time, never
+    # subtract it. Five runs widen the window for catching a quiet slot.
     timings: dict[str, float] = {}
     for name in selected:
         runs = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             registry[name].fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)

@@ -65,7 +65,11 @@ class PlanService:
     ) -> None:
         self.spark = spark
         self.sf_dir = sf_dir
-        self.warehouse = warehouse or tempfile.mkdtemp(prefix="hpss_api_")
+        from hive_plan_service_spark.session import scratch_root
+
+        self.warehouse = warehouse or tempfile.mkdtemp(
+            prefix="hpss_api_", dir=scratch_root()
+        )
         self._counter_seq = 0
         register_tables(spark, sf_dir)
 

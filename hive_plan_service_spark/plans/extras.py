@@ -514,11 +514,12 @@ def b25_batch_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def b01_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     register_tables(spark, sf_dir)
+    from hive_plan_service_spark.session import scratch_root
+
     out = os.path.join(
-        tempfile.gettempdir(), f"hpss_part_{os.path.basename(sf_dir.rstrip('/'))}"
+        scratch_root(), f"hpss_part_{os.path.basename(sf_dir.rstrip('/'))}"
     )
     ev = spark.table("events").withColumn(
         "day_bucket", F.expr("unix_timestamp(ts) div 86400")

@@ -115,7 +115,9 @@ def a04_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a05_materialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
-    out = os.path.join(tempfile.gettempdir(), "hpss_materialized")
+    from hive_plan_service_spark.session import scratch_root
+
+    out = os.path.join(scratch_root(), "hpss_materialized")
     # stage 1: plan entities (processor:29–42)
     plans = spark.table("plans")
     plans.write.mode("overwrite").parquet(f"{out}/plan_entities")

@@ -34,7 +34,9 @@ _NATION_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
 
 def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     register_tables(spark, sf_dir)
-    out = os.path.join(tempfile.gettempdir(), f"hpss_src_{fmt}")
+    from hive_plan_service_spark.session import scratch_root
+
+    out = os.path.join(scratch_root(), f"hpss_src_{fmt}")
     n = spark.table("nation").select("n_nationkey", "n_name", "n_regionkey")
     n.write.mode("overwrite").format(fmt).save(out)
     return (

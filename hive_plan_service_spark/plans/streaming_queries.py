@@ -33,7 +33,14 @@ from hive_plan_service_spark.streaming.windows import (
 
 
 def _workdir() -> str:
-    return tempfile.mkdtemp(prefix=f"hpss_stream_{uuid.uuid4().hex[:8]}_")
+    from hive_plan_service_spark.session import scratch_root
+
+    # Checkpoints + per-invocation demo stores are ephemeral: tmpfs-backed
+    # scratch (cluster analog: fast local disk). Real deployments pass
+    # explicit durable paths to the streaming maintainers instead.
+    return tempfile.mkdtemp(
+        prefix=f"hpss_stream_{uuid.uuid4().hex[:8]}_", dir=scratch_root()
+    )
 
 
 # --------------------------------------------------------------------------

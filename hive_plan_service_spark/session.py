@@ -40,6 +40,27 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
 
 
+def scratch_root() -> str:
+    """Local scratch root for shuffle spill, streaming checkpoints and
+    ephemeral demo stores. Prefers tmpfs (``/dev/shm``): all of this
+    traffic is per-run ephemeral, and RAM-backed I/O keeps the virtio
+    disk out of the measured path on the single-node harness. On a real
+    cluster the same knob is ``spark.local.dir`` pointed at fast local
+    NVMe — durable state (real sinks, long-lived stores) always takes an
+    explicit path instead of this."""
+    import tempfile
+
+    for cand in (os.environ.get("SPARK_GRAFT_SCRATCH"), "/dev/shm"):
+        if cand and os.path.isdir(cand) and os.access(cand, os.W_OK):
+            d = os.path.join(cand, "hpss_scratch")
+            try:
+                os.makedirs(d, exist_ok=True)
+                return d
+            except OSError:
+                continue
+    return tempfile.gettempdir()
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime conf to a session we did not necessarily build."""
     for k, v in _RUNTIME_CONF.items():
@@ -57,20 +78,18 @@ def tune(spark: SparkSession) -> SparkSession:
 
 
 def get_spark(app_name: str = APP_NAME, cpus: int | None = None) -> SparkSession:
-    import tempfile
-
     n = cpus or default_parallelism()
+    scratch = scratch_root()
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(max(8, n)))
+        # shuffle/spill block files on tmpfs (cluster: local NVMe)
+        .config("spark.local.dir", os.path.join(scratch, "local"))
         # keep saveAsTable (bucketing) artifacts out of the repo cwd
-        .config(
-            "spark.sql.warehouse.dir",
-            os.path.join(tempfile.gettempdir(), "hpss_warehouse"),
-        )
+        .config("spark.sql.warehouse.dir", os.path.join(scratch, "warehouse"))
     )
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)
