@@ -184,6 +184,47 @@ def test_no_registered_query_uses_global_window(spark, sf_dir):
         assert not _global_windows(plan), f"{name} has an unpartitioned window"
 
 
+#: Declared Python-stage surfaces — the Arrow-batched Python execution
+#: path IS the operator under test (B24/B26 UDF surface, B30 multimodal
+#: codecs). Their Arrow-ness (never row-at-a-time) is pinned by their own
+#: dedicated tests.
+_PYTHON_STAGE_OK = {
+    "b24_stateful_counter_applyinpandas",
+    "b26_pandas_udf",
+    "b26_grouped_map_rank",
+    "b26_udtf_split_words",
+    "b30_multimodal_decode",
+    "b30_multimodal_resize",
+    "b30_multimodal_frame_sample",
+    "b30_multimodal_meta",
+}
+
+
+def test_registry_wide_plan_lint(spark, sf_dir):
+    """EVERY registered query — not just the pinned exemplars above —
+    must avoid the two unconditional scale-killers: a cartesian product
+    over non-broadcast relations, and any Python eval stage outside the
+    declared UDF-surface/codec queries. New registrations are linted
+    automatically the moment they exist."""
+    from hive_plan_service_spark.plans.registry import all_queries
+
+    skip = _EFFECTFUL | {"b27_stream_dedup_ingest"}
+    for name, q in all_queries().items():
+        if name in skip:
+            continue
+        plan = q.fn(spark, sf_dir)._jdf.queryExecution().sparkPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        if name not in _PYTHON_STAGE_OK:
+            for node in (
+                "BatchEvalPython",
+                "ArrowEvalPython",
+                "MapInPandas",
+                "FlatMapGroupsInPandas",
+                "EvalPythonUDTF",
+            ):
+                assert node not in plan, f"{name}: unexpected Python stage {node}"
+
+
 def test_global_sort_uses_range_partitioning(spark, sf_dir):
     """A full orderBy must range-partition (sampled bounds), not single-task."""
     from hive_plan_service_spark.sources.catalog import register_tables
