@@ -212,7 +212,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
     for name, q in all_queries().items():
         if name in skip:
             continue
-        plan = q.fn(spark, sf_dir)._jdf.queryExecution().sparkPlan().toString()
+        qe = q.fn(spark, sf_dir)._jdf.queryExecution()
+        plan = qe.sparkPlan().toString()
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
         if name not in _PYTHON_STAGE_OK:
             for node in (
@@ -223,6 +224,11 @@ def test_registry_wide_plan_lint(spark, sf_dir):
                 "EvalPythonUDTF",
             ):
                 assert node not in plan, f"{name}: unexpected Python stage {node}"
+        # single-task windows: same rule the canonical test pins, swept
+        # over the whole registry from the already-built execution
+        assert not _global_windows(qe.optimizedPlan().toString()), (
+            f"{name}: unpartitioned window"
+        )
 
 
 def test_global_sort_uses_range_partitioning(spark, sf_dir):
