@@ -54,7 +54,7 @@ def scratch_root() -> str:
         if cand and os.path.isdir(cand) and os.access(cand, os.W_OK):
             d = os.path.join(cand, "hpss_scratch")
             try:
-                os.makedirs(d, exist_ok=True)
+                os.makedirs(os.path.join(d, "jvmtmp"), exist_ok=True)
                 return d
             except OSError:
                 continue
@@ -88,6 +88,12 @@ def get_spark(app_name: str = APP_NAME, cpus: int | None = None) -> SparkSession
         .config("spark.sql.shuffle.partitions", str(max(8, n)))
         # shuffle/spill block files on tmpfs (cluster: local NVMe)
         .config("spark.local.dir", os.path.join(scratch, "local"))
+        # temporary streaming checkpoints (memory-sink runs) come from
+        # java.io.tmpdir — route them through the same scratch root
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Djava.io.tmpdir={os.path.join(scratch, 'jvmtmp')}",
+        )
         # keep saveAsTable (bucketing) artifacts out of the repo cwd
         .config("spark.sql.warehouse.dir", os.path.join(scratch, "warehouse"))
     )
