@@ -52,20 +52,28 @@ def run(spark, sf_dir: str, names: tuple[str, ...] = HEADLINE) -> dict:
         for name in selected:
             registry[name].fn(spark, sf_dir).count()
 
-    # Min of 5 timed runs per query. External load on this shared box
+    # Adaptive min-of-N per query. External load on this shared box
     # inflates whole runs by 30-50% (sometimes 3×) for minutes at a time
     # (observed: the same query 1.07 s on a quiet box, 3.19 s under a
     # noisy neighbor) — sustained contention shifts the median too, while
     # the minimum is the standard robust estimator of the query's true
     # cost (cf. timeit's guidance): noise can only ADD time, never
-    # subtract it. Five runs widen the window for catching a quiet slot.
+    # subtract it. Convergence rule: stop once the two best runs agree
+    # within 15% (≥3 runs, ≤8) — a quiet box stops at 3, a noisy window
+    # gets up to 8 chances to catch one clean slot.
     timings: dict[str, float] = {}
     for name in selected:
-        runs = []
-        for _ in range(5):
+        runs: list[float] = []
+        while True:
             t0 = time.perf_counter()
             registry[name].fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
+            if len(runs) >= 8:
+                break
+            if len(runs) >= 3:
+                best, second = sorted(runs)[:2]
+                if second <= 1.15 * best:
+                    break
         timings[name] = round(min(runs), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
