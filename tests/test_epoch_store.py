@@ -74,3 +74,46 @@ def test_live_epochs_selection_is_exactly_once(state):
         covered = set(range(newest_compaction + 1)) | set(live)
         assert all(v > newest_compaction for v in live)
     assert covered == set(range(n)), (values, base, live)
+
+
+def test_live_epochs_exhaustive_small_histories():
+    """EXHAUSTIVE check for n ≤ 6: every compaction subset × every
+    partial-GC state. The read rule has no size-dependent branches, so
+    small-history exhaustion plus the sampled property above covers the
+    algebra end to end (~17k states, pure Python)."""
+    from itertools import chain, combinations
+
+    def subsets(xs):
+        return chain.from_iterable(combinations(xs, r) for r in range(len(xs) + 1))
+
+    checked = 0
+    for n in range(1, 7):
+        for compactions in subsets(range(n)):
+            values = set(range(n)) | {
+                epoch_store.base_epoch(c) for c in compactions
+            }
+            if compactions:
+                newest = max(compactions)
+                deletable = sorted(
+                    {v for v in values if 0 <= v <= newest}
+                    | {
+                        epoch_store.base_epoch(c)
+                        for c in compactions
+                        if c != newest
+                    }
+                )
+            else:
+                newest, deletable = None, []
+            for doomed in subsets(deletable):
+                state = sorted(values - set(doomed))
+                base, live = epoch_store.live_epochs(state)
+                if newest is None:
+                    assert base is None
+                    covered = set(live)
+                else:
+                    assert base == epoch_store.base_epoch(newest)
+                    assert all(v > newest for v in live)
+                    covered = set(range(newest + 1)) | set(live)
+                assert covered == set(range(n)), (state, base, live)
+                checked += 1
+    assert checked > 5000  # sanity: the sweep actually enumerated
