@@ -2,9 +2,12 @@
 north-star dedup / similarity / text-analysis / multimodal families).
 
 The exact variants (n-gram Jaccard, brute-force cosine, rolling-hash
-fingerprint) are oracle-checked; the sketch-based scale paths
-(MinHash-LSH, SimHash, IVF) use engine hashes and are rows-only, with
-pytest asserting they agree with their exact twins (tests/test_llm_ops.py).
+fingerprint) are oracle-checked, and since round 3 so are the canonical
+sketch paths (MinHash-LSH, SimHash, hyperplane LSH, IVF): they run the
+PORTABLE integer hash families of operators/dedup.py, which DuckDB
+recomputes bit-for-bit (CLAUDE.md invariant 15). The xxhash64 `*_xx`
+throughput twins stay rows-only; pytest ties every sketch to its exact
+twin either way (tests/test_llm_ops.py).
 """
 
 from __future__ import annotations
