@@ -24,8 +24,12 @@ from hive_plan_service_spark.plans.registry import CANONICAL, all_queries
 from parity import check_query
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# second arg: core count (default 32 — the driver's likely local[*]).
+# Running the same gate at a different parallelism certifies that every
+# canonical result is reproduction-independent of cluster layout.
+cores = sys.argv[2] if len(sys.argv) > 2 else "32"
 
-spark = SparkSession.builder.master("local[32]").getOrCreate()
+spark = SparkSession.builder.master(f"local[{cores}]").getOrCreate()
 tune(spark)
 
 qs = all_queries()
