@@ -40,6 +40,25 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
 
 
+#: Minimum free bytes a tmpfs candidate must offer before we put shuffle
+#: spill on it. tmpfs competes with executor memory for the same RAM: a
+#: small /dev/shm (default = half RAM, but containers often shrink it)
+#: filling up surfaces as mid-query "No space left on device". 8 GiB
+#: covers sf0.1 spill many times over; larger local probes should set
+#: SPARK_GRAFT_SCRATCH to a disk path explicitly.
+_TMPFS_MIN_FREE_BYTES = int(
+    os.environ.get("SPARK_GRAFT_TMPFS_MIN_FREE", str(8 * 1024**3))
+)
+
+
+def _free_bytes(path: str) -> int:
+    try:
+        st = os.statvfs(path)
+        return st.f_bavail * st.f_frsize
+    except OSError:
+        return 0
+
+
 def scratch_root() -> str:
     """Local scratch root for shuffle spill, streaming checkpoints and
     ephemeral demo stores. Prefers tmpfs (``/dev/shm``): all of this
@@ -47,18 +66,40 @@ def scratch_root() -> str:
     disk out of the measured path on the single-node harness. On a real
     cluster the same knob is ``spark.local.dir`` pointed at fast local
     NVMe — durable state (real sinks, long-lived stores) always takes an
-    explicit path instead of this."""
-    import tempfile
+    explicit path instead of this.
 
-    for cand in (os.environ.get("SPARK_GRAFT_SCRATCH"), "/dev/shm"):
-        if cand and os.path.isdir(cand) and os.access(cand, os.W_OK):
-            d = os.path.join(cand, "hpss_scratch")
-            try:
-                os.makedirs(os.path.join(d, "jvmtmp"), exist_ok=True)
-                return d
-            except OSError:
-                continue
-    return tempfile.gettempdir()
+    Guard rails: an un-forced tmpfs candidate is skipped (with a
+    warning) when its free space is under ``_TMPFS_MIN_FREE_BYTES`` —
+    tmpfs shares the RAM budget with the executors and filling it kills
+    queries mid-shuffle. The final fallback builds the same
+    ``hpss_scratch/jvmtmp`` layout under the system tempdir, because
+    ``get_spark`` points ``java.io.tmpdir`` at ``<root>/jvmtmp``
+    unconditionally and the JVM never creates its own tmpdir.
+    """
+    import tempfile
+    import warnings
+
+    explicit = os.environ.get("SPARK_GRAFT_SCRATCH")
+    for cand, forced in ((explicit, True), ("/dev/shm", False)):
+        if not (cand and os.path.isdir(cand) and os.access(cand, os.W_OK)):
+            continue
+        if not forced and _free_bytes(cand) < _TMPFS_MIN_FREE_BYTES:
+            warnings.warn(
+                f"scratch candidate {cand} has < "
+                f"{_TMPFS_MIN_FREE_BYTES >> 30} GiB free; falling back to "
+                "the system tempdir (set SPARK_GRAFT_SCRATCH to override)",
+                stacklevel=2,
+            )
+            continue
+        d = os.path.join(cand, "hpss_scratch")
+        try:
+            os.makedirs(os.path.join(d, "jvmtmp"), exist_ok=True)
+            return d
+        except OSError:
+            continue
+    d = os.path.join(tempfile.gettempdir(), "hpss_scratch")
+    os.makedirs(os.path.join(d, "jvmtmp"), exist_ok=True)
+    return d
 
 
 def tune(spark: SparkSession) -> SparkSession:

@@ -11,11 +11,14 @@ rows-only by design, which the canonical set no longer contains).
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
-sys.path.insert(0, "tests")
+# Anchor imports on the script location, not the cwd (ADVICE r3).
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+sys.path.insert(0, os.path.join(REPO_ROOT, "tests"))
 
 from pyspark.sql import SparkSession
 

