@@ -37,6 +37,38 @@ HEADLINE: tuple[str, ...] = (
 )
 
 
+def calibrate(spark, n_rows: int = 50_000_000, depth: int = 16) -> float:
+    """Fixed pure-CPU workload for box-speed normalization (VERDICT r3 #1).
+
+    A 16-deep xxhash64 chain folded over a generated range — no I/O, no
+    meaningful shuffle (one 64-row partial-aggregate exchange), fully
+    whole-stage-codegen. Its wall-clock depends only on this box's CPU
+    speed and current load, so round-over-round bench comparisons can be
+    normalized: if r{N}/r{N-1} per-query ratios track the calibration
+    ratio, the delta is the box, not the code. min-of-5 (noise only adds
+    time; same rationale as the query timings below).
+    """
+    from pyspark.sql import functions as F
+
+    def probe():
+        # Rebuilt per run: re-collecting one DataFrame object would hit
+        # AQE's materialized-stage cache and skip the hash fold entirely
+        # (only the post-exchange final aggregate re-executes).
+        df = spark.range(0, n_rows, 1, 64)
+        expr = F.col("id")
+        for i in range(depth):
+            expr = F.xxhash64(expr, F.lit(i))
+        return df.select(expr.alias("h")).agg(F.bit_xor("h").alias("x"))
+
+    probe().collect()  # warm: codegen compile + JIT
+    runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        probe().collect()
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 4)
+
+
 def run(spark, sf_dir: str, names: tuple[str, ...] = HEADLINE) -> dict:
     """Time the named queries on an existing session; return the payload."""
     from hive_plan_service_spark.plans.registry import all_queries
@@ -83,6 +115,10 @@ def run(spark, sf_dir: str, names: tuple[str, ...] = HEADLINE) -> dict:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # box-speed reference: pure-CPU, data-independent — divide any
+        # two rounds' calibration values to get the expected
+        # environmental inflation between their boxes/load windows
+        "calibration_cpu_sec": calibrate(spark),
     }
 
 

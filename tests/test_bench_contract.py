@@ -13,9 +13,19 @@ def test_bench_payload_shape(spark, sf_dir):
     )
     encoded = json.dumps(payload)
     decoded = json.loads(encoded)
-    assert set(decoded) == {"metric", "value", "unit", "queries", "sf"}
+    assert set(decoded) == {
+        "metric",
+        "value",
+        "unit",
+        "queries",
+        "sf",
+        "calibration_cpu_sec",
+    }
     assert decoded["unit"] == "sec"
     assert isinstance(decoded["value"], (int, float)) and decoded["value"] > 0
+    # the box-speed reference must be a real measurement, and must NOT
+    # count toward the headline total (it is not a query)
+    assert decoded["calibration_cpu_sec"] > 0
     assert set(decoded["queries"]) == {
         "b09_agg_pricing_summary",
         "b04_join_inner_broadcast",
