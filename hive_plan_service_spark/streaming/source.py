@@ -42,17 +42,18 @@ def events_stream(
     ordered sequence of micro-batches — how the watermark tests replay
     late data.
 
-    The file source needs the schema up front; a one-time driver-side
-    footer read (batch ``spark.read``) decides whether ``ts`` is stored
-    as BIGINT nanos or a real timestamp. That sniff reads metadata only —
-    no data scan — and production queue sources declare their schema
-    explicitly anyway.
+    The file source needs the schema up front; a cached pyarrow footer
+    read decides whether ``ts`` is stored as BIGINT nanos or a real
+    timestamp (metadata only — no data scan, no Spark reader build; see
+    catalog.events_ts_is_long). Production queue sources declare their
+    schema explicitly anyway.
     """
     import os
 
+    from hive_plan_service_spark.sources.catalog import events_ts_is_long
+
     tune(spark)
-    on_disk = dict(spark.read.parquet(path).dtypes).get("ts", "bigint")
-    ts_is_long = on_disk == "bigint"
+    ts_is_long = events_ts_is_long(path)
     reader = spark.readStream.schema(
         _events_schema(T.LongType() if ts_is_long else T.TimestampType())
     )
