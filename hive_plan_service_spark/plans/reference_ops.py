@@ -172,6 +172,45 @@ def a08_get_plan_groups_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# A8, JSON-serialized form (VERDICT r3 #5) — the nested ARRAY<STRUCT>
+# canonically serialized per group, so the driver hash covers the FULL
+# nested payload (ids, titles, optional flags, and bit order), not just
+# the flat summaries. Spark's to_json writes compact JSON
+# ({"id":1,"title":"X","optional":true}); the oracle rebuilds the same
+# bytes with string_agg — handcrafted rather than DuckDB's json_object
+# so the serialization contract is explicit on both sides. Titles are
+# nation names (no JSON-escapable characters; true at every SF).
+# --------------------------------------------------------------------------
+@register(
+    "a08_get_plan_groups_json",
+    oracle=f"""
+WITH {ORACLE_PLANS_CTE},
+{ORACLE_PLAN_GROUPS_CTE}
+SELECT g.id AS group_id, g.title AS group_title, g.mask,
+       '[' || string_agg(
+           '{{"id":' || CAST(p.id AS VARCHAR)
+             || ',"title":"' || p.title
+             || '","optional":' || CAST(p.optional AS VARCHAR) || '}}',
+           ',' ORDER BY (p.id < 0), p.id) || ']' AS plans_json
+FROM plan_groups_d g
+JOIN plans_d p ON (g.mask & p.id) <> 0
+GROUP BY g.id, g.title, g.mask
+""",
+    doc="getPlanGroups nested payload serialized to canonical JSON: the full ARRAY<STRUCT> is value-hashed.",
+    tags=("A8",),
+)
+def a08_get_plan_groups_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    nested = expand_groups_nested(spark.table("plan_groups"), spark.table("plans"))
+    return nested.select(
+        F.col("id").alias("group_id"),
+        F.col("title").alias("group_title"),
+        "mask",
+        F.to_json(F.col("plans")).alias("plans_json"),
+    )
+
+
+# --------------------------------------------------------------------------
 # A8, driver-safe form — the same nested scan with the ARRAY<STRUCT>
 # summarized to flat scalars (the driver's canonicalizer can't hash
 # array cells; CLAUDE.md invariant 2). n_plans + the bit-ordered id list

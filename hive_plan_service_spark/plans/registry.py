@@ -86,7 +86,7 @@ CANONICAL: tuple[str, ...] = (
     "a04_point_lookup",
     "a05_materialize_roundtrip",
     "a07_get_plans",
-    "a08_get_plan_groups_flat",
+    "a08_get_plan_groups_json",
     "a09_counter_deltas",
     "a11_counter_per_key",
     "b01_scan_projection",
