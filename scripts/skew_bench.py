@@ -1,8 +1,20 @@
-"""Skew-join evidence (VERDICT r1 #8): hot-key fixture + salted vs plain.
+"""Skew-join evidence: hot-key fixtures, AQE skew-split forensics.
 
-Builds a skewed copy of lineitem at $SPARK_GRAFT_SF_DIR (default sf0.1)
-with 50% of rows remapped to ONE supplier key, then times a
-per-supplier aggregate join against the supplier dim under three
+Two probes:
+
+* ``python scripts/skew_bench.py`` — (r1 #8) supplier-key skew on
+  lineitem: plain vs salted vs AQE-skew wall-clock.
+* ``python scripts/skew_bench.py star`` — (VERDICT r3 #4) the Q3-shaped
+  customer⋈orders star join with ONE customer owning ~20% of orders at
+  sf0.1×10, run with the event log enabled. Reports, for skew-join OFF
+  vs ON: wall-clock, whether the executed plan carries the AQE
+  ``skew=true`` marker, and the max/median task-duration ratio of the
+  heaviest stage parsed from the Spark event log — the straggler
+  evidence (a healthy split keeps max/median under ~5×).
+
+The default probe builds a skewed copy of lineitem at $SPARK_GRAFT_SF_DIR
+(default sf0.1) with 50% of rows remapped to ONE supplier key, then
+times a per-supplier aggregate join against the supplier dim under three
 strategies, broadcast disabled so the shuffle path is exercised:
 
   plain      — SortMergeJoin, no AQE skew handling: the hot key's
@@ -12,8 +24,7 @@ strategies, broadcast disabled so the shuffle path is exercised:
   aqe_skew   — AQE skewJoin enabled: runtime split of the oversized
                partition (the config the engine ships in session.tune).
 
-Prints one JSON line; numbers are recorded in ROUND2_NOTES.md.
-Run: python scripts/skew_bench.py
+Each mode prints one JSON line; numbers are recorded in ROUND{2,4}_NOTES.md.
 """
 
 from __future__ import annotations
@@ -137,5 +148,175 @@ def main() -> None:
     )
 
 
+def _stage_task_stats(event_log_dir: str) -> dict[int, dict]:
+    """Per-stage task-duration stats parsed from the Spark event log
+    (v2 rolling layout: an eventlog_v2_* directory of events_* files)."""
+    import statistics
+
+    stages: dict[int, list[float]] = {}
+    event_files = []
+    for root, _dirs, files in os.walk(event_log_dir):
+        event_files += [
+            os.path.join(root, f)
+            for f in files
+            if f.startswith("events_") or f.startswith("local-")
+        ]
+    for f in event_files:
+        with open(f, errors="replace") as fh:
+            for line in fh:
+                if '"Event":"SparkListenerTaskEnd"' not in line:
+                    continue
+                ev = json.loads(line)
+                info = ev.get("Task Info", {})
+                dur = info.get("Finish Time", 0) - info.get("Launch Time", 0)
+                stages.setdefault(ev.get("Stage ID", -1), []).append(dur)
+    out = {}
+    for sid, durs in stages.items():
+        med = statistics.median(durs) or 1.0
+        out[sid] = {
+            "n_tasks": len(durs),
+            "median_ms": round(med, 1),
+            "max_ms": max(durs),
+            "straggler_ratio": round(max(durs) / med, 2),
+            "sum_ms": sum(durs),
+        }
+    return out
+
+
+def star_probe() -> None:
+    """Customer-hot-key star join (Q3 shape) under AQE skew handling.
+
+    invariant 9 leaves SF-proportional join sides to AQE instead of a
+    broadcast hint; this probe is the proof that AQE's skew split
+    actually engages on the resulting shuffle join and removes the
+    straggler, at a deliberately hostile key distribution (one customer
+    owning ~20% of all orders, fact side replicated ×10).
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (script scope)
+
+    from hive_plan_service_spark.session import scratch_root
+
+    mult = int(os.environ.get("SKEW_BENCH_MULT", "10"))
+    workdir = tempfile.mkdtemp(prefix="skew_star_", dir=scratch_root())
+    fact_path = os.path.join(workdir, "orders_skewed")
+
+    def build_session(event_dir: str):
+        spark = tune(
+            SparkSession.builder.master(f"local[{CPUS}]")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.driver.memory", "16g")
+            .config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.compress", "false")  # plain JSONL
+            .config("spark.eventLog.dir", f"file://{event_dir}")
+            .getOrCreate()
+        )
+        # Force the shuffle-join path: at 100 TB the customer side would
+        # not broadcast, and broadcast joins have no skew to probe.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # scale AQE's size thresholds to the local fixture (partitions
+        # here are a few compressed MBs, not the 256m cluster default)
+        # so the split logic engages as it would at 100 TB sizes
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+        return spark
+
+    def q(spark):
+        # The aggregate keeps o_totalprice/o_orderdate live so the fact
+        # shuffle carries real payload bytes: with a count-only probe,
+        # column pruning leaves just the 8-byte key, and the hot
+        # partition — millions of copies of ONE key — lz4-compresses
+        # below any size threshold, hiding the skew from AQE's
+        # size-based detection. (Real star joins always carry payload.)
+        fact = spark.read.parquet(fact_path).select(
+            "o_custkey", "o_totalprice", "o_orderdate"
+        )
+        dim = spark.read.parquet(
+            os.path.join(SF_DIR, "customer.parquet")
+        ).select("c_custkey", "c_mktsegment", "c_nationkey")
+        return (
+            fact.join(dim, fact.o_custkey == dim.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+                F.max("o_orderdate").alias("last_order"),
+            )
+        )
+
+    # Fixture built in its own session so neither mode's event log
+    # carries the write stages.
+    fixture_log = os.path.join(workdir, "eventlog_fixture")
+    os.makedirs(fixture_log, exist_ok=True)
+    spark = build_session(fixture_log)
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    hot = cust.agg(F.min("c_custkey")).collect()[0][0]
+    (
+        orders.crossJoin(spark.range(mult).select(F.col("id").alias("_rep")))
+        .withColumn(
+            "o_custkey",
+            F.when(
+                F.xxhash64("o_orderkey", "_rep") % 5 == 0, F.lit(hot)
+            ).otherwise(F.col("o_custkey")),
+        )
+        .drop("_rep")
+        .write.mode("overwrite")
+        .parquet(fact_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    hot_frac = fact.filter(F.col("o_custkey") == hot).count() / fact.count()
+    spark.stop()
+
+    results: dict[str, dict] = {}
+    # One session (and one event log) per mode, so each log's heaviest
+    # stage IS that mode's join — no cross-run stage-id guessing.
+    for mode, enabled in (("skew_off", "false"), ("skew_on", "true")):
+        event_dir = os.path.join(workdir, f"eventlog_{mode}")
+        os.makedirs(event_dir, exist_ok=True)
+        spark = build_session(event_dir)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", enabled)
+        q(spark).collect()  # warm (page cache, codegen)
+        df = q(spark)
+        t0 = time.time()
+        df.collect()
+        wall = round(time.time() - t0, 3)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        spark.stop()  # flush the event log
+        stats = _stage_task_stats(event_dir)
+        # The verdict criterion is "no straggler task >= 5x its stage
+        # median": report the worst ratio over every multi-task stage in
+        # the log (scan stages included — their medians are their own).
+        multi = {
+            sid: s for sid, s in stats.items() if s["n_tasks"] >= 4
+        }
+        worst_sid, worst = max(
+            multi.items(), key=lambda kv: kv[1]["straggler_ratio"]
+        )
+        results[mode] = {
+            "wall_sec": wall,
+            "plan_has_skew_marker": "skew=true" in plan,
+            "worst_straggler_ratio": worst["straggler_ratio"],
+            "worst_stage": {"stage_id": worst_sid, **worst},
+        }
+
+    print(
+        json.dumps(
+            {
+                "metric": "skew_star_join",
+                "sf_dir": SF_DIR,
+                "mult": mult,
+                "hot_key_fraction": round(hot_frac, 3),
+                **results,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "star":
+        star_probe()
+    else:
+        main()
