@@ -319,15 +319,20 @@ def minhash_lsh_pairs(
         sigs, num_hashes=num_hashes, bands=bands, hash_fn=hash_fn
     )
     if max_bucket is not None:
-        # same (band, bucket) key as the pair join below — the size
-        # aggregate and the join reuse one exchange partitioning
-        ok = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("_bn"))
+        # Bucket-size cap as a WINDOW count over the same (band, bucket)
+        # key the pair join shuffles on: one pass, one exchange (reused
+        # by the join). The previous aggregate + semi-join-back form
+        # re-executed the whole signature pipeline for the size side —
+        # measured 11 s → 69 s at 200k docs (r4 scale probe) because the
+        # shingle/hash subtree appeared twice in the plan.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(w))
             .filter(F.col("_bn") <= max_bucket)
             .drop("_bn")
         )
-        banded = banded.join(ok, ["band", "bucket"])
     l = banded.select(
         F.col("doc_id_").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bucket"
     )

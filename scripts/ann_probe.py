@@ -1,11 +1,19 @@
 """ANN scaling probe: brute-force cosine top-k vs IVF vs hyperplane LSH.
 
-Inflates the embeddings table N× (ids shifted, vectors reused) and times
-the three similarity-search paths for a fixed 5-query batch, recording
-recall@5 of each ANN path against the brute-force truth. The measured
-basis for the engine's claim that the bucketed paths are the corpus-scale
-option: brute force pays #queries × #corpus cosines; IVF pays the probed
-buckets; LSH pays bucket collisions.
+Inflates the embeddings table N× (one scan: crossJoin with a range, ids
+shifted, each copy's vector deterministically perturbed by ±0.05 so
+copies are distinct points rather than exact duplicates — identical
+copies make top-k a tie-break artifact), materializes the corpus to
+scratch parquet, and times the similarity-search paths for a fixed
+query batch, recording recall@5 of each ANN path against the
+brute-force truth. The measured basis for the engine's claim that the
+bucketed paths are the corpus-scale option: brute force pays #queries ×
+#corpus cosines; IVF pays the probed buckets; LSH pays bucket
+collisions.
+
+At large mult the query batch shrinks (brute-force truth is O(q·n))
+and PQ codebooks train on a ≤64k-vector sample — the production
+methodology (train on sample, encode all) rather than a probe shortcut.
 
 Usage: python scripts/ann_probe.py [multipliers...]  (default 1 4 16)
 """
@@ -29,14 +37,37 @@ from hive_plan_service_spark.sources.catalog import register_tables  # noqa: E40
 
 
 def multiplied(spark, mult: int):
+    from hive_plan_service_spark.session import default_parallelism, scratch_root
+
     base = spark.table("embeddings")
     n = base.count()
-    out = base
-    for i in range(1, mult):
-        out = out.unionByName(
-            base.withColumn("vec_id", F.col("vec_id") + F.lit(i * n))
+    reps = spark.range(mult).select(F.col("id").alias("_rep"))
+    out = (
+        base.crossJoin(reps)
+        .withColumn("vec_id", F.col("vec_id") + F.col("_rep") * F.lit(n))
+        .withColumn(
+            "embedding",
+            # deterministic per-(vector, element) jitter in [-0.05, 0.05):
+            # copies stay close to the original (neighborhood structure
+            # preserved) without being exact duplicates
+            F.transform(
+                "embedding",
+                lambda x, i: (
+                    x.cast("double")
+                    + (
+                        F.xxhash64(F.col("vec_id"), i)
+                        % F.lit(1000)
+                    ).cast("double")
+                    / F.lit(10000.0)
+                    - F.lit(0.05)
+                ).cast("float"),
+            ),
         )
-    return out
+        .drop("_rep")
+    )
+    path = os.path.join(scratch_root(), f"ann_probe_corpus_{mult}")
+    out.repartition(default_parallelism()).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 def topk_set(df):
@@ -50,8 +81,10 @@ def main() -> None:
     register_tables(spark, sf_dir)
     for mult in mults:
         emb = multiplied(spark, mult)
-        queries = emb.filter(F.col("vec_id") < 50)
         n = emb.count()
+        # brute-force truth is O(q·n): shrink the batch at corpus scale
+        n_q = 50 if n <= 300_000 else 10
+        queries = emb.filter(F.col("vec_id") < n_q)
 
         t0 = time.perf_counter()
         truth = topk_set(vx.cosine_topk(queries, emb, k=5))
@@ -93,12 +126,17 @@ def main() -> None:
                 "embedding"
             ),
         )
-        uq = unit.filter(F.col("vec_id") < 50)
+        uq = unit.filter(F.col("vec_id") < n_q)
         t0 = time.perf_counter()
-        books = vx.pq_train_codebooks(unit, subspaces=8, codes=64)
-        pq_codes = vx.pq_encode(unit, books, subspaces=8).localCheckpoint(
-            eager=True
-        )
+        # train on a bounded sample at corpus scale (production
+        # methodology: codebooks from a sample, encode everything)
+        train_src = unit.filter(F.col("vec_id") < 65536) if n > 100_000 else unit
+        books = vx.pq_train_codebooks(train_src, subspaces=8, codes=64)
+        # index artifact = the WIDE codes (one row per vector): the
+        # narrow->wide pivot shuffles n·S rows and belongs at build time
+        pq_codes = vx.pq_codes_wide(
+            vx.pq_encode(unit, books, subspaces=8)
+        ).localCheckpoint(eager=True)
         t_pq_index = time.perf_counter() - t0
         t0 = time.perf_counter()
         pq = topk_set(
@@ -111,7 +149,7 @@ def main() -> None:
                 {
                     "mult": mult,
                     "n_vectors": n,
-                    "n_queries": 50,
+                    "n_queries": n_q,
                     "brute_sec": round(t_brute, 2),
                     "ivf_index_sec": round(t_index, 2),
                     "ivf_query_sec": round(t_ivf_q, 2),

@@ -1,12 +1,22 @@
 """Scaling probe: exact Jaccard dedup vs MinHash-LSH as the corpus grows.
 
-Synthesizes N× corpora by unioning the documents table with shifted ids
-(near-dup structure preserved per copy), then times both dedup paths.
-The exact shingle self-join grows with candidate pairs; the LSH path
-stays ~linear in documents — the measured basis for the engine's claim
-that LSH is the 100 TB path. Not part of CI (minutes at high N).
+Synthesizes N× corpora from the documents table (one scan: crossJoin
+with a range, ids shifted per copy), materializes them to scratch
+parquet, then times the dedup paths reading from storage. The exact
+shingle self-join grows with candidate pairs; the LSH path stays
+~linear in documents — the measured basis for the engine's claim that
+LSH is the 100 TB path. Not part of CI (minutes at high N).
 
-Usage: python scripts/scale_probe.py [--no-exact] [multipliers...]
+Copy semantics (r4): by default every word is suffixed with its copy
+index, so copies are textually DISJOINT — near-dup structure is
+preserved within each copy (both members of a pair get the identical
+transformation) while cross-copy collisions vanish. With identical
+copies the pair OUTPUT itself grows ∝ mult² (every copy of a doc
+near-dups every other copy), so past ~32× the probe measured output
+size, not plan scaling (ROUND3_NOTES §4's conclusion). ``--identical``
+restores the old semantics for comparison.
+
+Usage: python scripts/scale_probe.py [--no-exact] [--identical] [mults...]
 (default 1 2 4; --no-exact skips the all-pairs truth join — required
 past ~100k docs; also times the max_bucket-capped LSH variant, the
 degenerate-bucket guard for boilerplate-heavy corpora)
@@ -30,15 +40,42 @@ from hive_plan_service_spark.session import get_spark  # noqa: E402
 from hive_plan_service_spark.sources.catalog import register_tables  # noqa: E402
 
 
-def multiplied_docs(spark, mult: int):
+def multiplied_docs(spark, mult: int, *, identical: bool = False):
+    """mult× corpus as ONE scan (crossJoin with a range), materialized.
+
+    Materializing to scratch parquet (repartitioned so the scan is
+    splittable) keeps the synthesis expressions out of the timed
+    operator — the probe measures dedup over storage, like production.
+    """
+    from hive_plan_service_spark.session import default_parallelism, scratch_root
+
     base = spark.table("documents")
-    out = base
     n = base.count()
-    for i in range(1, mult):
-        out = out.unionByName(
-            base.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
+    reps = spark.range(mult).select(F.col("id").alias("_rep"))
+    out = base.crossJoin(reps).withColumn(
+        "doc_id", F.col("doc_id") + F.col("_rep") * F.lit(n)
+    )
+    if not identical:
+        # suffix every word with the copy index: copies become
+        # textually disjoint while each copy keeps the base corpus's
+        # near-dup structure (same transformation on both pair members)
+        out = out.withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.concat(w, F.col("_rep").cast("string")),
+                ),
+            ),
         )
-    return out
+    out = out.drop("_rep")
+    path = os.path.join(
+        scratch_root(),
+        f"scale_probe_corpus_{mult}{'_id' if identical else ''}",
+    )
+    out.repartition(default_parallelism()).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 def main() -> None:
@@ -46,13 +83,16 @@ def main() -> None:
     run_exact = "--no-exact" not in args
     if not run_exact:
         args.remove("--no-exact")
+    identical = "--identical" in args
+    if identical:
+        args.remove("--identical")
     mults = [int(m) for m in args] or [1, 2, 4]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="hpss-scale-probe")
     register_tables(spark, sf_dir)
     results = []
     for mult in mults:
-        docs = multiplied_docs(spark, mult)
+        docs = multiplied_docs(spark, mult, identical=identical)
         n_docs = docs.count()
         t0 = time.perf_counter()
         lsh_pairs = dd.minhash_lsh_pairs(docs).count()
@@ -68,6 +108,7 @@ def main() -> None:
         results.append(
             {
                 "mult": mult,
+                "identical_copies": identical,
                 "n_docs": n_docs,
                 "lsh_sec": round(t_lsh, 2),
                 "lsh_capped_sec": round(t_capped, 2),
