@@ -58,11 +58,21 @@ def cosine_topk(
     Output: query_id, neighbor_id, cos, rank — rank tie-broken by
     neighbor id so results are totally deterministic.
     """
+    # Norms precomputed BELOW the join (once per row / once per
+    # broadcast query), not inside the pair expression: cosine() as one
+    # expression re-folds both norms per PAIR — 3 array folds instead
+    # of 1 on the q×n hot path. The arithmetic is unchanged
+    # (dot / (qn · cn), each factor the same sequential fold), so the
+    # float results — and the value-hash oracle — are identical.
     q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(vec).alias("_qvec")
+        F.col(query_id).alias("query_id"),
+        F.col(vec).alias("_qvec"),
+        norm(F.col(vec)).alias("_qn"),
     )
     c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(vec).alias("_cvec")
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec).alias("_cvec"),
+        norm(F.col(vec)).alias("_cn"),
     )
     pairs = c.crossJoin(F.broadcast(q))
     if exclude_self:
@@ -71,7 +81,10 @@ def cosine_topk(
         pairs.select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("_qvec"), F.col("_cvec")).alias("cos"),
+            (
+                dot(F.col("_qvec"), F.col("_cvec"))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("cos"),
         )
     )
     w = W.partitionBy("query_id").orderBy(
