@@ -103,7 +103,10 @@ def main() -> None:
         assigned = vx.ivf_assign(emb, cents).localCheckpoint(eager=True)
         t_index = time.perf_counter() - t0
         t0 = time.perf_counter()
-        ivf = topk_set(vx.ivf_topk(queries, assigned, cents, k=5, nprobe=2))
+        nprobe = int(os.environ.get("ANN_PROBE_IVF_NPROBE", "2"))
+        ivf = topk_set(
+            vx.ivf_topk(queries, assigned, cents, k=5, nprobe=nprobe)
+        )
         t_ivf_q = time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -138,9 +141,13 @@ def main() -> None:
             vx.pq_encode(unit, books, subspaces=8)
         ).localCheckpoint(eager=True)
         t_pq_index = time.perf_counter() - t0
+        shortlist = int(os.environ.get("ANN_PROBE_PQ_SHORTLIST", "50"))
         t0 = time.perf_counter()
         pq = topk_set(
-            vx.pq_topk_refined(uq, pq_codes, books, unit, k=5, subspaces=8)
+            vx.pq_topk_refined(
+                uq, pq_codes, books, unit, k=5, subspaces=8,
+                shortlist=shortlist,
+            )
         )
         t_pq_q = time.perf_counter() - t0
 
@@ -154,11 +161,13 @@ def main() -> None:
                     "ivf_index_sec": round(t_index, 2),
                     "ivf_query_sec": round(t_ivf_q, 2),
                     "ivf_recall": round(len(truth & ivf) / len(truth), 3),
+                    "ivf_nprobe": nprobe,
                     "lsh_sec": round(t_lsh, 2),
                     "lsh_recall": round(len(truth & lsh) / len(truth), 3),
                     "pq_index_sec": round(t_pq_index, 2),
                     "pq_query_sec": round(t_pq_q, 2),
                     "pq_recall": round(len(truth & pq) / len(truth), 3),
+                    "pq_shortlist": shortlist,
                 }
             )
         )
