@@ -69,7 +69,13 @@ def calibrate(spark, n_rows: int = 50_000_000, depth: int = 16) -> float:
     return round(min(runs), 4)
 
 
-def run(spark, sf_dir: str, names: tuple[str, ...] = HEADLINE) -> dict:
+def run(
+    spark,
+    sf_dir: str,
+    names: tuple[str, ...] = HEADLINE,
+    *,
+    calibration_rows: int = 50_000_000,
+) -> dict:
     """Time the named queries on an existing session; return the payload."""
     from hive_plan_service_spark.plans.registry import all_queries
 
@@ -118,7 +124,9 @@ def run(spark, sf_dir: str, names: tuple[str, ...] = HEADLINE) -> dict:
         # box-speed reference: pure-CPU, data-independent — divide any
         # two rounds' calibration values to get the expected
         # environmental inflation between their boxes/load windows
-        "calibration_cpu_sec": calibrate(spark),
+        # (calibration_rows is shrunk by the contract test, which pins
+        # the payload shape without paying the full 800M-hash probe)
+        "calibration_cpu_sec": calibrate(spark, n_rows=calibration_rows),
     }
 
 

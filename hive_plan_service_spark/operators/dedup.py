@@ -478,17 +478,25 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     block_col: str = "label",
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs within blocking-key groups."""
-    from hive_plan_service_spark.operators.vectors import cosine
+    """Embedding-cosine near-dup pairs within blocking-key groups.
+
+    Norms are computed once per SIDE below the join (same sequential
+    folds as ``cosine()``, so pair scores are bit-identical) — inside
+    the pair expression each row of a B-row block would re-fold its
+    norm B times (the r4 cosine_topk fix, applied family-wide).
+    """
+    from hive_plan_service_spark.operators.vectors import dot, norm
 
     a = embeddings.select(
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("_va"),
+        norm(F.col(vec_col)).alias("_na"),
         F.col(block_col).alias("_block"),
     )
     b = embeddings.select(
         F.col(id_col).alias("vec_b"),
         F.col(vec_col).alias("_vb"),
+        norm(F.col(vec_col)).alias("_nb"),
         F.col(block_col).alias("_block"),
     )
     return (
@@ -497,7 +505,10 @@ def embedding_dup_pairs(
         .select(
             "vec_a",
             "vec_b",
-            cosine(F.col("_va"), F.col("_vb")).alias("cos"),
+            (
+                dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -529,28 +540,47 @@ def centroid_blocked_dup_pairs(
     """
     from pyspark.sql import Window as W
 
-    from hive_plan_service_spark.operators.vectors import cosine
+    from hive_plan_service_spark.operators.vectors import dot, norm
 
+    # per-side norm precompute (bit-identical scores — see
+    # embedding_dup_pairs); `_n` rides along the assignment so the
+    # verify stage reuses it instead of re-folding per pair
     c = centroids.select(
-        F.col("centroid_id").alias("_cid"), F.col(vec_col).alias("_centroid")
+        F.col("centroid_id").alias("_cid"),
+        F.col(vec_col).alias("_centroid"),
+        norm(F.col(vec_col)).alias("_kn"),
     )
-    scored = embeddings.crossJoin(F.broadcast(c)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("_cid"),
-        cosine(F.col(vec_col), F.col("_centroid")).alias("_cos"),
+    scored = (
+        embeddings.withColumn("_n", norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(c))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("_n"),
+            F.col("_cid"),
+            (
+                dot(F.col(vec_col), F.col("_centroid"))
+                / (F.col("_n") * F.col("_kn"))
+            ).alias("_cos"),
+        )
     )
     w = W.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("_cid"))
     assigned = (
         scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= nprobe)
-        .select(id_col, vec_col, F.col("_cid").alias("centroid_id"))
+        .select(id_col, vec_col, "_n", F.col("_cid").alias("centroid_id"))
     )
     a = assigned.select(
-        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"), "centroid_id"
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
+        "centroid_id",
     )
     b = assigned.select(
-        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"), "centroid_id"
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
+        "centroid_id",
     )
     return (
         a.join(b, "centroid_id")
@@ -558,7 +588,10 @@ def centroid_blocked_dup_pairs(
         .select(
             "vec_a",
             "vec_b",
-            cosine(F.col("_va"), F.col("_vb")).alias("cos"),
+            (
+                dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)  # verify BEFORE pair dedup
         .dropDuplicates(["vec_a", "vec_b"])

@@ -115,13 +115,26 @@ def ivf_assign(
     (fine for tiny fixtures) degrades to O(n²) — measured 115 s vs 12 s
     at 128k vectors in scripts/ann_probe.py.
     """
+    # norms once per side below the join (same sequential-fold
+    # arithmetic as cosine(), so scores are bit-identical) — as a pair
+    # expression each of the O(n·K) assignment rows would re-fold the
+    # row norm K× and the centroid norm n× (cosine_topk's r4 fix)
     c = centroids.select(
-        F.col(centroid_id).alias("_cid"), F.col(vec).alias("_centroid")
+        F.col(centroid_id).alias("_cid"),
+        F.col(vec).alias("_centroid"),
+        norm(F.col(vec)).alias("_kn"),
     )
-    scored = corpus.crossJoin(F.broadcast(c)).select(
-        *corpus.columns,
-        F.col("_cid"),
-        cosine(F.col(vec), F.col("_centroid")).alias("_cos"),
+    scored = (
+        corpus.withColumn("_vn", norm(F.col(vec)))
+        .crossJoin(F.broadcast(c))
+        .select(
+            *corpus.columns,
+            F.col("_cid"),
+            (
+                dot(F.col(vec), F.col("_centroid"))
+                / (F.col("_vn") * F.col("_kn"))
+            ).alias("_cos"),
+        )
     )
     best = (
         scored.groupBy(id_col)
@@ -157,15 +170,23 @@ def ivf_topk(
         )
         .select("query_id", F.col("neighbor_id").alias("centroid_id"))
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec).alias("_qvec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec).alias("_qvec"),
+        norm(F.col(vec)).alias("_qn"),
+    )
     candidates = (
-        corpus_assigned.join(F.broadcast(probe), "centroid_id")
+        corpus_assigned.withColumn("_cn", norm(F.col(vec)))
+        .join(F.broadcast(probe), "centroid_id")
         .join(F.broadcast(q), "query_id")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            cosine(F.col("_qvec"), F.col(vec)).alias("cos"),
+            (
+                dot(F.col("_qvec"), F.col(vec))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("cos"),
         )
     )
     w = W.partitionBy("query_id").orderBy(
@@ -239,29 +260,37 @@ def lsh_topk(
     MinHash-LSH text path. Recall/cost is tuned by (planes, bands).
     """
     bb = _hyperplane_band_buckets(vec, planes, bands, dim)
+    # norms computed once per input row, carried through the explode
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec).alias("_cvec"),
+        norm(F.col(vec)).alias("_cn"),
         F.explode(bb).alias("_bb"),
     ).select(
-        "neighbor_id", "_cvec", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket")
+        "neighbor_id", "_cvec", "_cn",
+        F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec).alias("_qvec"),
+        norm(F.col(vec)).alias("_qn"),
         F.explode(bb).alias("_bb"),
     ).select(
-        "query_id", "_qvec", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket")
+        "query_id", "_qvec", "_qn",
+        F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"),
     )
     candidates = (
         c.join(F.broadcast(q), ["band", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "_qvec", "_cvec")
+        .select("query_id", "neighbor_id", "_qvec", "_qn", "_cvec", "_cn")
         .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("_qvec"), F.col("_cvec")).alias("cos"),
+            (
+                dot(F.col("_qvec"), F.col("_cvec"))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("cos"),
         )
     )
     w = W.partitionBy("query_id").orderBy(
@@ -521,10 +550,14 @@ def pq_topk_refined(
         dim=dim,
     ).select("query_id", "neighbor_id")
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec).alias("_qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec).alias("_qvec"),
+        norm(F.col(vec)).alias("_qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec).alias("_cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec).alias("_cvec"),
+        norm(F.col(vec)).alias("_cn"),
     )
     # shortlist is |queries|·shortlist rows — fixed-size; corpus side
     # joins by id (no broadcast hint on the SF-proportional corpus)
@@ -534,7 +567,10 @@ def pq_topk_refined(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("_qvec"), F.col("_cvec")).alias("cos"),
+            (
+                dot(F.col("_qvec"), F.col("_cvec"))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("cos"),
         )
     )
     w = W.partitionBy("query_id").orderBy(

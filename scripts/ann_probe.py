@@ -49,15 +49,16 @@ def multiplied(spark, mult: int):
             "embedding",
             # deterministic per-(vector, element) jitter in [-0.05, 0.05):
             # copies stay close to the original (neighborhood structure
-            # preserved) without being exact duplicates
+            # preserved) without being exact duplicates. pmod, not %:
+            # Spark's % keeps the dividend's sign, which would bias
+            # every element by -0.05 and double the noise width
             F.transform(
                 "embedding",
                 lambda x, i: (
                     x.cast("double")
-                    + (
-                        F.xxhash64(F.col("vec_id"), i)
-                        % F.lit(1000)
-                    ).cast("double")
+                    + F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(1000)).cast(
+                        "double"
+                    )
                     / F.lit(10000.0)
                     - F.lit(0.05)
                 ).cast("float"),

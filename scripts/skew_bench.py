@@ -203,13 +203,15 @@ def star_probe() -> None:
     def build_session(event_dir: str):
         spark = tune(
             SparkSession.builder.master(f"local[{CPUS}]")
-            .config("spark.sql.shuffle.partitions", "32")
             .config("spark.driver.memory", "16g")
             .config("spark.eventLog.enabled", "true")
             .config("spark.eventLog.compress", "false")  # plain JSONL
             .config("spark.eventLog.dir", f"file://{event_dir}")
             .getOrCreate()
         )
+        # AFTER tune (which sets max(8, cpu_count)): straggler ratios
+        # are only comparable across boxes at a fixed partition count
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
         # Force the shuffle-join path: at 100 TB the customer side would
         # not broadcast, and broadcast joins have no skew to probe.
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -292,15 +294,18 @@ def star_probe() -> None:
         multi = {
             sid: s for sid, s in stats.items() if s["n_tasks"] >= 4
         }
-        worst_sid, worst = max(
-            multi.items(), key=lambda kv: kv[1]["straggler_ratio"]
-        )
         results[mode] = {
             "wall_sec": wall,
             "plan_has_skew_marker": "skew=true" in plan,
-            "worst_straggler_ratio": worst["straggler_ratio"],
-            "worst_stage": {"stage_id": worst_sid, **worst},
         }
+        if multi:
+            worst_sid, worst = max(
+                multi.items(), key=lambda kv: kv[1]["straggler_ratio"]
+            )
+            results[mode]["worst_straggler_ratio"] = worst["straggler_ratio"]
+            results[mode]["worst_stage"] = {"stage_id": worst_sid, **worst}
+        else:  # empty/unflushed log or everything coalesced below 4 tasks
+            results[mode]["worst_straggler_ratio"] = None
 
     print(
         json.dumps(

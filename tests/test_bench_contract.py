@@ -9,7 +9,10 @@ import bench
 
 def test_bench_payload_shape(spark, sf_dir):
     payload = bench.run(
-        spark, sf_dir, names=("b09_agg_pricing_summary", "b04_join_inner_broadcast")
+        spark,
+        sf_dir,
+        names=("b09_agg_pricing_summary", "b04_join_inner_broadcast"),
+        calibration_rows=100_000,  # shape check, not a real calibration
     )
     encoded = json.dumps(payload)
     decoded = json.loads(encoded)
