@@ -785,7 +785,15 @@ def b29_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents")
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # df derived FROM tf (one row per (doc, word), so a plain count IS
+    # countDistinct(doc_id)) — drops the expand-plan distinct
+    # aggregation. The corpus still tokenizes twice (column pruning
+    # gives the two tf subtrees different outputs, so ReuseExchange
+    # can't unify them) and that is the SCALE-correct trade: df is
+    # vocab-sized and broadcasts, so the big tf side never shuffles by
+    # word — a single-pass window-count-over-word form would instead
+    # shuffle every (doc, word) row onto hot stopword keys.
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     # corpus size as a broadcast 1-row aggregate INSIDE the plan — the
     # builder triggers no action and the count scan runs once per job,
     # fused by AQE, instead of once per build
