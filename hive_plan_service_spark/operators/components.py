@@ -35,6 +35,12 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # materialize ONCE: sym is joined every propagation round, and
+        # without the checkpoint each round re-executes the whole edge-
+        # producing pipeline upstream (for the LSH-verify dedup graph
+        # that pipeline alone is ~2.7 s at sf0.1 — the un-checkpointed
+        # loop measured 20.5 s vs 4.9 s fixed, r4)
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("vertex"))

@@ -43,16 +43,25 @@ def pagerank(
     (parallel edges weight the walk). All arithmetic is integer:
     ``new = (SCALE div n)·15 div 100 + 85·(contrib + dangling div n) div 100``.
     """
+    # Loop-invariant relations materialize ONCE: every iteration joins
+    # nodes and out_deg, and without checkpoints each round re-executes
+    # their full upstream pipelines — the same re-evaluation trap as
+    # connected_components' edge set (r4; the companion fix there
+    # measured 20.5 → 5.4 s on the LSH dedup graph).
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # graph-size scalars via a broadcast 1-row aggregate — no driver
     # action in the builder (the tfidf lesson)
-    n1 = nodes.agg(F.count(F.lit(1)).alias("_n"))
-    out_deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
+    n1 = nodes.agg(F.count(F.lit(1)).alias("_n")).localCheckpoint(eager=True)
+    out_deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
     )
     ranks = nodes.crossJoin(F.broadcast(n1)).select(
         "node", F.expr(f"CAST({SCALE} AS BIGINT) div _n").alias("rank")
