@@ -317,6 +317,25 @@ def test_pq_adc_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.7, f"PQ refined recall@5 too low: {recall}"
 
 
+def test_pq_wide_codes_equal_narrow(spark, sf_dir):
+    """pq_topk must return identical (values included) results whether
+    handed narrow (id, s, code) codes or the pivoted index artifact from
+    pq_codes_wide — the ADC sum reads the same code per (vector,
+    subspace) either way (r4: the pivot moved to index time)."""
+    from hive_plan_service_spark.operators import vectors as vx
+    from hive_plan_service_spark.sources.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    books = vx.pq_train_codebooks(emb, subspaces=4, codes=8)
+    narrow = vx.pq_encode(emb, books, subspaces=4)
+    wide = vx.pq_codes_wide(narrow)
+    a = vx.pq_topk(queries, narrow, books, k=5, subspaces=4)
+    b = vx.pq_topk(queries, wide, books, k=5, subspaces=4)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_pagerank_matches_integer_model(spark, sf_dir):
     """The engine's integer PageRank must equal a driver-side Python
     replica of the same arithmetic, node for node — determinism is
