@@ -81,3 +81,42 @@ def test_event_queries_agree_across_physical_types(spark, flipped_sf_dir, query_
     got = _rows(q.fn(spark, flipped_sf_dir))
     assert got == expected
     assert len(got) > 0
+
+
+def test_ts_sniff_cache_invalidates_on_rewrite(tmp_path):
+    """The footer-sniff cache keys on (realpath, mtime, size): a fixture
+    regenerated IN PLACE under the other physical type must re-sniff,
+    not serve the stale answer (invariant 3 — physical types are not
+    contractual and the driver rewrites testdata every round)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_plan_service_spark.sources.catalog import events_ts_is_long
+
+    p = str(tmp_path / "events.parquet")
+    us = pa.table({"ts": pa.array([1, 2], type=pa.timestamp("us"))})
+    pq.write_table(us, p)
+    assert events_ts_is_long(p) is False  # µs → real timestamp
+
+    time.sleep(0.01)  # ensure a distinct mtime even on coarse clocks
+    ns = pa.table({"ts": pa.array([1, 2], type=pa.timestamp("ns"))})
+    pq.write_table(ns, p)
+    os.utime(p)  # belt and braces: force an mtime bump
+    assert events_ts_is_long(p) is True  # INT64/NANOS → LongType
+
+
+def test_ts_sniff_fails_fast_on_empty_dir(tmp_path):
+    """An empty feed directory is a caller error at stream setup — the
+    sniff must raise (like the old spark.read-based one), not guess a
+    schema and defer the failure to the first mid-stream micro-batch."""
+    import pytest
+
+    from hive_plan_service_spark.sources.catalog import events_ts_is_long
+
+    d = tmp_path / "feed"
+    d.mkdir()
+    with pytest.raises(FileNotFoundError):
+        events_ts_is_long(str(d))
