@@ -65,6 +65,11 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        # checkpoint BEFORE the changed-probe: counting over the
+        # un-materialized frame and then eagerly checkpointing it ran
+        # the round's join+aggregate pipeline twice (the same
+        # re-evaluation class as the sym checkpoint above)
+        updated = updated.localCheckpoint(eager=True)  # cut lineage per round
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "vertex")
@@ -72,7 +77,7 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = updated.localCheckpoint(eager=True)  # cut lineage per round
+        labels = updated
         if changed == 0:
             break
     else:

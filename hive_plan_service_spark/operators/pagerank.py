@@ -55,8 +55,10 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # graph-size scalars via a broadcast 1-row aggregate — no driver
-    # action in the builder (the tfidf lesson)
+    # graph-size scalar, checkpointed like the other loop invariants
+    # (invariant 24) — note this makes pagerank's BUILDER eager: it runs
+    # the edges/nodes/degree jobs up front, the deliberate price for not
+    # re-running them once per iteration
     n1 = nodes.agg(F.count(F.lit(1)).alias("_n")).localCheckpoint(eager=True)
     out_deg = (
         edges.groupBy(F.col("src").alias("node"))

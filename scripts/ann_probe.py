@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -68,7 +69,7 @@ def multiplied(spark, mult: int):
     )
     path = os.path.join(scratch_root(), f"ann_probe_corpus_{mult}")
     out.repartition(default_parallelism()).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    return spark.read.parquet(path), path
 
 
 def topk_set(df):
@@ -81,7 +82,7 @@ def main() -> None:
     spark = get_spark(app_name="hpss-ann-probe")
     register_tables(spark, sf_dir)
     for mult in mults:
-        emb = multiplied(spark, mult)
+        emb, corpus_path = multiplied(spark, mult)
         n = emb.count()
         # brute-force truth is O(q·n): shrink the batch at corpus scale
         n_q = 50 if n <= 300_000 else 10
@@ -172,6 +173,9 @@ def main() -> None:
                 }
             )
         )
+        # corpora live on tmpfs scratch (RAM): reclaim each multiplier's
+        # directory before building the next one
+        shutil.rmtree(corpus_path, ignore_errors=True)
     spark.stop()
 
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -56,16 +57,21 @@ def multiplied_docs(spark, mult: int, *, identical: bool = False):
         "doc_id", F.col("doc_id") + F.col("_rep") * F.lit(n)
     )
     if not identical:
-        # suffix every word with the copy index: copies become
+        # suffix every word with "_<copy index>": copies become
         # textually disjoint while each copy keeps the base corpus's
-        # near-dup structure (same transformation on both pair members)
+        # near-dup structure (same transformation on both pair members).
+        # The separator matters: a bare digit suffix is ambiguous for
+        # digit-ending tokens ("foo1"+rep1 == "foo"+rep11), quietly
+        # reintroducing cross-copy collisions past mult 10.
         out = out.withColumn(
             "text",
             F.concat_ws(
                 " ",
                 F.transform(
                     F.split(F.col("text"), " "),
-                    lambda w: F.concat(w, F.col("_rep").cast("string")),
+                    lambda w: F.concat(
+                        w, F.lit("_"), F.col("_rep").cast("string")
+                    ),
                 ),
             ),
         )
@@ -75,7 +81,7 @@ def multiplied_docs(spark, mult: int, *, identical: bool = False):
         f"scale_probe_corpus_{mult}{'_id' if identical else ''}",
     )
     out.repartition(default_parallelism()).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    return spark.read.parquet(path), path
 
 
 def main() -> None:
@@ -92,7 +98,7 @@ def main() -> None:
     register_tables(spark, sf_dir)
     results = []
     for mult in mults:
-        docs = multiplied_docs(spark, mult, identical=identical)
+        docs, corpus_path = multiplied_docs(spark, mult, identical=identical)
         n_docs = docs.count()
         t0 = time.perf_counter()
         lsh_pairs = dd.minhash_lsh_pairs(docs).count()
@@ -119,6 +125,9 @@ def main() -> None:
             }
         )
         print(json.dumps(results[-1]))
+        # the corpora live on tmpfs scratch (RAM): reclaim each
+        # multiplier's directory before building the next one
+        shutil.rmtree(corpus_path, ignore_errors=True)
     spark.stop()
 
 

@@ -289,10 +289,15 @@ def star_probe() -> None:
         spark.stop()  # flush the event log
         stats = _stage_task_stats(event_dir)
         # The verdict criterion is "no straggler task >= 5x its stage
-        # median": report the worst ratio over every multi-task stage in
-        # the log (scan stages included — their medians are their own).
+        # median": report the worst ratio over every multi-task stage
+        # that did real work (scan stages included — their medians are
+        # their own). The sum_ms floor keeps millisecond-scale noise
+        # stages, whose near-zero medians explode the ratio, out of the
+        # verdict.
         multi = {
-            sid: s for sid, s in stats.items() if s["n_tasks"] >= 4
+            sid: s
+            for sid, s in stats.items()
+            if s["n_tasks"] >= 4 and s["sum_ms"] >= 500
         }
         results[mode] = {
             "wall_sec": wall,
