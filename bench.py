@@ -19,6 +19,12 @@ REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+#: Best calibration_cpu_sec ever recorded on a quiet box (load < 0.1,
+#: round 4, ROUND4_NOTES §8a: 0.472/0.509 across two quiet runs). The
+#: payload's `value_normalized` divides out box slowdown against this
+#: reference — see the normalization rule below and in BASELINE.md.
+CALIBRATION_QUIET_REF = 0.472
+
 #: Queries timed by the benchmark — one per heavy engine path.
 HEADLINE: tuple[str, ...] = (
     "b09_agg_pricing_summary",        # scan → filter → 8-agg hash aggregate
@@ -115,18 +121,36 @@ def run(
         timings[name] = round(min(runs), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 4)
+    # box-speed reference: pure-CPU, data-independent — divide any two
+    # rounds' calibration values to get the expected environmental
+    # inflation between their boxes/load windows (calibration_rows is
+    # shrunk by the contract test, which pins the payload shape without
+    # paying the full 800M-hash probe)
+    calibration = calibrate(spark, n_rows=calibration_rows)
+    # Load-normalization rule (VERDICT r4 #2 — two of three rounds
+    # shipped a load-polluted contract artifact that needed notes-based
+    # attribution): value_normalized = value × min(1, quiet_ref /
+    # calibration). On a quiet box the factor is 1 and normalized ==
+    # raw; on a loaded box the pure-CPU calibration measures the
+    # slowdown directly and the total is scaled back to
+    # quiet-box-equivalent seconds. The factor never exceeds 1 — a
+    # faster-than-reference box reports its honest raw number. Only
+    # the FULL calibration run is comparable to the reference (the
+    # contract test's shrunken probe gets factor ≈ 1 by the same cap,
+    # since a tiny probe finishes faster than the 800M-hash reference).
+    factor = min(1.0, CALIBRATION_QUIET_REF / calibration) if (
+        calibration > 0 and calibration_rows >= 50_000_000
+    ) else 1.0
     return {
         "metric": "headline_query_wall_clock_total",
-        "value": round(sum(timings.values()), 4),
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        # box-speed reference: pure-CPU, data-independent — divide any
-        # two rounds' calibration values to get the expected
-        # environmental inflation between their boxes/load windows
-        # (calibration_rows is shrunk by the contract test, which pins
-        # the payload shape without paying the full 800M-hash probe)
-        "calibration_cpu_sec": calibrate(spark, n_rows=calibration_rows),
+        "calibration_cpu_sec": calibration,
+        "calibration_quiet_ref": CALIBRATION_QUIET_REF,
+        "value_normalized": round(total * factor, 4),
     }
 
 

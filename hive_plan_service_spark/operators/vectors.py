@@ -445,6 +445,14 @@ def pq_topk(
     groupBy(query, neighbor) SUM shuffled q·n rows — measured 10×
     slower than brute force at 1M vectors before this shape, r4).
     Output: query_id, neighbor_id, adist, rank (ties broken by id).
+
+    Codebook contract: every subspace must carry the SAME count of
+    CONTIGUOUS 0-based codes (what ``pq_train_codebooks`` produces) —
+    the flat-table lookup indexes ``s·n_codes + code`` and would return
+    wrong distances, not an error, on a gapped or ragged external
+    codebook. A ragged one (table size not divisible by ``subspaces``)
+    raises at run time below; equal-count-but-gapped codebooks cannot
+    be detected from the table size and are on the caller.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -473,6 +481,23 @@ def pq_topk(
             F.array_sort(F.collect_list(F.struct("s", "code", "pdist"))),
             lambda x: x["pdist"],
         ).alias("_tbl")
+    ).select(
+        "query_id",
+        # ragged-codebook guard (one row per query, broadcast side —
+        # zero per-pair cost): a table whose size is not a multiple of
+        # `subspaces` would make every flat-index lookup silently wrong
+        F.when(
+            F.size("_tbl") % F.lit(subspaces) == 0, F.col("_tbl")
+        ).otherwise(
+            F.raise_error(F.concat(
+                F.lit(
+                    "pq_topk: codebook codes must be contiguous 0-based "
+                    "with one count per subspace; distance-table size "
+                ),
+                F.size("_tbl").cast("string"),
+                F.lit(f" is not divisible by subspaces={subspaces}"),
+            ))
+        ).alias("_tbl"),
     )
     codes_wide = (
         codes_df

