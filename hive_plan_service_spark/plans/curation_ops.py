@@ -75,10 +75,12 @@ def _ngrams_all(ws: Column, n: int) -> Column:
 # --------------------------------------------------------------------------
 # Boilerplate stripping — corpus-frequent segment removal (C4 line dedup).
 # --------------------------------------------------------------------------
-@register(
-    "llm_boilerplate_strip",
-    oracle=f"""
-      WITH t AS (
+#: DuckDB WITH-body computing the boilerplate strip (shared by the
+#: llm_boilerplate_strip oracle and the capped-cluster composition's
+#: oracle in plans/llm_ops.py, which runs dedup over the STRIPPED
+#: corpus). Final per-doc shape: totals LEFT JOIN kept → (doc_id,
+#: coalesce(clean_text, ''), n_removed).
+DUCK_STRIP_CTES = f"""t AS (
         SELECT doc_id, string_split(text, ' ') AS ws FROM documents
       ),
       segs AS (
@@ -104,7 +106,13 @@ def _ngrams_all(ws: Column, n: int) -> Column:
       ),
       totals AS (
         SELECT doc_id, count(*) AS n_total FROM segs GROUP BY doc_id
-      )
+      )"""
+
+
+@register(
+    "llm_boilerplate_strip",
+    oracle=f"""
+      WITH {DUCK_STRIP_CTES}
       SELECT t.doc_id,
              coalesce(k.clean_text, '') AS clean_text,
              CAST(t.n_total - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed

@@ -24,6 +24,7 @@ from hive_plan_service_spark.operators.textops import (
     stopword_hits,
     tokens,
 )
+from hive_plan_service_spark.plans.curation_ops import DUCK_STRIP_CTES
 from hive_plan_service_spark.plans.registry import register
 from hive_plan_service_spark.sources.catalog import register_tables
 
@@ -1258,6 +1259,98 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.jaccard_verify_pairs(docs, cands, threshold=0.5)
     comps = connected_components(pairs, src="doc_a", dst="doc_b")
     return comps.select(F.col("vertex").alias("doc_id"), "component")
+
+
+def dedup_clusters_production(
+    spark: SparkSession, sf_dir: str, *, max_bucket: int | None = 64
+) -> DataFrame:
+    """The 100 TB dedup composition: strip → capped LSH → verify → CC.
+
+    ``llm_dedup_clusters`` must run UNCAPPED banding to keep its exact
+    recursive-CTE oracle (invariant 11) — but at 100 TB uncapped
+    degenerate buckets are exactly the risk the ``max_bucket`` knob
+    exists for. This composition is the production answer: corpus-wide
+    boilerplate (the dominant source of degenerate band buckets — B
+    docs sharing a template yield B² candidate pairs) is REMOVED first
+    by the C4-style segment strip, after which a bucket-size cap is
+    safe: over-cap buckets on the stripped corpus are near-identical
+    residual content whose pairs the cap's docstring scopes out.
+    Cap-safety is pytest-pinned (a corpus whose over-cap buckets are
+    exclusively boilerplate clusters identically capped vs uncapped)
+    and the oracle runs the EXACT all-pairs graph on the pre-stripped
+    corpus — green iff the capped LSH loses no true edge at fixture
+    scale.
+    """
+    from hive_plan_service_spark.operators.components import connected_components
+    from hive_plan_service_spark.plans.curation_ops import llm_boilerplate_strip
+
+    stripped = (
+        llm_boilerplate_strip(spark, sf_dir)
+        .filter(F.length("clean_text") > 0)
+        .select("doc_id", F.col("clean_text").alias("text"))
+    )
+    # Materialize the stripped corpus (eager checkpoint — the builder
+    # runs jobs, a deliberate trade per invariant 24): it feeds the LSH
+    # signature pass AND both sides of the verify join AND the CC loop;
+    # unmaterialized, the two-shuffle strip subtree would execute three
+    # times in the edge plan and once more per propagation round.
+    stripped = stripped.localCheckpoint(eager=True)
+    cands = dd.minhash_lsh_pairs(
+        stripped,
+        num_hashes=64,
+        bands=32,
+        est_threshold=0.0,
+        max_bucket=max_bucket,
+    )
+    pairs = dd.jaccard_verify_pairs(stripped, cands, threshold=0.5)
+    comps = connected_components(pairs, src="doc_a", dst="doc_b")
+    return comps.select(F.col("vertex").alias("doc_id"), "component")
+
+
+@register(
+    "llm_dedup_clusters_capped",
+    oracle=f"""
+      WITH RECURSIVE {DUCK_STRIP_CTES},
+      stripped AS (
+        SELECT t.doc_id, coalesce(k.clean_text, '') AS text
+        FROM totals t LEFT JOIN kept k USING (doc_id)
+        WHERE len(coalesce(k.clean_text, '')) > 0
+      ),
+      ssh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+          SELECT s.doc_id,
+                 concat_ws(' ', s.ws[u.i], s.ws[u.i+1], s.ws[u.i+2]) AS shingle
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM stripped) s,
+          UNNEST(generate_series(1, greatest(len(s.ws) - 3, 0) + 1)) AS u(i)
+        )
+      ),
+      counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM ssh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ssh a JOIN ssh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN counts ca ON ca.doc_id = a.doc_id
+        JOIN counts cb ON cb.doc_id = b.doc_id
+        GROUP BY a.doc_id, b.doc_id, ca.n_sh, cb.n_sh
+        HAVING CAST(COUNT(*) AS DOUBLE) / (ca.n_sh + cb.n_sh - COUNT(*)) >= 0.5
+      ),
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+      ),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      )
+      SELECT a AS doc_id,
+             LEAST(a, MIN(b)) AS component
+      FROM reach GROUP BY a
+    """,
+    doc="Production dedup composition: boilerplate strip → max_bucket-capped LSH → verify → clusters, vs the exact graph on the stripped corpus.",
+    tags=("B27", "B15", "B29"),
+)
+def llm_dedup_clusters_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_clusters_production(spark, sf_dir, max_bucket=64)
 
 
 # --------------------------------------------------------------------------

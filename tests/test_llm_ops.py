@@ -336,6 +336,95 @@ def test_pq_wide_codes_equal_narrow(spark, sf_dir):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_capped_cluster_composition_cap_safety(spark, sf_dir):
+    """The production composition (strip → capped LSH → verify → CC)
+    must cluster IDENTICALLY capped vs uncapped when every over-cap
+    bucket is exclusively boilerplate — the strip removes the content
+    that made the bucket degenerate before the cap can drop true edges
+    (VERDICT r4 #4). A meaningfulness guard proves the corpus really
+    exercises the over-cap path: WITHOUT the strip, the same cap drops
+    the boilerplate group's pairs entirely."""
+    from hive_plan_service_spark.operators import dedup as dd
+    from hive_plan_service_spark.plans.llm_ops import dedup_clusters_production
+    from hive_plan_service_spark.sources.catalog import register_tables
+
+    boiler = " ".join(f"tpl{i}" for i in range(16))  # 2 full segments
+    pair_a = " ".join(f"apple{i}" for i in range(16))
+    pair_a2 = pair_a.rsplit(" ", 1)[0] + " apricot"  # 1-token delta
+    pair_b = " ".join(f"berry{i}" for i in range(16))
+    pair_b2 = pair_b.rsplit(" ", 1)[0] + " currant"
+    rows = (
+        [(i, boiler) for i in range(6)]  # over-cap bucket, all boilerplate
+        + [(10, pair_a), (11, pair_a2), (20, pair_b), (21, pair_b2)]
+        + [(30, " ".join(f"zebra{i}" for i in range(16)))]  # singleton
+    )
+    tiny = spark.createDataFrame(rows, "doc_id long, text string")
+
+    register_tables(spark, sf_dir, force=True)
+    tiny.createOrReplaceTempView("documents")
+    try:
+        # guard: on the RAW corpus the 6-doc boilerplate bucket exceeds
+        # the cap — capped LSH drops all 15 of its pairs, uncapped keeps
+        # them. The corpus genuinely exercises the over-cap path.
+        raw_unc = dd.minhash_lsh_pairs(
+            tiny, num_hashes=64, bands=32, est_threshold=0.0
+        )
+        raw_cap = dd.minhash_lsh_pairs(
+            tiny, num_hashes=64, bands=32, est_threshold=0.0, max_bucket=4
+        )
+        assert raw_unc.filter(F.col("doc_a") < 6).count() == 15
+        assert raw_cap.filter(F.col("doc_a") < 6).count() == 0
+
+        capped = {
+            (r["doc_id"], r["component"])
+            for r in dedup_clusters_production(
+                spark, sf_dir, max_bucket=4
+            ).collect()
+        }
+        uncapped = {
+            (r["doc_id"], r["component"])
+            for r in dedup_clusters_production(
+                spark, sf_dir, max_bucket=None
+            ).collect()
+        }
+        assert capped == uncapped
+        # post-strip: boilerplate docs vanish (empty text), both true
+        # near-dup pairs survive as 2-doc clusters, singleton edge-free
+        assert capped == {(10, 10), (11, 10), (20, 20), (21, 20)}
+    finally:
+        register_tables(spark, sf_dir, force=True)
+
+
+def test_pq_topk_ragged_codebook_raises(spark):
+    """pq_topk's flat distance-table lookup assumes equal contiguous
+    0-based codes per subspace (the pq_train_codebooks shape); a ragged
+    external codebook must fail LOUDLY, not return wrong distances
+    (ADVICE r4)."""
+    import pytest
+
+    from hive_plan_service_spark.operators import vectors as vx
+
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    codes = spark.createDataFrame(
+        [(1, 0, 0), (1, 1, 0)], "vec_id long, s int, code int"
+    )
+    # subspace 0 has 2 codes, subspace 1 has 3 → table size 5 % 2 ≠ 0
+    ragged = spark.createDataFrame(
+        [
+            (0, 0, [0.0, 0.0]),
+            (0, 1, [1.0, 1.0]),
+            (1, 0, [0.0, 0.0]),
+            (1, 1, [1.0, 1.0]),
+            (1, 2, [2.0, 2.0]),
+        ],
+        "s int, code int, centroid array<double>",
+    )
+    with pytest.raises(Exception, match="pq_topk"):
+        vx.pq_topk(queries, codes, ragged, k=1, subspaces=2, dim=4).collect()
+
+
 def test_pagerank_matches_integer_model(spark, sf_dir):
     """The engine's integer PageRank must equal a driver-side Python
     replica of the same arithmetic, node for node — determinism is
