@@ -1,0 +1,173 @@
+"""PQ production-dim probe (VERDICT r4 #1): the one unmeasured scale
+claim in the repo is that PQ-ADC's query-side win over brute force
+materializes at production dims (768+), where the per-pair arithmetic
+ratio is ~dim/subspaces ≈ 50-100× instead of 64/8 = 8×.
+
+Builds a 768-dim corpus from the 64-dim fixture (invariant 23 recipe:
+one crossJoin-with-range replication with per-copy jitter so copies are
+DISTINCT points, materialized to scratch parquet before timing), widened
+by permuted tiling + per-element jitter so (a) blocks are not identical
+copies PQ could compress for free, (b) the original neighborhood
+structure survives — jittered copies of one base vector stay mutual
+near-neighbors at 768 dims.
+
+Per multiplier it times, on unit-normalized vectors:
+  - brute-force cosine top-5 (the exact baseline, q x n x dim madds)
+  - PQ index build (sample-trained codebooks + encode + wide pivot)
+  - PQ-ADC + exact re-rank query (q x n x subspaces lookups + q x
+    shortlist exact), with recall@5 vs the brute truth
+
+Usage: python scripts/pq_dim_probe.py [multipliers...]   (default 32 128)
+Env: PQ_PROBE_DIM (768), PQ_PROBE_SUBSPACES (16), PQ_PROBE_CODES (64),
+     PQ_PROBE_SHORTLIST (400), SPARK_GRAFT_SF_DIR.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hive_plan_service_spark.operators import vectors as vx  # noqa: E402
+from hive_plan_service_spark.session import (  # noqa: E402
+    default_parallelism,
+    get_spark,
+    scratch_root,
+)
+from hive_plan_service_spark.sources.catalog import register_tables  # noqa: E402
+
+DIM = int(os.environ.get("PQ_PROBE_DIM", "768"))
+BASE_DIM = 64
+SUBSPACES = int(os.environ.get("PQ_PROBE_SUBSPACES", "16"))
+CODES = int(os.environ.get("PQ_PROBE_CODES", "64"))
+SHORTLIST = int(os.environ.get("PQ_PROBE_SHORTLIST", "400"))
+N_QUERIES = 10
+
+assert DIM % BASE_DIM == 0 and DIM % SUBSPACES == 0
+
+
+def widened_corpus(spark, mult: int):
+    """mult x replicated, DIM-wide, UNIT-normalized corpus on scratch."""
+    base = spark.table("embeddings")
+    n = base.count()
+    reps = spark.range(mult).select(F.col("id").alias("_rep"))
+    blocks = DIM // BASE_DIM
+    # element i of the widened vector reads base element (i%64 + 7*(i//64))%64
+    # — each 64-block is a rotated copy of the base vector, so cross-doc
+    # cosine structure survives widening; the per-(vec, element) jitter
+    # (pmod — Spark's % keeps the dividend sign, ROUND4_NOTES §9) makes
+    # every block and every copy a distinct point.
+    widened = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda i: (
+            F.element_at(
+                "embedding",
+                ((i % BASE_DIM + 7 * F.floor(i / BASE_DIM)) % BASE_DIM + 1
+                 ).cast("int"),
+            ).cast("double")
+            + F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(1000)).cast(
+                "double"
+            )
+            / F.lit(10000.0)
+            - F.lit(0.05)
+        ),
+    )
+    raw = (
+        base.crossJoin(reps)
+        .withColumn("vec_id", F.col("vec_id") + F.col("_rep") * F.lit(n))
+        .select("vec_id", widened.alias("embedding"))
+    )
+    # unit-normalize ONCE at corpus-build time (what a production vector
+    # store holds) so brute and PQ both read normalized parquet and the
+    # squared-L2 ADC order equals cosine order
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x * x),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+    unit = raw.select(
+        "vec_id",
+        F.transform("embedding", lambda x: (x / nrm).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    path = os.path.join(scratch_root(), f"pq_dim_probe_{DIM}_{mult}")
+    unit.repartition(default_parallelism()).write.mode("overwrite").parquet(
+        path
+    )
+    return spark.read.parquet(path), path
+
+
+def topk_set(df):
+    return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+def main() -> None:
+    mults = [int(m) for m in sys.argv[1:]] or [32, 128]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="hpss-pq-dim-probe")
+    register_tables(spark, sf_dir)
+    for mult in mults:
+        unit, path = widened_corpus(spark, mult)
+        n = unit.count()
+        queries = unit.filter(F.col("vec_id") < N_QUERIES)
+
+        t0 = time.perf_counter()
+        truth = topk_set(vx.cosine_topk(queries, unit, k=5))
+        t_brute = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        train_src = (
+            unit.filter(F.col("vec_id") < 65536) if n > 100_000 else unit
+        )
+        books = vx.pq_train_codebooks(
+            train_src, subspaces=SUBSPACES, codes=CODES, dim=DIM
+        )
+        pq_codes = vx.pq_codes_wide(
+            vx.pq_encode(unit, books, subspaces=SUBSPACES, dim=DIM)
+        ).localCheckpoint(eager=True)
+        t_index = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        pq = topk_set(
+            vx.pq_topk_refined(
+                queries, pq_codes, books, unit,
+                k=5, subspaces=SUBSPACES, dim=DIM, shortlist=SHORTLIST,
+            )
+        )
+        t_pq_q = time.perf_counter() - t0
+
+        print(
+            json.dumps(
+                {
+                    "dim": DIM,
+                    "mult": mult,
+                    "n_vectors": n,
+                    "n_queries": N_QUERIES,
+                    "subspaces": SUBSPACES,
+                    "codes": CODES,
+                    "shortlist": SHORTLIST,
+                    "brute_sec": round(t_brute, 2),
+                    "pq_index_sec": round(t_index, 2),
+                    "pq_query_sec": round(t_pq_q, 2),
+                    "pq_recall": round(len(truth & pq) / len(truth), 3),
+                }
+            ),
+            flush=True,
+        )
+        shutil.rmtree(path, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

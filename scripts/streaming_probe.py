@@ -1,0 +1,258 @@
+"""Streaming scale probe to 10M events (VERDICT r4 #3).
+
+Replicates the sf0.1 events feed mult x with DISTINCT content
+(invariant 23): event ids shifted to stay unique, users shifted by the
+user-id range so every copy carries its own user population (session
+and join state grow with the corpus instead of colliding onto the base
+users), timestamps kept (scale-up = more events per hour, the realistic
+densification). The feed is materialized to scratch parquet before any
+timing.
+
+Per multiplier it drives, through the real Structured Streaming
+harness (availableNow replay, foreachBatch counting sink so the driver
+never stores result rows):
+
+  - tumbling / sliding windows (complete mode)
+  - session windows (complete mode)
+  - the stream-stream interval join (append mode — the heaviest
+    registered streaming query; its two-batch ingest/evict state cost
+    is the curve VERDICT r4 asked for)
+  - the continuous hourly rollup (10 mod-slice epochs through
+    _refresh_buckets, the long-lived-stream regime)
+
+and reports wall seconds, rows/s, and the state-store commit breakdown
+(summed commitTimeMs, peak state rows) parsed from the query progress.
+
+Streaming dedup ingest scales on the documents feed (its own corpus
+recipe — per-copy word suffix) via --docs.
+
+Usage: python scripts/streaming_probe.py [mults...]      (default 10 100)
+       python scripts/streaming_probe.py --docs [mults]  (default 10 40)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+import uuid
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hive_plan_service_spark.session import (  # noqa: E402
+    default_parallelism,
+    get_spark,
+    scratch_root,
+)
+from hive_plan_service_spark.sources.catalog import (  # noqa: E402
+    register_tables,
+    table_path,
+)
+from hive_plan_service_spark.streaming.source import events_stream  # noqa: E402
+from hive_plan_service_spark.streaming.windows import (  # noqa: E402
+    session_windows,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+
+def replicated_events(spark, mult: int) -> str:
+    ev = spark.table("events")  # ts already surfaced as timestamp
+    n = ev.count()
+    u_span = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    reps = spark.range(mult).select(F.col("id").alias("_rep"))
+    feed = ev.crossJoin(reps).select(
+        (F.col("event_id") + F.col("_rep") * F.lit(n)).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("_rep") * F.lit(u_span)).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    path = os.path.join(scratch_root(), f"streaming_probe_events_{mult}")
+    feed.repartition(default_parallelism()).write.mode("overwrite").parquet(
+        path
+    )
+    return path
+
+
+def drive(sdf, mode: str):
+    """Run a streaming frame to completion; return (wall, out_rows, progress)."""
+    out_rows = []
+
+    def sink(df, _eid):
+        out_rows.append(df.count())
+
+    t0 = time.perf_counter()
+    q = (
+        sdf.writeStream.outputMode(mode)
+        .foreachBatch(sink)
+        .option(
+            "checkpointLocation",
+            os.path.join(scratch_root(), f"sp_ckpt_{uuid.uuid4().hex[:12]}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    progress = [json.loads(p.json) for p in q.recentProgress]
+    return wall, out_rows, progress
+
+
+def state_breakdown(progress) -> dict:
+    commit_ms = 0
+    add_batch_ms = 0
+    peak_rows = 0
+    input_rows = 0
+    for p in progress:
+        add_batch_ms += int(p.get("durationMs", {}).get("addBatch", 0))
+        input_rows += int(p.get("numInputRows", 0))
+        for so in p.get("stateOperators", []):
+            commit_ms += int(so.get("commitTimeMs", 0))
+            peak_rows = max(peak_rows, int(so.get("numRowsTotal", 0)))
+    return {
+        "n_batches": len(progress),
+        "input_rows": input_rows,
+        "addbatch_ms_sum": add_batch_ms,
+        "state_commit_ms_sum": commit_ms,
+        "state_rows_peak": peak_rows,
+    }
+
+
+def probe_events(spark, mult: int) -> None:
+    feed = replicated_events(spark, mult)
+    n_events = mult * 100_000  # sf0.1 base
+
+    ops = {
+        # last-batch complete-mode re-emission is part of the honest cost
+        "tumbling_1h": (lambda: tumbling_window_agg(
+            events_stream(spark, feed)), "complete"),
+        "sliding_1h_15m": (lambda: sliding_window_agg(
+            events_stream(spark, feed)), "complete"),
+        "session_30m": (lambda: session_windows(
+            events_stream(spark, feed)), "complete"),
+        "stream_stream_join": (lambda: _ss_join(spark, feed), "append"),
+    }
+    for name, (build, mode) in ops.items():
+        wall, out_rows, progress = drive(build(), mode)
+        row = {"op": name, "mult": mult, "events": n_events,
+               "wall_sec": round(wall, 2),
+               "rows_per_sec": int(n_events / wall),
+               "out_rows_last_batch": out_rows[-1] if out_rows else 0}
+        row.update(state_breakdown(progress))
+        print(json.dumps(row), flush=True)
+
+    # continuous rollup: 10 mod-slice epochs, every epoch touching every
+    # day (the hot-bucket regime; see scripts/rollup_probe.py)
+    from hive_plan_service_spark.streaming.continuous_agg import (
+        ContinuousHourlyRollup,
+    )
+
+    workdir = os.path.join(scratch_root(), f"sp_rollup_{mult}")
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    roll = ContinuousHourlyRollup(spark, feed, workdir, compact_after=8)
+    ev = spark.read.parquet(feed)
+    epochs = 10
+    times = []
+    for i in range(epochs):
+        batch = ev.filter(F.col("event_id") % epochs == i)
+        t0 = time.perf_counter()
+        roll._refresh_buckets(batch, i)
+        times.append(time.perf_counter() - t0)
+    print(json.dumps({
+        "op": "continuous_rollup", "mult": mult, "events": n_events,
+        "epochs": epochs,
+        "wall_sec": round(sum(times), 2),
+        "rows_per_sec": int(n_events / sum(times)),
+        "first3_avg_sec": round(sum(times[:3]) / 3, 2),
+        "last3_avg_sec": round(sum(times[-3:]) / 3, 2),
+    }), flush=True)
+    shutil.rmtree(workdir, ignore_errors=True)
+    shutil.rmtree(feed, ignore_errors=True)
+
+
+def _ss_join(spark, feed: str):
+    ev = events_stream(spark, feed)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id")
+
+
+def probe_docs(spark, mult: int) -> None:
+    """Streaming dedup ingest over a mult x documents corpus (the
+    scale_probe distinct-copy recipe), split into 4-file micro-batches
+    so the epoch store actually grows between batches."""
+    from scripts.scale_probe import multiplied_docs
+
+    from hive_plan_service_spark.streaming.dedup_ingest import (
+        StreamingDedupIngest,
+    )
+
+    corpus, path = multiplied_docs(spark, mult)
+    n_docs = corpus.count()
+    workdir = os.path.join(scratch_root(), f"sp_dedup_ingest_{mult}")
+    shutil.rmtree(workdir, ignore_errors=True)
+    ingest = StreamingDedupIngest(spark, path, workdir)
+    t0 = time.perf_counter()
+    flags = ingest.run(max_files_per_trigger=8)
+    n_flagged = flags.count()
+    n_dups = flags.filter(F.col("is_dup")).count()
+    wall = time.perf_counter() - t0
+    print(json.dumps({
+        "op": "dedup_ingest", "mult": mult, "docs": n_docs,
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": int(n_docs / wall),
+        "flagged": n_flagged, "dups": n_dups,
+    }), flush=True)
+    shutil.rmtree(workdir, ignore_errors=True)
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    docs_mode = "--docs" in args
+    args = [a for a in args if a != "--docs"]
+    mults = [int(m) for m in args] or ([10, 40] if docs_mode else [10, 100])
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="hpss-streaming-probe")
+    register_tables(spark, sf_dir)
+    for mult in mults:
+        if docs_mode:
+            probe_docs(spark, mult)
+        else:
+            probe_events(spark, mult)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
