@@ -80,9 +80,13 @@ def widened_corpus(spark, mult: int):
             - F.lit(0.05)
         ),
     )
+    # Spread FIRST (invariant 14): the one-file embeddings scan is
+    # unsplittable, and without this the whole 768-dim synthesis ran as
+    # ONE task (measured: a single 900 s-CPU straggler).
     raw = (
         base.crossJoin(reps)
         .withColumn("vec_id", F.col("vec_id") + F.col("_rep") * F.lit(n))
+        .repartition(default_parallelism(), "vec_id")
         .select("vec_id", widened.alias("embedding"))
     )
     # unit-normalize ONCE at corpus-build time (what a production vector
@@ -95,16 +99,19 @@ def widened_corpus(spark, mult: int):
             lambda a, v: a + v,
         )
     )
-    unit = raw.select(
+    wide = raw.select("vec_id", "embedding", nrm.alias("_nrm"))
+    # exchange BETWEEN norm and divide (invariant 13): in one collapsed
+    # projection, CollapseProject inlines the 768-element norm fold into
+    # every element of the divide lambda — a 768x recompute per row.
+    # Below the exchange _nrm is a bound column and cannot be inlined.
+    unit = wide.repartition(default_parallelism(), "vec_id").select(
         "vec_id",
-        F.transform("embedding", lambda x: (x / nrm).cast("float")).alias(
-            "embedding"
-        ),
+        F.transform(
+            "embedding", lambda x: (x / F.col("_nrm")).cast("float")
+        ).alias("embedding"),
     )
     path = os.path.join(scratch_root(), f"pq_dim_probe_{DIM}_{mult}")
-    unit.repartition(default_parallelism()).write.mode("overwrite").parquet(
-        path
-    )
+    unit.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path), path
 
 

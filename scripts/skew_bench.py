@@ -325,8 +325,158 @@ def star_probe() -> None:
     )
 
 
+def lsh_probe() -> None:
+    """Skew-certify the LSH (band, bucket) self-join exchange (VERDICT
+    r4 #6 — the star probe covered only the star join).
+
+    A boilerplate-heavy corpus puts B documents into one band bucket,
+    and the pair self-join then carries B rows (and emits B²/2 pairs)
+    through that ONE shuffle partition. Fixture: the scale-probe
+    distinct-copy corpus with every ``hot_every``-th document's text
+    REPLACED by one shared boilerplate string — identical text means
+    identical signatures, so the group collides in every band. The
+    group size is chosen to keep the uncapped B²-pair join feasible on
+    one box (the fraction is a knob, not the mechanism; at 20% of 500k
+    docs the uncapped join is ~5G pairs and nothing would finish —
+    which is itself the point of ``max_bucket``).
+
+    Three modes, each in its own event-logged session:
+      skew_off — AQE skew split disabled, no cap: the hot bucket is one
+                 straggler task doing B²-pair work.
+      skew_on  — AQE splits the oversized partition: same total work,
+                 bounded straggler.
+      capped   — ``max_bucket`` drops over-cap buckets before the join:
+                 the B² work disappears entirely (the production answer;
+                 see llm_dedup_clusters_capped for when it is safe).
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (script scope)
+
+    from hive_plan_service_spark.operators import dedup as dd
+    from hive_plan_service_spark.session import scratch_root
+
+    mult = int(os.environ.get("SKEW_BENCH_MULT", "40"))
+    hot_every = int(os.environ.get("SKEW_BENCH_HOT_EVERY", "50"))
+    cap = int(os.environ.get("SKEW_BENCH_MAX_BUCKET", "64"))
+    workdir = tempfile.mkdtemp(prefix="skew_lsh_", dir=scratch_root())
+    corpus_path = os.path.join(workdir, "corpus")
+
+    def build_session(event_dir: str):
+        spark = tune(
+            SparkSession.builder.master(f"local[{CPUS}]")
+            .config("spark.driver.memory", "16g")
+            .config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.compress", "false")
+            .config("spark.eventLog.dir", f"file://{event_dir}")
+            .getOrCreate()
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        # scale AQE's size thresholds to local fixture sizes, as in the
+        # star probe — a 100 TB bucket partition dwarfs 256m on its own
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+        return spark
+
+    # fixture session (kept out of the probe event logs)
+    fixture_log = os.path.join(workdir, "eventlog_fixture")
+    os.makedirs(fixture_log, exist_ok=True)
+    spark = build_session(fixture_log)
+    from scripts.scale_probe import multiplied_docs
+
+    from hive_plan_service_spark.sources.catalog import register_tables
+
+    register_tables(spark, SF_DIR)
+    base, tmp_path = multiplied_docs(spark, mult)
+    boiler = " ".join(f"boilerplate{i} legal footer common" for i in range(12))
+    (
+        base.withColumn(
+            "text",
+            F.when(F.col("doc_id") % hot_every == 0, F.lit(boiler)).otherwise(
+                F.col("text")
+            ),
+        )
+        .write.mode("overwrite")
+        .parquet(corpus_path)
+    )
+    docs = spark.read.parquet(corpus_path)
+    n_docs = docs.count()
+    n_hot = docs.filter(F.col("doc_id") % hot_every == 0).count()
+    import shutil as _sh
+
+    _sh.rmtree(tmp_path, ignore_errors=True)
+    spark.stop()
+
+    results: dict[str, dict] = {}
+    modes = (
+        ("skew_off", "false", None),
+        ("skew_on", "true", None),
+        ("capped", "true", cap),
+    )
+    for mode, skew_enabled, max_bucket in modes:
+        event_dir = os.path.join(workdir, f"eventlog_{mode}")
+        os.makedirs(event_dir, exist_ok=True)
+        spark = build_session(event_dir)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew_enabled)
+        if skew_enabled == "true":
+            spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        corpus = spark.read.parquet(corpus_path)
+
+        def q():
+            return dd.minhash_lsh_pairs(
+                corpus,
+                num_hashes=16,
+                bands=4,
+                est_threshold=0.5,
+                max_bucket=max_bucket,
+            )
+
+        q().count()  # warm: page cache + codegen
+        t0 = time.time()
+        n_pairs = q().count()
+        wall = round(time.time() - t0, 3)
+        plan = q()._jdf.queryExecution().executedPlan().toString()
+        spark.stop()
+        stats = _stage_task_stats(event_dir)
+        multi = {
+            sid: s
+            for sid, s in stats.items()
+            if s["n_tasks"] >= 4 and s["sum_ms"] >= 500
+        }
+        results[mode] = {
+            "wall_sec": wall,
+            "pairs": n_pairs,
+            "plan_has_skew_marker": "skew=true" in plan,
+        }
+        if multi:
+            worst_sid, worst = max(
+                multi.items(), key=lambda kv: kv[1]["straggler_ratio"]
+            )
+            results[mode]["worst_straggler_ratio"] = worst["straggler_ratio"]
+            results[mode]["worst_stage"] = {"stage_id": worst_sid, **worst}
+        else:
+            results[mode]["worst_straggler_ratio"] = None
+
+    print(
+        json.dumps(
+            {
+                "metric": "skew_lsh_band_bucket",
+                "sf_dir": SF_DIR,
+                "mult": mult,
+                "n_docs": n_docs,
+                "hot_bucket_docs": n_hot,
+                "max_bucket": cap,
+                **results,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "star":
         star_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "lsh":
+        lsh_probe()
     else:
         main()
