@@ -19,7 +19,10 @@ Per multiplier it times, on unit-normalized vectors:
 
 Usage: python scripts/pq_dim_probe.py [multipliers...]   (default 32 128)
 Env: PQ_PROBE_DIM (768), PQ_PROBE_SUBSPACES (16), PQ_PROBE_CODES (64),
-     PQ_PROBE_SHORTLIST (400), SPARK_GRAFT_SF_DIR.
+     PQ_PROBE_SHORTLIST (400), PQ_PROBE_SHORTLISTS (comma list — sweeps
+     the query side over several shortlists against ONE trained index,
+     for the recall-vs-cost knob curve at a fixed corpus),
+     SPARK_GRAFT_SF_DIR.
 """
 
 from __future__ import annotations
@@ -49,6 +52,10 @@ BASE_DIM = 64
 SUBSPACES = int(os.environ.get("PQ_PROBE_SUBSPACES", "16"))
 CODES = int(os.environ.get("PQ_PROBE_CODES", "64"))
 SHORTLIST = int(os.environ.get("PQ_PROBE_SHORTLIST", "400"))
+SHORTLISTS = [
+    int(s)
+    for s in os.environ.get("PQ_PROBE_SHORTLISTS", str(SHORTLIST)).split(",")
+]
 N_QUERIES = 10
 
 assert DIM % BASE_DIM == 0 and DIM % SUBSPACES == 0
@@ -145,33 +152,34 @@ def main() -> None:
         ).localCheckpoint(eager=True)
         t_index = time.perf_counter() - t0
 
-        t0 = time.perf_counter()
-        pq = topk_set(
-            vx.pq_topk_refined(
-                queries, pq_codes, books, unit,
-                k=5, subspaces=SUBSPACES, dim=DIM, shortlist=SHORTLIST,
+        for shortlist in SHORTLISTS:
+            t0 = time.perf_counter()
+            pq = topk_set(
+                vx.pq_topk_refined(
+                    queries, pq_codes, books, unit,
+                    k=5, subspaces=SUBSPACES, dim=DIM, shortlist=shortlist,
+                )
             )
-        )
-        t_pq_q = time.perf_counter() - t0
+            t_pq_q = time.perf_counter() - t0
 
-        print(
-            json.dumps(
-                {
-                    "dim": DIM,
-                    "mult": mult,
-                    "n_vectors": n,
-                    "n_queries": N_QUERIES,
-                    "subspaces": SUBSPACES,
-                    "codes": CODES,
-                    "shortlist": SHORTLIST,
-                    "brute_sec": round(t_brute, 2),
-                    "pq_index_sec": round(t_index, 2),
-                    "pq_query_sec": round(t_pq_q, 2),
-                    "pq_recall": round(len(truth & pq) / len(truth), 3),
-                }
-            ),
-            flush=True,
-        )
+            print(
+                json.dumps(
+                    {
+                        "dim": DIM,
+                        "mult": mult,
+                        "n_vectors": n,
+                        "n_queries": N_QUERIES,
+                        "subspaces": SUBSPACES,
+                        "codes": CODES,
+                        "shortlist": shortlist,
+                        "brute_sec": round(t_brute, 2),
+                        "pq_index_sec": round(t_index, 2),
+                        "pq_query_sec": round(t_pq_q, 2),
+                        "pq_recall": round(len(truth & pq) / len(truth), 3),
+                    }
+                ),
+                flush=True,
+            )
         shutil.rmtree(path, ignore_errors=True)
     spark.stop()
 

@@ -20,6 +20,14 @@ Usage: python scripts/scale_probe.py [--no-exact] [--identical] [mults...]
 (default 1 2 4; --no-exact skips the all-pairs truth join — required
 past ~100k docs; also times the max_bucket-capped LSH variant, the
 degenerate-bucket guard for boilerplate-heavy corpora)
+
+``--clusters`` instead times the PRODUCTION dedup composition
+(``dedup_clusters_production``: strip → max_bucket-capped 64-hash LSH →
+verify → connected components — VERDICT r4 #4's probe row) end-to-end
+on the multiplied corpus: register the fixture tables once, then
+override the ``documents`` view with the multiplied corpus
+(register_tables is idempotent per (session, sf_dir), so the
+composition's internal call is a no-op and resolves the override).
 """
 
 from __future__ import annotations
@@ -84,11 +92,50 @@ def multiplied_docs(spark, mult: int, *, identical: bool = False):
     return spark.read.parquet(path), path
 
 
+def clusters_main(mults: list[int]) -> None:
+    from hive_plan_service_spark.plans.llm_ops import dedup_clusters_production
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="hpss-clusters-scale-probe")
+    register_tables(spark, sf_dir)
+    for mult in mults:
+        docs, corpus_path = multiplied_docs(spark, mult)
+        n_docs = docs.count()
+        docs.createOrReplaceTempView("documents")
+        t0 = time.perf_counter()
+        out = dedup_clusters_production(spark, sf_dir, max_bucket=64)
+        n_rows = out.count()
+        n_comps = out.select("component").distinct().count()
+        t_total = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "op": "dedup_clusters_production",
+                    "mult": mult,
+                    "n_docs": n_docs,
+                    "wall_sec": round(t_total, 2),
+                    "docs_per_sec": int(n_docs / t_total),
+                    "clustered_docs": n_rows,
+                    "components": n_comps,
+                }
+            ),
+            flush=True,
+        )
+        # restore the fixture view for the next multiplier's strip
+        register_tables(spark, sf_dir, force=True)
+        shutil.rmtree(corpus_path, ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
     args = sys.argv[1:]
     run_exact = "--no-exact" not in args
     if not run_exact:
         args.remove("--no-exact")
+    if "--clusters" in args:
+        args.remove("--clusters")
+        clusters_main([int(m) for m in args] or [8, 40, 200])
+        return
     identical = "--identical" in args
     if identical:
         args.remove("--identical")

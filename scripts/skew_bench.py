@@ -355,7 +355,7 @@ def lsh_probe() -> None:
     from hive_plan_service_spark.session import scratch_root
 
     mult = int(os.environ.get("SKEW_BENCH_MULT", "40"))
-    hot_every = int(os.environ.get("SKEW_BENCH_HOT_EVERY", "50"))
+    hot_every = int(os.environ.get("SKEW_BENCH_HOT_EVERY", "25"))
     cap = int(os.environ.get("SKEW_BENCH_MAX_BUCKET", "64"))
     workdir = tempfile.mkdtemp(prefix="skew_lsh_", dir=scratch_root())
     corpus_path = os.path.join(workdir, "corpus")
@@ -371,12 +371,24 @@ def lsh_probe() -> None:
         )
         spark.conf.set("spark.sql.shuffle.partitions", "32")
         # scale AQE's size thresholds to local fixture sizes, as in the
-        # star probe — a 100 TB bucket partition dwarfs 256m on its own
+        # star probe — but much lower here: the hot (band,bucket) group's
+        # INPUT is only B rows of (band, bucket, doc_id) ≈ hundreds of
+        # KB even when its pair OUTPUT is B²/2 ≈ tens of millions.
+        # OptimizeSkewedJoin decides on map-output bytes, so at 2m (the
+        # star probe's setting) it simply never sees this skew — the
+        # first run of this probe measured exactly that (no skew marker,
+        # hot task invisible). 64k makes the ~8000-row hot partition
+        # both detectable (threshold) and splittable (advisory = split
+        # target). At 100 TB the same ratio holds against the default
+        # 256m: a degenerate bucket must carry ~4M docs before AQE's
+        # input-byte heuristic notices, while its output explodes at
+        # ~10k docs — the measured basis for max_bucket (invariant 10's
+        # cap) being the production defense rather than AQE.
         spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
         spark.conf.set(
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m"
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k"
         )
-        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
         return spark
 
     # fixture session (kept out of the probe event logs)
@@ -439,24 +451,22 @@ def lsh_probe() -> None:
         plan = q()._jdf.queryExecution().executedPlan().toString()
         spark.stop()
         stats = _stage_task_stats(event_dir)
-        multi = {
-            sid: s
-            for sid, s in stats.items()
-            if s["n_tasks"] >= 4 and s["sum_ms"] >= 500
-        }
         results[mode] = {
             "wall_sec": wall,
             "pairs": n_pairs,
             "plan_has_skew_marker": "skew=true" in plan,
+            # the hot join stage can be ANY task count after AQE (a
+            # split turns 1 straggler into N medium tasks; a coalesce
+            # can leave it at 2-3 tasks, under the star probe's >= 4
+            # filter) — so rank stages by their WORST TASK, which is
+            # what a straggler is, and report the top 3 for the table.
+            "top_stages_by_max_task": [
+                {"stage_id": sid, **s}
+                for sid, s in sorted(
+                    stats.items(), key=lambda kv: -kv[1]["max_ms"]
+                )[:3]
+            ],
         }
-        if multi:
-            worst_sid, worst = max(
-                multi.items(), key=lambda kv: kv[1]["straggler_ratio"]
-            )
-            results[mode]["worst_straggler_ratio"] = worst["straggler_ratio"]
-            results[mode]["worst_stage"] = {"stage_id": worst_sid, **worst}
-        else:
-            results[mode]["worst_straggler_ratio"] = None
 
     print(
         json.dumps(
