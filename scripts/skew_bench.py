@@ -374,21 +374,35 @@ def lsh_probe() -> None:
         # star probe — but much lower here: the hot (band,bucket) group's
         # INPUT is only B rows of (band, bucket, doc_id) ≈ hundreds of
         # KB even when its pair OUTPUT is B²/2 ≈ tens of millions.
-        # OptimizeSkewedJoin decides on map-output bytes, so at 2m (the
-        # star probe's setting) it simply never sees this skew — the
-        # first run of this probe measured exactly that (no skew marker,
-        # hot task invisible). 64k makes the ~8000-row hot partition
-        # both detectable (threshold) and splittable (advisory = split
-        # target). At 100 TB the same ratio holds against the default
-        # 256m: a degenerate bucket must carry ~4M docs before AQE's
-        # input-byte heuristic notices, while its output explodes at
-        # ~10k docs — the measured basis for max_bucket (invariant 10's
-        # cap) being the production defense rather than AQE.
+        # OptimizeSkewedJoin decides on map-output bytes. The 64k
+        # threshold removes the absolute-size gate, but detection ALSO
+        # requires the partition to exceed factor × median — and the
+        # hot bucket's ~8000-row input is about the SIZE OF AN ORDINARY
+        # PARTITION here (800k banded rows / 32 ≈ 25k rows median), so
+        # even factor=2 + force never fires (measured: join stage stays
+        # 32 tasks, no skew marker, 92–125 s straggler). That is the
+        # probe's finding, not a tuning failure: multiplicity skew
+        # (B² pair OUTPUT from a normal-sized B-row input) is
+        # structurally invisible to an input-byte heuristic at any
+        # threshold — the measured basis for max_bucket (invariant
+        # 10's cap) being the production defense rather than AQE.
         spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
         spark.conf.set(
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k"
         )
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+        # Force the 100 TB join shape. At fixture scale Catalyst picks a
+        # BROADCAST hash join for the pair self-join, and then (measured,
+        # first run of this probe) bucket skew structurally cannot exist:
+        # pair emission runs on the STREAM side, which is doc-partitioned
+        # by the signature exchange, so a hot bucket's B docs are spread
+        # across every task (~even 16 × 19 s), and the pair dedup reuses
+        # that same doc_a partitioning with NO extra shuffle (grouping on
+        # (doc_a, doc_b) is satisfied by hashpartitioning(doc_a)). At
+        # 100 TB the banded relation cannot broadcast, the join is SMJ on
+        # (band, bucket), and the hot bucket IS one shuffle partition —
+        # that is the shape this probe certifies, so disable broadcast.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         return spark
 
     # fixture session (kept out of the probe event logs)
@@ -445,10 +459,14 @@ def lsh_probe() -> None:
             )
 
         q().count()  # warm: page cache + codegen
+        timed = q()
         t0 = time.time()
-        n_pairs = q().count()
+        n_pairs = timed.count()
         wall = round(time.time() - t0, 3)
-        plan = q()._jdf.queryExecution().executedPlan().toString()
+        # the marker only appears in AQE's FINAL plan, so it must be
+        # read from the EXECUTED DataFrame — a fresh q() here would
+        # show the initial plan and always report false.
+        plan = timed._jdf.queryExecution().executedPlan().toString()
         spark.stop()
         stats = _stage_task_stats(event_dir)
         results[mode] = {
