@@ -37,11 +37,14 @@ def shingles(words: Column, n: int = 3) -> Column:
     return F.array_distinct(
         F.transform(
             # size ≥ n → indices 0..size−n; shorter docs get one partial
-            # shingle (concat_ws skips the out-of-range NULLs, same as the
-            # DuckDB oracle's behavior).
+            # shingle. try_element_at, NOT element_at: under ANSI mode
+            # (Spark 4 default) element_at THROWS past the array end —
+            # a <n-word doc (first seen in stripped clean_text at probe
+            # scale) must instead yield NULLs that concat_ws skips,
+            # matching the DuckDB oracles' clamped list slice.
             F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(words, i + k + 1) for k in range(n)]
+                " ", *[F.try_element_at(words, i + k + 1) for k in range(n)]
             ),
         )
     )

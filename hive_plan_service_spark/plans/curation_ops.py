@@ -65,10 +65,18 @@ def _segments(ws: Column) -> Column:
 
 
 def _ngrams_all(ws: Column, n: int) -> Column:
-    """ALL word n-grams (duplicates kept — repetition ratio needs them)."""
+    """ALL word n-grams (duplicates kept — repetition ratio needs them).
+
+    try_element_at: a <n-word doc yields one partial n-gram (concat_ws
+    skips the out-of-range NULLs), matching the oracles' clamped list
+    slice — ANSI element_at would throw instead (textops.shingles has
+    the same guard and the war story).
+    """
     return F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + k + 1) for k in range(n)]),
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(ws, i + k + 1) for k in range(n)]
+        ),
     )
 
 

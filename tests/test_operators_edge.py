@@ -317,3 +317,38 @@ def test_scd2_intervals_are_contiguous_and_single_current(spark, sf_dir):
         for a, b in zip(vs, vs[1:]):
             assert a["valid_to_us"] == b["valid_from_us"], user
             assert a["valid_from_us"] < a["valid_to_us"], user
+
+
+def test_shingles_and_ngrams_short_docs_yield_partial_gram(spark):
+    """Docs shorter than n words produce ONE partial gram instead of an
+    ANSI element_at crash (Spark 4 default ansi.enabled throws past the
+    array end; the boilerplate-stripped corpus produced a 2-word
+    clean_text at probe scale — ROUND5_NOTES §4). The partial gram must
+    equal the DuckDB oracles' clamped list slice: the joined words that
+    exist, no trailing separators.
+    """
+    from hive_plan_service_spark.operators.textops import shingles, tokens
+    from hive_plan_service_spark.plans.curation_ops import _ngrams_all
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "solo"), (3, "a b c d")],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select(
+            "doc_id", shingles(tokens("text"), 3).alias("sh")
+        ).collect()
+    }
+    assert rows[1] == ["alpha beta"]
+    assert rows[2] == ["solo"]
+    assert rows[3] == ["a b c", "b c d"]
+
+    grams = {
+        r["doc_id"]: r["g"]
+        for r in docs.select(
+            "doc_id", _ngrams_all(F.split("text", " "), 3).alias("g")
+        ).collect()
+    }
+    assert grams[1] == ["alpha beta"]
+    assert grams[3] == ["a b c", "b c d"]
