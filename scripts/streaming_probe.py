@@ -208,6 +208,42 @@ def _ss_join(spark, feed: str):
     ).select("purchase_id", "click_id", "user_id")
 
 
+def probe_join_store(spark, mult: int) -> None:
+    """Stream-stream join, HDFS vs RocksDB state store (VERDICT r4 #3
+    follow-up): the 10M-event probe showed the join's cost floor is
+    state-store COMMIT time (~127-130 s summed at both 1M and 10M — a
+    per-(batch × partition × store) constant), not row volume. RocksDB
+    (built into Spark, runtime-settable providerClass) is the published
+    answer for large state; this probe measures whether the commit
+    floor moves at fixture scale and records the knob's measured basis.
+    """
+    feed = replicated_events(spark, mult)
+    n_events = mult * 100_000
+    providers = {
+        "hdfs": "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider",
+        "rocksdb": "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    }
+    for label, cls in providers.items():
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+        try:
+            wall, out_rows, progress = drive(_ss_join(spark, feed), "append")
+        finally:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        row = {
+            "op": "stream_stream_join",
+            "state_store": label,
+            "mult": mult,
+            "events": n_events,
+            "wall_sec": round(wall, 2),
+            "rows_per_sec": int(n_events / wall),
+            "out_rows_last_batch": out_rows[-1] if out_rows else 0,
+        }
+        row.update(state_breakdown(progress))
+        print(json.dumps(row), flush=True)
+
+
 def probe_docs(spark, mult: int) -> None:
     """Streaming dedup ingest over a mult x documents corpus (the
     scale_probe distinct-copy recipe), split into 4-file micro-batches
@@ -241,13 +277,16 @@ def probe_docs(spark, mult: int) -> None:
 def main() -> None:
     args = sys.argv[1:]
     docs_mode = "--docs" in args
-    args = [a for a in args if a != "--docs"]
+    join_store_mode = "--join-store" in args
+    args = [a for a in args if a not in ("--docs", "--join-store")]
     mults = [int(m) for m in args] or ([10, 40] if docs_mode else [10, 100])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="hpss-streaming-probe")
     register_tables(spark, sf_dir)
     for mult in mults:
-        if docs_mode:
+        if join_store_mode:
+            probe_join_store(spark, mult)
+        elif docs_mode:
             probe_docs(spark, mult)
         else:
             probe_events(spark, mult)

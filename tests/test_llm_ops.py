@@ -507,3 +507,47 @@ def test_lsh_banding_survives_adversarial_near_threshold_pairs(spark):
     )
     # everything at or above 0.5: the 0.903, 0.885 and 0.508 sides
     assert len(exact_05) == 45, len(exact_05)
+
+
+def test_registered_document_queries_survive_degenerate_corpus(spark, sf_dir):
+    """Every documents-consuming registered query must RUN (not match an
+    oracle — run) on a degenerate corpus: empty text, single word,
+    sub-shingle-width docs, consecutive spaces, unicode, punctuation-
+    only. Spark 4's ANSI mode turns latent out-of-range/division edges
+    into runtime throws — round 5 found exactly one (element_at past
+    the array end on a 2-word boilerplate-stripped doc, ROUND5_NOTES
+    §4); this sweep pins the whole family against the next one.
+    """
+    from hive_plan_service_spark.plans.registry import all_queries
+    from hive_plan_service_spark.sources.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    rows = [
+        (0, "", "en", "web"),
+        (1, "a", "en", "web"),
+        (2, "a b", "de", "books"),
+        (3, "x  y", "en", "web"),
+        (4, "日本 テスト", "ja", "web"),
+        (5, "...", "en", "code"),
+        (6, " ", "de", "web"),
+        (7, "w " * 200, "en", "web"),
+    ]
+    degen = spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    degen.createOrReplaceTempView("documents")
+    try:
+        failures = []
+        for name, q in sorted(all_queries().items()):
+            if not ({"B15", "B27", "B29", "llm"} & set(q.tags)):
+                continue
+            try:
+                q.fn(spark, sf_dir).limit(3).collect()
+            except Exception as ex:  # noqa: BLE001 — collecting all failures
+                failures.append(f"{name}: {str(ex).splitlines()[0][:160]}")
+        assert not failures, "\n".join(failures)
+    finally:
+        # the temp view shadows the parquet table for the whole session
+        # fixture — restore it for later tests
+        register_tables(spark, sf_dir, force=True)

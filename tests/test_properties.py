@@ -227,3 +227,58 @@ def test_integer_kmeans_matches_python_model(spark, data, k, iters):
     out = kmeans_integer(pts, k=k, dim=2, iters=iters, vec="vec")
     got = {r.code: tuple(r.centroid) for r in out.collect()}
     assert got == want
+
+
+# token alphabet for degenerate-doc fuzzing: empty token (consecutive
+# spaces), 1-char, unicode, digit-ending (the scale-probe suffix
+# ambiguity class), and a long word
+_FUZZ_TOKENS = ["", "a", "b", "ab", "x1", "é", "日本", "word" * 8]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_FUZZ_TOKENS), min_size=0, max_size=6),
+        min_size=1,
+        max_size=6,
+    ),
+    n=st.sampled_from([2, 3, 8]),
+)
+def test_shingles_and_ngrams_match_python_model_on_degenerate_docs(
+    spark, docs, n
+):
+    """shingles / _ngrams_all vs the trivially-correct Python model of
+    the DuckDB oracles' clamped list slice, on adversarial docs: empty
+    texts, sub-n-word docs (the ANSI element_at crash class fixed in
+    round 5), empty tokens from consecutive spaces, unicode.
+    """
+    from hive_plan_service_spark.operators.textops import shingles, tokens
+    from hive_plan_service_spark.plans.curation_ops import _ngrams_all
+
+    from pyspark.sql import functions as F
+
+    texts = [" ".join(toks) for toks in docs]
+
+    def model_grams(text: str) -> list[str]:
+        ws = text.split(" ")  # [""] for empty text, like F.split
+        return [
+            " ".join(ws[i : i + n])
+            for i in range(max(len(ws) - n, 0) + 1)
+        ]
+
+    s = _get_spark()
+    df = s.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    out = {
+        r["doc_id"]: (r["sh"], r["gr"])
+        for r in df.select(
+            "doc_id",
+            shingles(tokens("text"), n).alias("sh"),
+            _ngrams_all(F.split("text", " "), n).alias("gr"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        grams = model_grams(t)
+        dedup = list(dict.fromkeys(grams))  # array_distinct keeps order
+        assert out[i] == (dedup, grams), (i, t)
