@@ -19,11 +19,11 @@ REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
-#: Best calibration_cpu_sec ever recorded on a quiet box (load < 0.1,
-#: round 4, ROUND4_NOTES §8a: 0.472/0.509 across two quiet runs). The
+#: Best calibration_cpu_sec ever recorded on a quiet box (round 5
+#: close-out run: 0.4411; earlier r5 verify 0.4599, r4 0.472/0.509). The
 #: payload's `value_normalized` divides out box slowdown against this
 #: reference — see the normalization rule below and in BASELINE.md.
-CALIBRATION_QUIET_REF = 0.472
+CALIBRATION_QUIET_REF = 0.4411
 
 #: Queries timed by the benchmark — one per heavy engine path.
 HEADLINE: tuple[str, ...] = (
