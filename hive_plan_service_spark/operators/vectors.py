@@ -450,9 +450,9 @@ def pq_topk(
     CONTIGUOUS 0-based codes (what ``pq_train_codebooks`` produces) —
     the flat-table lookup indexes ``s·n_codes + code`` and would return
     wrong distances, not an error, on a gapped or ragged external
-    codebook. A ragged one (table size not divisible by ``subspaces``)
-    raises at run time below; equal-count-but-gapped codebooks cannot
-    be detected from the table size and are on the caller.
+    codebook. The guard below verifies the FULL contract on the sorted
+    (s, code) entries (ragged, gapped, or duplicated layouts all raise
+    at run time; one check per query row on the broadcast side).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -476,26 +476,43 @@ def pq_topk(
     )
     # (s, code) is unique per query and (s) per vector, so the struct
     # sorts below give deterministic flat layouts.
-    table_wide = table.groupBy("query_id").agg(
+    # codebook-layout guard (one row per query, broadcast side — zero
+    # per-pair cost): the flat lookup s·n_codes + code assumes EVERY
+    # subspace carries the same count of contiguous 0-based codes. The
+    # sorted (s, code) entries make the full contract checkable, not
+    # just size-divisibility (which a ragged book whose counts SUM to a
+    # multiple of `subspaces`, or a gapped book, would slip past into
+    # silently-wrong distances): entry i must sit at exactly
+    # (s, code) = (i div n_codes, i mod n_codes).
+    entries = table.groupBy("query_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "code", "pdist"))).alias(
+            "_entries"
+        )
+    )
+    _n = (F.size("_entries") / F.lit(subspaces)).cast("int")
+    layout_ok = (F.size("_entries") % F.lit(subspaces) == 0) & F.forall(
         F.transform(
-            F.array_sort(F.collect_list(F.struct("s", "code", "pdist"))),
-            lambda x: x["pdist"],
-        ).alias("_tbl")
-    ).select(
+            "_entries",
+            lambda x, i: (x["s"] == F.floor(i / _n).cast("int"))
+            & (x["code"] == i % _n),
+        ),
+        lambda ok: ok,
+    )
+    table_wide = entries.select(
         "query_id",
-        # ragged-codebook guard (one row per query, broadcast side —
-        # zero per-pair cost): a table whose size is not a multiple of
-        # `subspaces` would make every flat-index lookup silently wrong
         F.when(
-            F.size("_tbl") % F.lit(subspaces) == 0, F.col("_tbl")
+            layout_ok,
+            F.transform("_entries", lambda x: x["pdist"]),
         ).otherwise(
             F.raise_error(F.concat(
                 F.lit(
                     "pq_topk: codebook codes must be contiguous 0-based "
-                    "with one count per subspace; distance-table size "
+                    "with one equal count per subspace; got a distance "
+                    "table of "
                 ),
-                F.size("_tbl").cast("string"),
-                F.lit(f" is not divisible by subspaces={subspaces}"),
+                F.size("_entries").cast("string"),
+                F.lit(f" entries for subspaces={subspaces} whose (s, "
+                      "code) layout is ragged, gapped, or duplicated"),
             ))
         ).alias("_tbl"),
     )
@@ -568,7 +585,13 @@ def pq_topk_refined(
     re-rank by orders of magnitude, so the shortlist knob is nearly
     free — at 1.02M×768 dims (16×64 codes) shortlist 400 → recall@5
     0.84 but 1000 → 1.00 at the same query cost. Production default:
-    shortlist ≈ max(20·k, corpus_size / 1000).
+    shortlist ≈ max(20·k, corpus_size / 1000), capped by
+    ``spark.sql.optimizer.windowGroupLimitThreshold`` (invariant 20:
+    a rank filter with k past the threshold silently loses its partial
+    WindowGroupLimit and the full ADC relation crosses the shuffle —
+    ``session.tune()`` raises the threshold to 8192, plan-pinned in
+    tests/test_plans.py; shortlists beyond that need the conf raised
+    further, never a silent fallthrough).
     """
     short = pq_topk(
         queries,

@@ -217,20 +217,28 @@ def a08_get_plan_groups_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     # escapes only backslash/quote. Control chars in a title would be a
     # silent hash divergence — fail loudly here instead (per-group
     # check over a ≤64-element array; cost is nil).
-    has_ctl = F.exists(
-        F.col("plans"), lambda p: p["title"].rlike("[\\x00-\\x1F]")
+    # a NULL title makes rlike → NULL → exists → NULL, which would fall
+    # through to the control-char error with a misleading message (and
+    # to_json's default ignoreNullFields would OMIT the field while the
+    # oracle's NULL-propagating concat drops the whole element — a
+    # silent divergence either way): check NULL separately and first.
+    has_null = F.exists(F.col("plans"), lambda p: p["title"].isNull())
+    has_ctl = F.coalesce(
+        F.exists(F.col("plans"), lambda p: p["title"].rlike("[\\x00-\\x1F]")),
+        F.lit(False),
     )
     return nested.select(
         F.col("id").alias("group_id"),
         F.col("title").alias("group_title"),
         "mask",
-        F.when(~has_ctl, F.to_json(F.col("plans"))).otherwise(
-            F.raise_error(F.lit(
-                "a08_get_plan_groups_json: control character in a plan "
-                "title — the handcrafted oracle serialization escapes "
-                "only backslash/quote (see ORACLE_JSON_ESCAPE)"
-            ))
-        ).alias("plans_json"),
+        F.when(has_null, F.raise_error(F.lit(
+            "a08_get_plan_groups_json: NULL plan title — to_json would "
+            "omit the field while the oracle's concat drops the element"
+        ))).when(has_ctl, F.raise_error(F.lit(
+            "a08_get_plan_groups_json: control character in a plan "
+            "title — the handcrafted oracle serialization escapes "
+            "only backslash/quote (see ORACLE_JSON_ESCAPE)"
+        ))).otherwise(F.to_json(F.col("plans"))).alias("plans_json"),
     )
 
 

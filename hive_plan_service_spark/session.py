@@ -33,6 +33,14 @@ _RUNTIME_CONF: dict[str, str] = {
     # no native type for: read as LongType nanos, converted (losslessly —
     # the fixture is µs-aligned) to TimestampType in the catalog.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Rank-filter top-k LOSES its partial WindowGroupLimit when k exceeds
+    # this threshold (invariant 20) — and pq_topk_refined's production
+    # shortlist sizing (max(20·k, corpus/1000)) legitimately passes 1000
+    # on multi-million-row corpora. Raising the threshold only ADDS
+    # partial limits (per-task top-k buffers of ≤8192 rows per group —
+    # trivial memory); it never removes one. Plan-pinned by
+    # tests/test_plans.py::test_pq_topk_wide_shortlist_keeps_window_group_limit.
+    "spark.sql.optimizer.windowGroupLimitThreshold": "8192",
 }
 
 

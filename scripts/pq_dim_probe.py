@@ -126,8 +126,68 @@ def topk_set(df):
     return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
 
 
+def ivf_main(mults: list[int]) -> None:
+    """IVF at production dims (--ivf): the 64-dim certification named
+    IVF the corpus-scale path; this re-certifies it on the same 768-dim
+    widened corpus PQ was measured on, against the same brute truth.
+    Index = 64 mod-sampled centroids (tuning constant, ann_probe's
+    recipe) + broadcast-argmin assign, checkpointed; query side swept
+    over nprobe.
+    """
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="hpss-ivf-dim-probe")
+    register_tables(spark, sf_dir)
+    for mult in mults:
+        unit, path = widened_corpus(spark, mult)
+        n = unit.count()
+        queries = unit.filter(F.col("vec_id") < N_QUERIES)
+
+        t0 = time.perf_counter()
+        truth = topk_set(vx.cosine_topk(queries, unit, k=5))
+        t_brute = time.perf_counter() - t0
+
+        k_centroids = 64
+        t0 = time.perf_counter()
+        cents = unit.filter(
+            F.col("vec_id") % F.lit(max(1, n // k_centroids)) == 0
+        ).select(F.col("vec_id").alias("centroid_id"), "embedding")
+        assigned = vx.ivf_assign(unit, cents).localCheckpoint(eager=True)
+        t_index = time.perf_counter() - t0
+
+        for nprobe in (4, 8, 16):
+            t0 = time.perf_counter()
+            ivf = topk_set(
+                vx.ivf_topk(queries, assigned, cents, k=5, nprobe=nprobe)
+            )
+            t_q = time.perf_counter() - t0
+            print(
+                json.dumps(
+                    {
+                        "dim": DIM,
+                        "mult": mult,
+                        "n_vectors": n,
+                        "n_queries": N_QUERIES,
+                        "k_centroids": k_centroids,
+                        "nprobe": nprobe,
+                        "brute_sec": round(t_brute, 2),
+                        "ivf_index_sec": round(t_index, 2),
+                        "ivf_query_sec": round(t_q, 2),
+                        "ivf_recall": round(len(truth & ivf) / len(truth), 3),
+                    }
+                ),
+                flush=True,
+            )
+        shutil.rmtree(path, ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
-    mults = [int(m) for m in sys.argv[1:]] or [32, 128]
+    args = sys.argv[1:]
+    if "--ivf" in args:
+        args.remove("--ivf")
+        ivf_main([int(m) for m in args] or [128, 512])
+        return
+    mults = [int(m) for m in args] or [32, 128]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="hpss-pq-dim-probe")
     register_tables(spark, sf_dir)

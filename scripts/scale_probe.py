@@ -132,13 +132,19 @@ def main() -> None:
     run_exact = "--no-exact" not in args
     if not run_exact:
         args.remove("--no-exact")
-    if "--clusters" in args:
-        args.remove("--clusters")
-        clusters_main([int(m) for m in args] or [8, 40, 200])
-        return
     identical = "--identical" in args
     if identical:
         args.remove("--identical")
+    if "--clusters" in args:
+        if identical:
+            # the composition strips boilerplate BEFORE dedup; identical
+            # copies would measure output growth, not plan scaling
+            # (invariant 23) — reject instead of crashing on int parse
+            print("--identical is not supported with --clusters", file=sys.stderr)
+            sys.exit(2)
+        args.remove("--clusters")
+        clusters_main([int(m) for m in args] or [8, 40, 200])
+        return
     mults = [int(m) for m in args] or [1, 2, 4]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="hpss-scale-probe")

@@ -89,20 +89,21 @@ def drive(sdf, mode: str):
     def sink(df, _eid):
         out_rows.append(df.count())
 
+    ckpt = os.path.join(scratch_root(), f"sp_ckpt_{uuid.uuid4().hex[:12]}")
     t0 = time.perf_counter()
     q = (
         sdf.writeStream.outputMode(mode)
         .foreachBatch(sink)
-        .option(
-            "checkpointLocation",
-            os.path.join(scratch_root(), f"sp_ckpt_{uuid.uuid4().hex[:12]}"),
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     wall = time.perf_counter() - t0
     progress = [json.loads(p.json) for p in q.recentProgress]
+    # one-shot replay: the checkpoint is never resumed — drop it or
+    # every probe invocation leaks a state-store tree in scratch
+    shutil.rmtree(ckpt, ignore_errors=True)
     return wall, out_rows, progress
 
 
@@ -128,7 +129,11 @@ def state_breakdown(progress) -> dict:
 
 def probe_events(spark, mult: int) -> None:
     feed = replicated_events(spark, mult)
-    n_events = mult * 100_000  # sf0.1 base
+    # count the materialized feed (cheap parquet-footer count) instead
+    # of assuming the sf0.1 base of 100k rows — SPARK_GRAFT_SF_DIR is
+    # configurable and a wrong base silently corrupts every rows/s
+    # figure in the probe artifact (r5 review)
+    n_events = spark.read.parquet(feed).count()
 
     ops = {
         # last-batch complete-mode re-emission is part of the honest cost
@@ -218,7 +223,7 @@ def probe_join_store(spark, mult: int) -> None:
     floor moves at fixture scale and records the knob's measured basis.
     """
     feed = replicated_events(spark, mult)
-    n_events = mult * 100_000
+    n_events = spark.read.parquet(feed).count()  # see probe_events
     providers = {
         "hdfs": "org.apache.spark.sql.execution.streaming.state."
         "HDFSBackedStateStoreProvider",
@@ -242,6 +247,7 @@ def probe_join_store(spark, mult: int) -> None:
         }
         row.update(state_breakdown(progress))
         print(json.dumps(row), flush=True)
+    shutil.rmtree(feed, ignore_errors=True)
 
 
 def probe_docs(spark, mult: int) -> None:

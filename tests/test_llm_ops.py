@@ -424,6 +424,36 @@ def test_pq_topk_ragged_codebook_raises(spark):
     with pytest.raises(Exception, match="pq_topk"):
         vx.pq_topk(queries, codes, ragged, k=1, subspaces=2, dim=4).collect()
 
+    # ragged counts SUMMING to a multiple of subspaces (1 + 3 = 4) pass
+    # a size-divisibility check but still corrupt the flat lookup — the
+    # layout guard must catch them too (r5 review)
+    ragged_divisible = spark.createDataFrame(
+        [
+            (0, 0, [0.0, 0.0]),
+            (1, 0, [0.0, 0.0]),
+            (1, 1, [1.0, 1.0]),
+            (1, 2, [2.0, 2.0]),
+        ],
+        "s int, code int, centroid array<double>",
+    )
+    with pytest.raises(Exception, match="pq_topk"):
+        vx.pq_topk(
+            queries, codes, ragged_divisible, k=1, subspaces=2, dim=4
+        ).collect()
+
+    # gapped codes (0, 2 — count right, contiguity broken) likewise
+    gapped = spark.createDataFrame(
+        [
+            (0, 0, [0.0, 0.0]),
+            (0, 2, [1.0, 1.0]),
+            (1, 0, [0.0, 0.0]),
+            (1, 1, [1.0, 1.0]),
+        ],
+        "s int, code int, centroid array<double>",
+    )
+    with pytest.raises(Exception, match="pq_topk"):
+        vx.pq_topk(queries, codes, gapped, k=1, subspaces=2, dim=4).collect()
+
 
 def test_pagerank_matches_integer_model(spark, sf_dir):
     """The engine's integer PageRank must equal a driver-side Python

@@ -96,3 +96,31 @@ def test_a08_control_char_title_raises(spark, sf_dir):
             q.fn(spark, sf_dir).collect()
     finally:
         register_tables(spark, sf_dir, force=True)
+
+
+def test_a08_null_title_raises_with_accurate_message(spark, sf_dir):
+    """A NULL plan title must raise its OWN error, not the misleading
+    control-character one (rlike(NULL) -> NULL -> exists -> NULL fell
+    through to otherwise before the r5 review fix); silently serializing
+    is also wrong because to_json omits null fields while the oracle's
+    NULL-propagating concat drops the whole element."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hive_plan_service_spark.plans import registry
+    from hive_plan_service_spark.sources.catalog import register_tables
+
+    register_tables(spark, sf_dir, force=True)
+    tainted = spark.table("plans").withColumn(
+        "title",
+        F.when(F.col("id") == F.lit(1), F.lit(None).cast("string")).otherwise(
+            F.col("title")
+        ),
+    )
+    tainted.createOrReplaceTempView("plans")
+    try:
+        q = registry.all_queries()["a08_get_plan_groups_json"]
+        with pytest.raises(Exception, match="NULL plan title"):
+            q.fn(spark, sf_dir).collect()
+    finally:
+        register_tables(spark, sf_dir, force=True)

@@ -356,3 +356,36 @@ def test_lsh_max_bucket_cap_is_single_pass(spark, sf_dir):
     plan = buf.getvalue()
     n_scans = plan.count("documents.parquet")
     assert n_scans <= 2, f"signature pipeline duplicated: {n_scans} scans"
+
+
+def test_pq_topk_wide_shortlist_keeps_window_group_limit(spark, sf_dir):
+    """Invariant 20 applied to PQ's production sizing: pq_topk_refined's
+    documented shortlist (max(20·k, corpus/1000)) legitimately exceeds
+    Spark's default windowGroupLimitThreshold of 1000 on multi-million
+    row corpora — and a rank filter past the threshold SILENTLY drops
+    its partial WindowGroupLimit, putting the full ADC relation through
+    the shuffle. session.tune() raises the threshold to 8192; this pins
+    that a shortlist-2000 rank filter still carries the partial node.
+    """
+    from pyspark.sql import functions as F
+
+    from hive_plan_service_spark.operators import vectors as vx
+    from hive_plan_service_spark.sources.catalog import register_tables
+
+    assert (
+        int(spark.conf.get("spark.sql.optimizer.windowGroupLimitThreshold"))
+        >= 8192
+    ), "tune() must raise the window-group-limit threshold"
+    register_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    books = vx.pq_train_codebooks(emb, subspaces=4, codes=8)
+    codes = vx.pq_codes_wide(vx.pq_encode(emb, books, subspaces=4))
+    df = vx.pq_topk(queries, codes, books, k=2000, subspaces=4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "WindowGroupLimit" in plan, (
+        "shortlist-wide rank filter lost its partial WindowGroupLimit"
+    )
