@@ -37,6 +37,11 @@ def test_bench_payload_shape(spark, sf_dir):
     # round-over-round comparison needs no notes-based attribution
     assert decoded["calibration_quiet_ref"] == bench.CALIBRATION_QUIET_REF
     assert 0 < decoded["value_normalized"] <= decoded["value"] + 1e-9
+    # normalization must apply ONLY at the exact 50M-row reference
+    # workload: this shrunken probe must report factor 1 (normalized ==
+    # raw), not a deflated number computed against an incomparable
+    # calibration (r5 review: >= let larger probes deflate normalized)
+    assert decoded["value_normalized"] == decoded["value"]
     assert set(decoded["queries"]) == {
         "b09_agg_pricing_summary",
         "b04_join_inner_broadcast",
