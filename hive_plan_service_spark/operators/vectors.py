@@ -405,6 +405,95 @@ def pq_encode(
     )
 
 
+def pq_encode_np(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    *,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    subspaces: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Throughput twin of ``pq_encode``: Arrow-batched numpy argmin.
+
+    ``pq_encode``'s Column-algebra form explodes to n·S·codes scored
+    rows, each paying an interpreted 0-fold per distance (higher-order
+    functions never enter whole-stage codegen) — measured ~800 s for a
+    1M×768 encode (ROUND5_NOTES §5). This twin does the identical
+    arithmetic inside ``mapInPandas``: one Arrow batch in, a (B, codes)
+    accumulator per subspace, no explode, no groupBy shuffle.
+
+    BIT-IDENTICAL by construction, not by luck: distances accumulate in
+    float64 with the SAME left-fold order as ``_l2sq`` (an explicit loop
+    over elements — ``acc + (x−c)·(x−c)`` per step; numpy's pairwise
+    ``sum`` would change the order), and ``np.argmin`` returns the FIRST
+    minimum, matching ``min(struct(_d, code))``'s smallest-code
+    tie-break. The tie is pinned by
+    tests/test_llm_ops.py::test_pq_encode_np_matches_column_encode.
+
+    Non-SQL-expressible (a Python stage), so per invariant 1 it is NOT
+    registered — the oracle-checked path stays ``pq_encode``; this is
+    the index-build throughput path, same role as the ``*_xx`` hash
+    twins. Caller spreads a one-file scan first (invariant 14), as with
+    ``pq_encode``.
+    """
+    import numpy as np
+
+    width = dim // subspaces
+    # Fixed-size index artifact: subspaces·codes rows of width doubles —
+    # tuning constants, never corpus-proportional (a 16×256×48 book is
+    # ~1.5 MB). Bounded control-flow collect, documented per invariant 5;
+    # the closure ships it to executors like a broadcast.
+    book_rows = codebooks.select("s", "code", "centroid").collect()
+    n_codes = len(book_rows) // subspaces if subspaces else 0
+    got = sorted((r["s"], r["code"]) for r in book_rows)
+    want = [(i // n_codes, i % n_codes) for i in range(len(book_rows))]
+    if not book_rows or len(book_rows) % subspaces or got != want:
+        raise ValueError(
+            "pq_encode_np: codebook codes must be contiguous 0-based "
+            f"with one equal count per subspace; got {len(book_rows)} "
+            f"entries for subspaces={subspaces} whose (s, code) layout "
+            "is ragged, gapped, or duplicated"
+        )
+    cb = np.empty((subspaces, n_codes, width), dtype=np.float64)
+    for r in book_rows:
+        cb[r["s"], r["code"]] = r["centroid"]
+
+    src = corpus.select(F.col(id_col).alias("_pid"), F.col(vec).alias("_v"))
+    id_type = src.schema["_pid"].dataType.simpleString()
+
+    def _encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # array<float> arrives as object Series of float32 ndarrays;
+            # per-element float→double cast is exact, matching the
+            # Column path's cast("double")
+            x = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            b = len(pdf)
+            out_codes = np.empty((b, subspaces), dtype=np.int32)
+            for s in range(subspaces):
+                xs = x[:, s * width : (s + 1) * width]
+                acc = np.zeros((b, n_codes), dtype=np.float64)
+                for j in range(width):  # sequential left fold, as _l2sq
+                    d = xs[:, j : j + 1] - cb[s, :, j][None, :]
+                    acc += d * d
+                out_codes[:, s] = np.argmin(acc, axis=1)
+            yield pd.DataFrame(
+                {
+                    "_pid": np.repeat(pdf["_pid"].to_numpy(), subspaces),
+                    "s": np.tile(np.arange(subspaces, dtype=np.int32), b),
+                    "code": out_codes.reshape(-1),
+                }
+            )
+
+    return src.mapInPandas(
+        _encode, schema=f"_pid {id_type}, s int, code int"
+    ).select(F.col("_pid").alias(id_col), "s", "code")
+
+
 def pq_codes_wide(codes_df: DataFrame, *, id_col: str = "vec_id") -> DataFrame:
     """Pivot (id, s, code) PQ codes to one row per vector (id, _codes).
 

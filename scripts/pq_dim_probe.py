@@ -181,11 +181,73 @@ def ivf_main(mults: list[int]) -> None:
     spark.stop()
 
 
+def encode_main(mults: list[int]) -> None:
+    """Encode-path A/B (--encode): Column-algebra ``pq_encode`` (the
+    oracle-grade registered path) vs the ``pq_encode_np`` Arrow/numpy
+    throughput twin, same trained codebooks, both MATERIALIZED via eager
+    localCheckpoint (ROUND5_NOTES §5: a bare .count() lets Catalyst
+    prune the argmin aggregate and times a plan that never computes the
+    codes). Output equality is asserted per run — the twin is
+    bit-identical by fold-order construction, re-proven at probe scale.
+    """
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="hpss-pq-encode-probe")
+    register_tables(spark, sf_dir)
+    for mult in mults:
+        unit, path = widened_corpus(spark, mult)
+        n = unit.count()
+        train_src = (
+            unit.filter(F.col("vec_id") < 65536) if n > 100_000 else unit
+        )
+        books = vx.pq_train_codebooks(
+            train_src, subspaces=SUBSPACES, codes=CODES, dim=DIM
+        ).localCheckpoint(eager=True)
+
+        t0 = time.perf_counter()
+        col_codes = vx.pq_encode(
+            unit, books, subspaces=SUBSPACES, dim=DIM
+        ).localCheckpoint(eager=True)
+        t_col = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        np_codes = vx.pq_encode_np(
+            unit, books, subspaces=SUBSPACES, dim=DIM
+        ).localCheckpoint(eager=True)
+        t_np = time.perf_counter() - t0
+
+        mismatch = (
+            col_codes.exceptAll(np_codes).count()
+            + np_codes.exceptAll(col_codes).count()
+        )
+        print(
+            json.dumps(
+                {
+                    "dim": DIM,
+                    "mult": mult,
+                    "n_vectors": n,
+                    "subspaces": SUBSPACES,
+                    "codes": CODES,
+                    "encode_column_sec": round(t_col, 2),
+                    "encode_np_sec": round(t_np, 2),
+                    "speedup": round(t_col / t_np, 1),
+                    "mismatched_rows": mismatch,
+                }
+            ),
+            flush=True,
+        )
+        shutil.rmtree(path, ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
     args = sys.argv[1:]
     if "--ivf" in args:
         args.remove("--ivf")
         ivf_main([int(m) for m in args] or [128, 512])
+        return
+    if "--encode" in args:
+        args.remove("--encode")
+        encode_main([int(m) for m in args] or [128])
         return
     mults = [int(m) for m in args] or [32, 128]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

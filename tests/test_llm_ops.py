@@ -336,6 +336,47 @@ def test_pq_wide_codes_equal_narrow(spark, sf_dir):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_pq_encode_np_matches_column_encode(spark, sf_dir):
+    """The Arrow/numpy encode twin must produce the EXACT (id, s, code)
+    set of the Column-algebra ``pq_encode`` — the fold order inside the
+    numpy kernel is the same sequential left fold as ``_l2sq`` and
+    np.argmin's first-minimum matches the min-struct smallest-code tie
+    break, so equality is by construction, pinned here (invariant 1's
+    non-SQL-expressible path: the twin is a Python stage, never
+    registered; the oracle path stays ``pq_encode``)."""
+    from hive_plan_service_spark.operators import vectors as vx
+    from hive_plan_service_spark.sources.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    books = vx.pq_train_codebooks(emb, subspaces=8, codes=16)
+    col = vx.pq_encode(emb, books, subspaces=8)
+    np_ = vx.pq_encode_np(emb, books, subspaces=8)
+    # mapInPandas output fields are always nullable — compare name+type
+    assert [(f.name, f.dataType) for f in np_.schema] == [
+        (f.name, f.dataType) for f in col.schema
+    ]
+    a = sorted(map(tuple, col.collect()))
+    b = sorted(map(tuple, np_.collect()))
+    assert a == b
+
+
+def test_pq_encode_np_rejects_bad_codebooks(spark, sf_dir):
+    """Same layout contract as pq_topk: ragged/gapped/duplicated books
+    fail loudly (driver-side here — the collect sees the whole book)."""
+    import pytest
+
+    from hive_plan_service_spark.operators import vectors as vx
+    from hive_plan_service_spark.sources.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    emb = spark.table("embeddings").limit(4)
+    books = vx.pq_train_codebooks(emb, subspaces=4, codes=4)
+    gapped = books.filter(~((F.col("s") == 1) & (F.col("code") == 2)))
+    with pytest.raises(ValueError, match="contiguous 0-based"):
+        vx.pq_encode_np(emb, gapped, subspaces=4)
+
+
 def test_capped_cluster_composition_cap_safety(spark, sf_dir):
     """The production composition (strip → capped LSH → verify → CC)
     must cluster IDENTICALLY capped vs uncapped when every over-cap
