@@ -144,6 +144,91 @@ def ivf_assign(
     return corpus.join(best, id_col)
 
 
+def ivf_assign_np(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """Throughput twin of :func:`ivf_assign`: Arrow-batched numpy argmin.
+
+    The Column form pays n·K interpreted folds (dot + the row norm) —
+    the corpus-proportional part of the IVF index build (ROUND5_NOTES
+    §5: 265 s at 1M×768). This twin runs the identical float arithmetic
+    inside ``mapInPandas`` and joins the (id, centroid) assignment back
+    exactly as the Column path does.
+
+    BIT-IDENTICAL by construction (the ``pq_encode_np`` argument):
+    dot and norm accumulate in float64 in the SAME sequential
+    element-order left fold as :func:`dot`/:func:`norm` (explicit loop
+    over j — never ``np.sum``), the score is composed in the same op
+    order (``dots / (vn · kn)``), and ``np.argmin`` over centroids
+    sorted by id returns the first minimum = ``min(struct(-cos,
+    cid))``'s smallest-id tie-break. An all-zero CORPUS row makes every
+    score NaN on both paths and both fall back to the smallest centroid
+    id (Spark: all struct keys equal; numpy: argmin returns the first
+    NaN). An all-zero CENTROID would diverge (Spark sorts its NaN score
+    last, numpy argmin would select it first), so it is rejected
+    loudly. Pinned by tests/test_llm_ops.py::
+    test_ivf_assign_np_matches_column.
+
+    Non-SQL-expressible (a Python stage) ⇒ NOT registered (invariant
+    1); the oracle-checked path stays :func:`ivf_assign`. The K·dim
+    centroid table is a fixed-size tuning-constant artifact shipped in
+    the closure (invariant 5's documented class).
+    """
+    import numpy as np
+
+    cent_rows = centroids.select(
+        F.col(centroid_id).alias("_cid"), F.col(vec).alias("_cv")
+    ).collect()
+    cent_rows.sort(key=lambda r: r["_cid"])
+    cids = np.array([r["_cid"] for r in cent_rows])
+    cmat = np.array([r["_cv"] for r in cent_rows], dtype=np.float64)
+    kk, dim = cmat.shape
+    kn_acc = np.zeros(kk, dtype=np.float64)
+    for j in range(dim):  # sequential left fold, as norm()
+        kn_acc += cmat[:, j] * cmat[:, j]
+    kn = np.sqrt(kn_acc)
+    if not np.all(kn > 0):
+        raise ValueError(
+            "ivf_assign_np: zero-norm centroid (its NaN score would "
+            "tie-break differently than the Column path)"
+        )
+
+    src = corpus.select(F.col(id_col).alias("_pid"), F.col(vec).alias("_v"))
+    id_type = src.schema["_pid"].dataType.simpleString()
+    cid_type = centroids.schema[centroid_id].dataType.simpleString()
+
+    def _assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            b = len(pdf)
+            vn_acc = np.zeros(b, dtype=np.float64)
+            dots = np.zeros((b, kk), dtype=np.float64)
+            for j in range(dim):  # one fold order for norm AND dot
+                xj = x[:, j]
+                vn_acc += xj * xj
+                dots += xj[:, None] * cmat[None, :, j]
+            # same op order as the Column score: (vn · kn) then divide
+            neg = -(dots / (np.sqrt(vn_acc)[:, None] * kn[None, :]))
+            best = np.argmin(neg, axis=1)
+            yield pd.DataFrame(
+                {"_pid": pdf["_pid"].to_numpy(), "_cid": cids[best]}
+            )
+
+    best = src.mapInPandas(
+        _assign, schema=f"_pid {id_type}, _cid {cid_type}"
+    ).select(F.col("_pid").alias(id_col), F.col("_cid").alias(centroid_id))
+    return corpus.join(best, id_col)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus_assigned: DataFrame,
@@ -362,6 +447,44 @@ def pq_train_codebooks(
         ),
     )
     return kmeans_integer(
+        subs,
+        k=codes,
+        dim=dim // subspaces,
+        iters=max_iter,
+        vec="subvec",
+        id_col=id_col,
+        group_cols=("s",),
+    ).select("s", "code", "centroid")
+
+
+def pq_train_codebooks_np(
+    corpus: DataFrame,
+    *,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    subspaces: int = 4,
+    codes: int = 16,
+    dim: int = 64,
+    max_iter: int = 5,
+) -> DataFrame:
+    """Throughput twin of :func:`pq_train_codebooks` (numpy Lloyd).
+
+    Same explode-to-subvectors front end, but training runs through
+    ``kmeans_integer_np`` — bit-identical codebooks (integer sums
+    commute; see its docstring), ~an order of magnitude faster on the
+    interpreted-fold-bound scoring. NOT registered (Python stage,
+    invariant 1): the oracle path stays :func:`pq_train_codebooks`;
+    this is the index-build path, pairing with :func:`pq_encode_np`.
+    """
+    from hive_plan_service_spark.operators.kmeans import kmeans_integer_np
+
+    subs = corpus.select(
+        F.col(id_col),
+        F.posexplode(_subvectors(F.col(vec), subspaces, dim)).alias(
+            "s", "subvec"
+        ),
+    )
+    return kmeans_integer_np(
         subs,
         k=codes,
         dim=dim // subspaces,

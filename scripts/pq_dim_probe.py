@@ -239,8 +239,126 @@ def encode_main(mults: list[int]) -> None:
     spark.stop()
 
 
+def train_main(mults: list[int]) -> None:
+    """Training-path A/B (--train): Column-algebra ``pq_train_codebooks``
+    (the oracle-grade registered path) vs ``pq_train_codebooks_np`` (the
+    Arrow/numpy Lloyd twin) on the SAME 65k-capped training sample the
+    index build uses — ROUND5_NOTES §5 decomposed the 1M-build into
+    ~140 s corpus-independent training + encode, and the encode twin
+    already removed the second term. Codebook equality is asserted per
+    run (integer sums commute — bit-identical is the contract, not a
+    tolerance).
+    """
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="hpss-pq-train-probe")
+    register_tables(spark, sf_dir)
+    for mult in mults:
+        unit, path = widened_corpus(spark, mult)
+        n = unit.count()
+        train_src = (
+            unit.filter(F.col("vec_id") < 65536) if n > 100_000 else unit
+        )
+        n_train = train_src.count()
+
+        t0 = time.perf_counter()
+        col_books = vx.pq_train_codebooks(
+            train_src, subspaces=SUBSPACES, codes=CODES, dim=DIM
+        ).localCheckpoint(eager=True)
+        t_col = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        np_books = vx.pq_train_codebooks_np(
+            train_src, subspaces=SUBSPACES, codes=CODES, dim=DIM
+        ).localCheckpoint(eager=True)
+        t_np = time.perf_counter() - t0
+
+        mismatch = (
+            col_books.exceptAll(np_books).count()
+            + np_books.exceptAll(col_books).count()
+        )
+        print(
+            json.dumps(
+                {
+                    "dim": DIM,
+                    "mult": mult,
+                    "n_vectors": n,
+                    "n_train": n_train,
+                    "subspaces": SUBSPACES,
+                    "codes": CODES,
+                    "train_column_sec": round(t_col, 2),
+                    "train_np_sec": round(t_np, 2),
+                    "speedup": round(t_col / t_np, 1),
+                    "mismatched_rows": mismatch,
+                }
+            ),
+            flush=True,
+        )
+        shutil.rmtree(path, ignore_errors=True)
+    spark.stop()
+
+
+def assign_main(mults: list[int]) -> None:
+    """IVF assignment A/B (--assign): Column ``ivf_assign`` (oracle
+    path) vs ``ivf_assign_np`` (Arrow/numpy twin) on the widened corpus
+    — the corpus-proportional part of the IVF index build. Both sides
+    materialized via eager localCheckpoint; the (id → centroid) maps
+    are compared exactly per run.
+    """
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="hpss-ivf-assign-probe")
+    register_tables(spark, sf_dir)
+    for mult in mults:
+        unit, path = widened_corpus(spark, mult)
+        n = unit.count()
+        k_centroids = 64
+        cents = unit.filter(
+            F.col("vec_id") % F.lit(max(1, n // k_centroids)) == 0
+        ).select(F.col("vec_id").alias("centroid_id"), "embedding")
+
+        t0 = time.perf_counter()
+        col = (
+            vx.ivf_assign(unit, cents)
+            .select("vec_id", "centroid_id")
+            .localCheckpoint(eager=True)
+        )
+        t_col = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        np_ = (
+            vx.ivf_assign_np(unit, cents)
+            .select("vec_id", "centroid_id")
+            .localCheckpoint(eager=True)
+        )
+        t_np = time.perf_counter() - t0
+
+        mismatch = (
+            col.exceptAll(np_).count() + np_.exceptAll(col).count()
+        )
+        print(
+            json.dumps(
+                {
+                    "dim": DIM,
+                    "mult": mult,
+                    "n_vectors": n,
+                    "k_centroids": k_centroids,
+                    "assign_column_sec": round(t_col, 2),
+                    "assign_np_sec": round(t_np, 2),
+                    "speedup": round(t_col / t_np, 1),
+                    "mismatched_rows": mismatch,
+                }
+            ),
+            flush=True,
+        )
+        shutil.rmtree(path, ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
     args = sys.argv[1:]
+    if "--assign" in args:
+        args.remove("--assign")
+        assign_main([int(m) for m in args] or [128])
+        return
     if "--ivf" in args:
         args.remove("--ivf")
         ivf_main([int(m) for m in args] or [128, 512])
@@ -248,6 +366,10 @@ def main() -> None:
     if "--encode" in args:
         args.remove("--encode")
         encode_main([int(m) for m in args] or [128])
+        return
+    if "--train" in args:
+        args.remove("--train")
+        train_main([int(m) for m in args] or [128])
         return
     mults = [int(m) for m in args] or [32, 128]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -107,6 +107,67 @@ def test_published_centroids_are_exact_micro_unit_doubles(spark, training):
             assert scaled == int(scaled), x
 
 
+def test_kmeans_np_twin_bit_identical(spark, training):
+    """The Arrow/numpy trainer must reproduce the Column trainer
+    EXACTLY — grouped and ungrouped — on real fixture vectors: integer
+    sums commute, so the only divergence risks are the two float steps
+    (quantize/dequantize IEEE sequences) and the argmin tie-break, all
+    of which this pins."""
+    from hive_plan_service_spark.operators.kmeans import kmeans_integer_np
+
+    col = kmeans_integer(training, k=5, dim=64, iters=3, vec="vec")
+    np_ = kmeans_integer_np(training, k=5, dim=64, iters=3, vec="vec")
+    assert col.exceptAll(np_).count() == 0
+    assert np_.exceptAll(col).count() == 0
+
+    two = training.withColumn("s", (F.col("vec_id") % 2).cast("int"))
+    colg = kmeans_integer(two, k=3, dim=64, iters=2, vec="vec",
+                          group_cols=("s",))
+    npg = kmeans_integer_np(two, k=3, dim=64, iters=2, vec="vec",
+                            group_cols=("s",))
+    assert colg.exceptAll(npg).count() == 0
+    assert npg.exceptAll(colg).count() == 0
+
+
+def test_kmeans_np_twin_tie_and_empty_cluster(spark):
+    """The twin's argmin/first-min and keep-previous-centroid rules must
+    match the Column trainer on the adversarial duplicate-seed corpus
+    (identical seeds ⇒ distance ties every row ⇒ cluster 1 permanently
+    empty), and on a group with fewer points than k."""
+    from hive_plan_service_spark.operators.kmeans import kmeans_integer_np
+
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [5.0, 0.0]),
+            (3, [5.25, 0.0]), (4, [-1.0, 2.0])]
+    pts = spark.createDataFrame(rows, "vec_id bigint, vec array<double>")
+    col = kmeans_integer(pts, k=3, dim=2, iters=4, vec="vec")
+    np_ = kmeans_integer_np(pts, k=3, dim=2, iters=4, vec="vec")
+    assert sorted(map(tuple, col.collect())) == sorted(map(tuple, np_.collect()))
+
+    short = spark.createDataFrame(
+        [(0, 0, [1.0, 1.0]), (1, 0, [2.0, 2.0]),
+         (2, 1, [3.0, 3.0])],  # group 1 has 1 point < k=2
+        "vec_id bigint, s int, vec array<double>",
+    )
+    colg = kmeans_integer(short, k=2, dim=2, iters=2, vec="vec",
+                          group_cols=("s",))
+    npg = kmeans_integer_np(short, k=2, dim=2, iters=2, vec="vec",
+                            group_cols=("s",))
+    assert sorted(map(tuple, colg.collect())) == sorted(map(tuple, npg.collect()))
+
+
+def test_pq_train_codebooks_np_matches_column(spark, sf_dir):
+    """End-to-end PQ wrapper: the numpy-trained codebooks must equal the
+    registered oracle path's bit-for-bit (the codebook feeds pq_encode /
+    pq_topk, so one differing centroid would silently skew every code)."""
+    import hive_plan_service_spark.operators.vectors as vx
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    col = vx.pq_train_codebooks(emb, subspaces=8, codes=8, dim=64, max_iter=3)
+    np_ = vx.pq_train_codebooks_np(emb, subspaces=8, codes=8, dim=64, max_iter=3)
+    assert col.exceptAll(np_).count() == 0
+    assert np_.exceptAll(col).count() == 0
+
+
 def test_grouped_training_matches_independent_runs(spark, training):
     """Groups are independent: training s=0,1 together equals two
     separate single-group runs (no cross-group leakage)."""

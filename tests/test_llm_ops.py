@@ -377,6 +377,39 @@ def test_pq_encode_np_rejects_bad_codebooks(spark, sf_dir):
         vx.pq_encode_np(emb, gapped, subspaces=4)
 
 
+def test_ivf_assign_np_matches_column(spark, sf_dir):
+    """The Arrow/numpy assignment twin must produce the EXACT
+    (vector → centroid) map of the Column ``ivf_assign``: same
+    sequential element-order folds for dot and norm, same score op
+    order, argmin over id-sorted centroids = the min-struct smallest-id
+    tie break. A zero-norm centroid is rejected loudly (its NaN score
+    would tie-break differently across the two paths)."""
+    import pytest
+
+    from hive_plan_service_spark.operators import vectors as vx
+    from hive_plan_service_spark.sources.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    cents = emb.filter(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    col = vx.ivf_assign(emb, cents).select("vec_id", "centroid_id")
+    np_ = vx.ivf_assign_np(emb, cents).select("vec_id", "centroid_id")
+    assert col.exceptAll(np_).count() == 0
+    assert np_.exceptAll(col).count() == 0
+
+    zero = cents.withColumn(
+        "embedding",
+        F.when(
+            F.col("centroid_id") == 0,
+            F.transform("embedding", lambda _: F.lit(0.0).cast("float")),
+        ).otherwise(F.col("embedding")),
+    )
+    with pytest.raises(ValueError, match="zero-norm centroid"):
+        vx.ivf_assign_np(emb, zero)
+
+
 def test_capped_cluster_composition_cap_safety(spark, sf_dir):
     """The production composition (strip → capped LSH → verify → CC)
     must cluster IDENTICALLY capped vs uncapped when every over-cap
