@@ -388,11 +388,20 @@ def main() -> None:
         train_src = (
             unit.filter(F.col("vec_id") < 65536) if n > 100_000 else unit
         )
-        books = vx.pq_train_codebooks(
+        # PQ_PROBE_TWIN=1: build the index through the Arrow/numpy
+        # throughput twins (bit-identical books and codes — pytest- and
+        # probe-asserted), i.e. the production index-build path; the
+        # default stays the Column/oracle path so historical rows stay
+        # comparable. Query-side timing and recall are unaffected either
+        # way (identical codes).
+        twin = os.environ.get("PQ_PROBE_TWIN", "") == "1"
+        train_fn = vx.pq_train_codebooks_np if twin else vx.pq_train_codebooks
+        encode_fn = vx.pq_encode_np if twin else vx.pq_encode
+        books = train_fn(
             train_src, subspaces=SUBSPACES, codes=CODES, dim=DIM
         )
         pq_codes = vx.pq_codes_wide(
-            vx.pq_encode(unit, books, subspaces=SUBSPACES, dim=DIM)
+            encode_fn(unit, books, subspaces=SUBSPACES, dim=DIM)
         ).localCheckpoint(eager=True)
         t_index = time.perf_counter() - t0
 
@@ -416,6 +425,7 @@ def main() -> None:
                         "subspaces": SUBSPACES,
                         "codes": CODES,
                         "shortlist": shortlist,
+                        "index_twin": twin,
                         "brute_sec": round(t_brute, 2),
                         "pq_index_sec": round(t_index, 2),
                         "pq_query_sec": round(t_pq_q, 2),
