@@ -88,12 +88,26 @@ def stateful_counter_stream(spark: SparkSession, events_path: str) -> DataFrame:
 
         value, seq = state.get if state.exists else (0, 0)
         batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts", "event_id"])
-        for _, row in batch.iterrows():
-            if row["op"] == "set":
-                value = int(row["set_value"])
-            else:
-                value += int(row["delta"])
+        batch = batch.sort_values(["ts", "event_id"], ignore_index=True)
+        # Vectorized EXACT equivalent of the arrival-order per-row fold:
+        # only the batch-END value is emitted/carried, and a SET
+        # overwrites everything before it — so the result is (the last
+        # SET's value, else the carried value) plus the deltas strictly
+        # after that point. All-integer arithmetic, so no accumulation-
+        # order concern. The per-row iterrows loop this replaces folds
+        # ~25k rows/s — 19.7 s for a 500k-command batch on the one
+        # serial-by-semantics key vs 0.013 s vectorized (measured,
+        # identical result; ROUND5_NOTES §12).
+        ops = batch["op"].to_numpy()
+        set_pos = (ops == "set").nonzero()[0]
+        start = 0
+        if len(set_pos):
+            last = int(set_pos[-1])
+            value = int(batch["set_value"].iloc[last])
+            start = last + 1
+        tail = batch["delta"].iloc[start:]
+        if len(tail):  # no SET rows past `start` ⇒ no NaN deltas here
+            value += int(tail.astype("int64").sum())
         seq += 1
         state.update((value, seq))
         yield pd.DataFrame({"seq": [seq], "joined_count": [value]})

@@ -280,11 +280,47 @@ def probe_docs(spark, mult: int) -> None:
     shutil.rmtree(path, ignore_errors=True)
 
 
+def probe_counter(spark, mult: int) -> None:
+    """B24 stateful counter (``applyInPandasWithState`` — the ONE
+    Python-stage streaming path, excluded from the r5 event sweep) at
+    mult× events: wall, events/s through the serial-by-semantics single
+    key, and an EXACT cross-check of the streamed fold against the
+    batch last-writer-wins replay of the same feed (sound here because
+    the default single availableNow batch sorts globally, like the
+    batch path; multi-batch equality is scoped to ts-monotone arrival,
+    as with dedup ingest)."""
+    from hive_plan_service_spark.operators.counter import (
+        current_counter_value,
+    )
+    from hive_plan_service_spark.sources.catalog import counter_events_from
+    from hive_plan_service_spark.streaming.counter import (
+        stateful_counter_stream,
+    )
+
+    feed = replicated_events(spark, mult)
+    n_events = spark.read.parquet(feed).count()
+    t0 = time.perf_counter()
+    streamed = stateful_counter_stream(spark, feed).collect()[0][0]
+    wall = time.perf_counter() - t0
+    batch = current_counter_value(
+        counter_events_from(spark.read.parquet(feed))
+    ).collect()[0][0]
+    print(json.dumps({
+        "op": "stateful_counter", "mult": mult, "events": n_events,
+        "wall_sec": round(wall, 2),
+        "events_per_sec": int(n_events / wall),
+        "streamed_value": streamed, "batch_value": batch,
+        "match": bool(streamed == batch),
+    }), flush=True)
+    shutil.rmtree(feed, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     docs_mode = "--docs" in args
     join_store_mode = "--join-store" in args
-    args = [a for a in args if a not in ("--docs", "--join-store")]
+    counter_mode = "--counter" in args
+    args = [a for a in args if a not in ("--docs", "--join-store", "--counter")]
     mults = [int(m) for m in args] or ([10, 40] if docs_mode else [10, 100])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="hpss-streaming-probe")
@@ -294,6 +330,8 @@ def main() -> None:
             probe_join_store(spark, mult)
         elif docs_mode:
             probe_docs(spark, mult)
+        elif counter_mode:
+            probe_counter(spark, mult)
         else:
             probe_events(spark, mult)
     spark.stop()
