@@ -184,6 +184,8 @@ def ivf_assign_np(
     cent_rows = centroids.select(
         F.col(centroid_id).alias("_cid"), F.col(vec).alias("_cv")
     ).collect()
+    if not cent_rows:
+        raise ValueError("ivf_assign_np: empty centroid set")
     cent_rows.sort(key=lambda r: r["_cid"])
     cids = np.array([r["_cid"] for r in cent_rows])
     cmat = np.array([r["_cv"] for r in cent_rows], dtype=np.float64)
