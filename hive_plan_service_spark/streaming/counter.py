@@ -55,6 +55,33 @@ def streaming_counter_value(
     return current_counter_value(log)
 
 
+def fold_counter_batch(value: int, batch) -> int:
+    """Fold one SORTED pandas batch of counter commands into ``value``.
+
+    Vectorized EXACT equivalent of the reference's per-row arrival-order
+    fold (src/plan-server.ts:50–83): only the batch-END value matters to
+    the caller, and a SET overwrites everything before it, so the result
+    is (the last SET's value, else the carried ``value``) plus the
+    integer deltas strictly after that point. All-integer arithmetic —
+    no accumulation-order concern. The per-row iterrows loop this
+    replaced folds ~25k rows/s (19.7 s for a 500k-command batch on the
+    one serial-by-semantics key vs 0.013 s vectorized — measured,
+    identical result; ROUND5_NOTES §12). Equivalence to the per-row
+    model is hypothesis-pinned (tests/test_properties.py).
+    """
+    ops = batch["op"].to_numpy()
+    set_pos = (ops == "set").nonzero()[0]
+    start = 0
+    if len(set_pos):
+        last = int(set_pos[-1])
+        value = int(batch["set_value"].iloc[last])
+        start = last + 1
+    tail = batch["delta"].iloc[start:]
+    if len(tail):  # no SET rows past `start` ⇒ no NaN deltas here
+        value += int(tail.astype("int64").sum())
+    return value
+
+
 def stateful_counter_stream(spark: SparkSession, events_path: str) -> DataFrame:
     """B24 via ``applyInPandasWithState``: the counter as a keyed stateful op.
 
@@ -89,25 +116,7 @@ def stateful_counter_stream(spark: SparkSession, events_path: str) -> DataFrame:
         value, seq = state.get if state.exists else (0, 0)
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(["ts", "event_id"], ignore_index=True)
-        # Vectorized EXACT equivalent of the arrival-order per-row fold:
-        # only the batch-END value is emitted/carried, and a SET
-        # overwrites everything before it — so the result is (the last
-        # SET's value, else the carried value) plus the deltas strictly
-        # after that point. All-integer arithmetic, so no accumulation-
-        # order concern. The per-row iterrows loop this replaces folds
-        # ~25k rows/s — 19.7 s for a 500k-command batch on the one
-        # serial-by-semantics key vs 0.013 s vectorized (measured,
-        # identical result; ROUND5_NOTES §12).
-        ops = batch["op"].to_numpy()
-        set_pos = (ops == "set").nonzero()[0]
-        start = 0
-        if len(set_pos):
-            last = int(set_pos[-1])
-            value = int(batch["set_value"].iloc[last])
-            start = last + 1
-        tail = batch["delta"].iloc[start:]
-        if len(tail):  # no SET rows past `start` ⇒ no NaN deltas here
-            value += int(tail.astype("int64").sum())
+        value = fold_counter_batch(value, batch)
         seq += 1
         state.update((value, seq))
         yield pd.DataFrame({"seq": [seq], "joined_count": [value]})

@@ -150,6 +150,56 @@ def test_sequence_packing_matches_python_model(spark, words):
 _OPS = st.sampled_from(["incr", "decr", "set"])
 
 
+@given(
+    carried=st.integers(-(10**6), 10**6),
+    seq=st.lists(
+        st.tuples(_OPS, st.integers(-(10**9), 10**9)),
+        min_size=0,
+        max_size=60,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_vectorized_batch_fold_matches_per_row_model(carried, seq):
+    """The vectorized B24 batch fold (streaming/counter.fold_counter_batch)
+    must equal the reference's per-row arrival-order fold for EVERY
+    command sequence and carried state — including empty batches,
+    set-first/set-last/all-set sequences, and the NaN set_value slots
+    non-set rows leave in the pandas column. Pure pandas (no Spark), so
+    hypothesis can drive it hard."""
+    import numpy as np
+    import pandas as pd
+
+    from hive_plan_service_spark.streaming.counter import fold_counter_batch
+
+    batch = pd.DataFrame(
+        {
+            "op": [op for op, _ in seq],
+            "delta": pd.array(
+                [
+                    (1 if op == "incr" else (-1 if op == "decr" else 0))
+                    for op, _ in seq
+                ],
+                dtype="int64",
+            ),
+            "set_value": np.array(
+                [float(v) if op == "set" else np.nan for op, v in seq],
+                dtype=np.float64,
+            ),
+        }
+    )
+    got = fold_counter_batch(carried, batch)
+
+    value = 0 + carried
+    for op, v in seq:
+        if op == "set":
+            value = v
+        elif op == "incr":
+            value += 1
+        else:
+            value -= 1
+    assert got == value
+
+
 @settings(max_examples=8, deadline=None)
 @given(
     seq=st.lists(
