@@ -132,9 +132,14 @@ def ivf_main(mults: list[int]) -> None:
     widened corpus PQ was measured on, against the same brute truth.
     Index = 64 mod-sampled centroids (tuning constant, ann_probe's
     recipe) + broadcast-argmin assign, checkpointed; query side swept
-    over nprobe.
+    over nprobe. IVF_PROBE_TRAINED=1 instead builds the PRODUCTION
+    index entirely through the Arrow/numpy twins: integer-Lloyd k-means
+    centroids trained on a 65k sample (``kmeans_integer_np``) and
+    corpus assignment via ``ivf_assign_np`` — the fully twin-composed
+    index path, decomposed into train/assign seconds.
     """
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    trained = os.environ.get("IVF_PROBE_TRAINED", "") == "1"
     spark = get_spark(app_name="hpss-ivf-dim-probe")
     register_tables(spark, sf_dir)
     for mult in mults:
@@ -147,11 +152,33 @@ def ivf_main(mults: list[int]) -> None:
         t_brute = time.perf_counter() - t0
 
         k_centroids = 64
+        t_train = 0.0
         t0 = time.perf_counter()
-        cents = unit.filter(
-            F.col("vec_id") % F.lit(max(1, n // k_centroids)) == 0
-        ).select(F.col("vec_id").alias("centroid_id"), "embedding")
-        assigned = vx.ivf_assign(unit, cents).localCheckpoint(eager=True)
+        if trained:
+            from hive_plan_service_spark.operators.kmeans import (
+                kmeans_integer_np,
+            )
+
+            sample = (
+                unit.filter(F.col("vec_id") < 65536) if n > 100_000 else unit
+            )
+            cents = kmeans_integer_np(
+                sample, k=k_centroids, dim=DIM, iters=5,
+                vec="embedding", id_col="vec_id",
+            ).select(
+                F.col("code").cast("bigint").alias("centroid_id"),
+                F.col("centroid").cast("array<float>").alias("embedding"),
+            ).localCheckpoint(eager=True)
+            t_train = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            assigned = vx.ivf_assign_np(unit, cents).localCheckpoint(
+                eager=True
+            )
+        else:
+            cents = unit.filter(
+                F.col("vec_id") % F.lit(max(1, n // k_centroids)) == 0
+            ).select(F.col("vec_id").alias("centroid_id"), "embedding")
+            assigned = vx.ivf_assign(unit, cents).localCheckpoint(eager=True)
         t_index = time.perf_counter() - t0
 
         for nprobe in (4, 8, 16):
@@ -168,8 +195,10 @@ def ivf_main(mults: list[int]) -> None:
                         "n_vectors": n,
                         "n_queries": N_QUERIES,
                         "k_centroids": k_centroids,
+                        "trained": trained,
                         "nprobe": nprobe,
                         "brute_sec": round(t_brute, 2),
+                        "ivf_train_sec": round(t_train, 2),
                         "ivf_index_sec": round(t_index, 2),
                         "ivf_query_sec": round(t_q, 2),
                         "ivf_recall": round(len(truth & ivf) / len(truth), 3),
