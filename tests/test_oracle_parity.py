@@ -124,3 +124,82 @@ def test_a08_null_title_raises_with_accurate_message(spark, sf_dir):
             q.fn(spark, sf_dir).collect()
     finally:
         register_tables(spark, sf_dir, force=True)
+
+
+def test_document_queries_match_oracle_on_hostile_corpus(spark, sf_dir, tmp_path):
+    """Full Spark-vs-DuckDB PARITY (not just the no-crash degenerate
+    smoke) for every oracled document-consuming query on a corpus of
+    hostile CONTENT: quotes, backslashes, JSON/regex/LIKE
+    metacharacters, unicode (CJK, emoji, accents, NBSP), embedded
+    newlines/tabs, literal 'null'/'NaN' tokens, plus exact- and
+    near-duplicate pairs so the dedup paths emit real output. Fixtures
+    regenerate every round and content is NOT contractual (invariant 3;
+    the a08 title-escape trap was exactly a content-niceness assumption
+    in an oracle) — this pins every document oracle's string handling
+    against the next drift, including the streaming ingest store."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.parity import TABLES
+
+    hostile = tmp_path / "hostile_sf"
+    hostile.mkdir()
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{sf_dir}/{t}.parquet", hostile / f"{t}.parquet")
+
+    base_long = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "noisy parrots recite overlapping fragments of ancient navigation "
+        "manuals near the harbor wall every single morning"
+    )
+    texts = [
+        ('en', 'web', 'He said "hello there" and \'left\' the room quietly'),
+        ('en', 'code', r'back\slash paths C:\temp\file and \n literal escapes'),
+        ('en', 'web', '{"json": [1, 2, {"k": "v"}], "quote": "\\" inner"}'),
+        ('en', 'code', 'regex meta .* chars [set]? (group+) {2,3} alt|anchor ^start end$'),
+        ('en', 'web', 'like meta 100% guaranteed _underscore_ wildcards everywhere'),
+        ('fr', 'books', 'café naïve façade déjà vu — and\u00a0non-breaking\u00a0spaces'),
+        ('ja', 'web', '日本語 の テスト 文書 🚀 emoji と 混在 する'),
+        ('en', 'web', 'line\nbreaks and\ttabs and\r\nwindows endings inside one doc'),
+        ('en', 'web', 'null NULL None nan NaN Infinity -0 literals as plain words'),
+        ('de', 'books', '<html><b>tags</b> &amp; entities &lt;kept&gt; as text</html>'),
+        ('en', 'code', 'select * from t where x = 1; drop table plans; -- comment'),
+        ('en', 'web', base_long),
+        ('en', 'web', base_long),  # exact duplicate pair
+        ('en', 'web', base_long.replace("seventeen", "nineteen")),  # near-dup
+        ('de', 'web', 'wiederholte worte worte worte und noch mehr worte worte'),
+        ('en', 'books', '0123456789 42.5e-3 0x1F 1_000_000 3.14159 numeric soup'),
+        # engine-divergence candidates, all verified to hold: \x0B is in
+        # Java regex \s but not RE2's; zero-width space, combining acute
+        # and soft hyphen stress tokenizers and length functions
+        ('en', 'web', 'vertical\x0btab and form\x0cfeed inside words'),
+        ('en', 'web', 'zero​width and combining é acute plus ­soft hyphen'),
+    ]
+    rows = [
+        (i, t, lg, src, len(t)) for i, (lg, src, t) in enumerate(texts)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        ),
+        hostile / "documents.parquet",
+    )
+
+    failures = []
+    for name, q in sorted(_QUERIES.items()):
+        if not q.oracle or not ({"B15", "B27", "B29", "llm"} & set(q.tags)):
+            continue
+        try:
+            check_query(spark, q, str(hostile))
+        except Exception as ex:  # noqa: BLE001 — collecting all failures
+            failures.append(f"{name}: {str(ex).splitlines()[0][:200]}")
+    assert not failures, "\n".join(failures)
