@@ -220,17 +220,22 @@ def b20_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN c_acctbal < 5000 THEN 'mid'
                   ELSE 'high' END AS tier,
              COALESCE(NULLIF(c_mktsegment, 'FURNITURE'), '(hidden)') AS segment,
-             CAST(substr(c_name, 10) AS BIGINT) AS parsed_key,
-             (CAST(substr(c_name, 10) AS BIGINT) = c_custkey) AS parse_ok
+             TRY_CAST(substr(c_name, 10) AS BIGINT) AS parsed_key,
+             (TRY_CAST(substr(c_name, 10) AS BIGINT) = c_custkey) AS parse_ok
       FROM customer
     """,
-    doc="CASE WHEN / coalesce / nullif / string→int ANSI cast round-trip.",
+    doc="CASE WHEN / coalesce / nullif / string→int try_cast round-trip.",
     tags=("B21",),
 )
 def b21_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
     c = spark.table("customer")
-    parsed = F.substring("c_name", 10, 100).cast("bigint")
+    # try_cast, not cast: under Spark 4's default ANSI mode a bare
+    # string→bigint cast THROWS on non-numeric content, and name
+    # content is NOT contractual (invariant 26 — found by the hostile
+    # TPC-H sweep, ROUND5_NOTES §13). try_cast yields NULL in both
+    # engines; identical values on every well-formed fixture row.
+    parsed = F.substring("c_name", 10, 100).try_cast("bigint")
     return c.select(
         "c_custkey",
         F.when(F.col("c_acctbal") < 1000, "low")

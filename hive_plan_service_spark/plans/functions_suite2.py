@@ -22,7 +22,8 @@ from hive_plan_service_spark.sources.catalog import register_tables
     "b16_string_functions_2",
     oracle="""
       SELECT p_partkey,
-             CAST(levenshtein(p_name, 'standard widget') AS BIGINT) AS edit_dist,
+             CAST(levenshtein(regexp_replace(p_name, '[^\\x00-\\x7F]', '?', 'g'),
+                              'standard widget') AS BIGINT) AS edit_dist,
              translate(p_name, 'aeiou', 'AEIOU') AS voweled,
              CAST(position('widget' IN p_name) AS BIGINT) AS widget_at,
              repeat(left(p_brand, 2), 2) AS brand_echo,
@@ -42,7 +43,17 @@ def b16_string_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = spark.table("part")
     return p.select(
         "p_partkey",
-        F.levenshtein("p_name", F.lit("standard widget"))
+        # levenshtein over an ASCII-folded projection: Spark counts
+        # CODEPOINTS while DuckDB 1.0 counts BYTES, so any multi-byte
+        # character (NBSP, CJK, emoji) skews the oracle by bytes−1 per
+        # char (found by the hostile TPC-H sweep, ROUND5_NOTES §13).
+        # Folding every non-ASCII codepoint to one '?' on BOTH sides
+        # makes the distance alphabet byte==codepoint; exact and
+        # unchanged on the all-ASCII fixture content.
+        F.levenshtein(
+            F.regexp_replace("p_name", "[^\\x00-\\x7F]", "?"),
+            F.lit("standard widget"),
+        )
         .cast("bigint")
         .alias("edit_dist"),
         F.translate("p_name", "aeiou", "AEIOU").alias("voweled"),

@@ -38,7 +38,18 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
 
     out = os.path.join(scratch_root(), f"hpss_src_{fmt}")
     n = spark.table("nation").select("n_nationkey", "n_name", "n_regionkey")
-    n.write.mode("overwrite").format(fmt).save(out)
+    writer = n.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        # Spark's CSV WRITER trims leading/trailing whitespace by
+        # default (ignore*WhiteSpace default true on write, false on
+        # read) — a silent round-trip loss the hostile-content sweep
+        # caught on ' leading'/'trailing ' values (ROUND5_NOTES §13);
+        # fixture names carry no edge whitespace, so disabling is
+        # drift-free there and faithful everywhere else.
+        writer = writer.option("ignoreLeadingWhiteSpace", "false").option(
+            "ignoreTrailingWhiteSpace", "false"
+        )
+    writer.save(out)
     return (
         spark.read.format(fmt)
         .schema(NATION_SCHEMA)

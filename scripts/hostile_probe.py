@@ -1,0 +1,116 @@
+"""Hostile-content oracle parity sweep over the TPC-H string columns.
+
+tests/test_oracle_parity.py pins full Spark↔DuckDB parity for the
+document oracles on hostile content; this probe generalizes the net to
+the WHOLE registry: it rewrites every string column of the relational
+fixtures (region nation customer supplier part orders lineitem) with a
+deterministic pool of hostile values — quotes, backslashes, JSON /
+regex / LIKE metacharacters, unicode (CJK, emoji, accents), mixed and
+trailing whitespace, literal null/NaN tokens — then runs EVERY oracled
+registered query through the driver-grade parity check. Numeric/date
+columns (all keys) are untouched, so joins and date logic still
+exercise; events/documents/embeddings are symlinked (events' physical
+ts type is sniff-contractual — invariant 3; documents has its own
+committed pytest net).
+
+Control characters and '/' are deliberately excluded from the pool:
+plan titles derive from nation names and the a08 JSON oracle REJECTS
+control characters by documented design (ROUND5_NOTES §2), and hostile
+partition-column values must stay path-safe for the layout queries.
+Quotes and backslashes DO flow through a08 — this probe is the
+live-query proof of the §2 escape hardening.
+
+Usage: python scripts/hostile_probe.py   (env SPARK_GRAFT_SF_DIR,
+default /root/testdata/sf0.001)
+Prints one JSON line: {"queries": N, "failures": [...]}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+import pyarrow as pa  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+
+from hive_plan_service_spark.plans.registry import all_queries  # noqa: E402
+from hive_plan_service_spark.session import get_spark  # noqa: E402
+from tests.parity import TABLES, check_query  # noqa: E402
+
+POOL = [
+    'He said "hello there" and left',
+    "back\\slash C:\\temp\\file paths",
+    '{"json": [1, 2], "k": "v\\" q"}',
+    "regex meta .* [set]? (group+) {2,3} alt|anchor ^s e$",
+    "like meta 100% guaranteed _underscore_",
+    "café naïve déjà vu façade",
+    "日本語 テスト 🚀 emoji",
+    "null NULL NaN None Infinity -0",
+    "<b>tags</b> &amp; entities",
+    "O'Brien's 'single' quotes; drop table t; --",
+    "a,b;c:d-e_f|g",
+    "0x1F 42.5e-3 1_000_000",
+    "MiXeD CaSe WORDS lower",
+    "trailing space ",
+    " leading space",
+    "multi  space   words\u00a0nbsp",
+]
+
+MUTATED = ("region", "nation", "customer", "supplier", "part",
+           "orders", "lineitem")
+
+
+def hostile_dir(sf_dir: str) -> str:
+    out = tempfile.mkdtemp(prefix="hostile_sf_")
+    for t in TABLES:
+        src = f"{sf_dir}/{t}.parquet"
+        dst = f"{out}/{t}.parquet"
+        if t not in MUTATED:
+            os.symlink(src, dst)
+            continue
+        tbl = pq.read_table(src)
+        cols = []
+        for ci, field in enumerate(tbl.schema):
+            col = tbl.column(ci)
+            if pa.types.is_string(field.type) or pa.types.is_large_string(
+                field.type
+            ):
+                n = len(tbl)
+                col = pa.array(
+                    [POOL[(i * 7 + ci) % len(POOL)] for i in range(n)],
+                    field.type,
+                )
+            cols.append(col)
+        pq.write_table(
+            pa.table(dict(zip(tbl.schema.names, cols))), dst
+        )
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    hostile = hostile_dir(sf_dir)
+    spark = get_spark(app_name="hpss-hostile-probe")
+    failures = []
+    n = 0
+    for name, q in sorted(all_queries().items()):
+        if not q.oracle:
+            continue
+        n += 1
+        try:
+            check_query(spark, q, hostile)
+        except Exception as ex:  # noqa: BLE001 — collecting all failures
+            failures.append(f"{name}: {str(ex).splitlines()[0][:200]}")
+    print(json.dumps({"queries": n, "failures": failures}), flush=True)
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -203,3 +203,33 @@ def test_document_queries_match_oracle_on_hostile_corpus(spark, sf_dir, tmp_path
         except Exception as ex:  # noqa: BLE001 — collecting all failures
             failures.append(f"{name}: {str(ex).splitlines()[0][:200]}")
     assert not failures, "\n".join(failures)
+
+
+def test_string_family_queries_match_oracle_on_hostile_tpch(spark, sf_dir):
+    """Spark↔DuckDB parity for the string-consuming relational families
+    (B1/B13/B16/B17/B21) on fixtures whose EVERY string column is
+    rewritten with hostile content (scripts/hostile_probe.py's pool:
+    quotes, backslashes, JSON/regex/LIKE metacharacters, unicode,
+    edge whitespace, literal null tokens). TPC-H text is
+    driver-generator-controlled but still NOT contractual; the first
+    full-registry sweep found three real latent divergences here —
+    Spark's CSV writer trimming edge whitespace, DuckDB's byte-based
+    levenshtein vs Spark's codepoint-based, and a bare ANSI cast on
+    name content (ROUND5_NOTES §13) — all fixed; this pins them. The
+    full 122-query sweep stays in scripts/hostile_probe.py (run per
+    round); this subset keeps suite time bounded while covering every
+    family that touches the mutated columns."""
+    from scripts.hostile_probe import hostile_dir
+
+    hostile = hostile_dir(sf_dir)
+    failures = []
+    for name, q in sorted(_QUERIES.items()):
+        if not q.oracle or not (
+            {"B1", "B13", "B16", "B17", "B21"} & set(q.tags)
+        ):
+            continue
+        try:
+            check_query(spark, q, hostile)
+        except Exception as ex:  # noqa: BLE001 — collecting all failures
+            failures.append(f"{name}: {str(ex).splitlines()[0][:200]}")
+    assert not failures, "\n".join(failures)
