@@ -26,7 +26,7 @@ from hive_plan_service_spark.sources.catalog import register_tables
              lower(p_name) AS name_lc,
              upper(p_brand) AS brand_uc,
              substr(p_type, 1, 4) AS type_prefix,
-             trim(concat('  ', p_name, '  ')) AS trimmed,
+             trim('  ' || p_name || '  ') AS trimmed,
              CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
              concat_ws('|', p_brand, p_type) AS brand_type,
              regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,

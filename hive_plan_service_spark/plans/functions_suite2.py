@@ -221,12 +221,17 @@ def b09_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def b20_json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
+    # ignoreNullFields=false: Spark's to_json OMITS null fields by
+    # default while DuckDB's emits "s":null — silent divergence on the
+    # first NULL status (found by the NULL-injection sweep,
+    # ROUND5_NOTES §13); byte-identical either way on non-NULL rows.
     return spark.table("orders").select(
         "o_orderkey",
         F.to_json(
             F.struct(
                 F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("s")
-            )
+            ),
+            {"ignoreNullFields": "false"},
         ).alias("as_json"),
     )
 

@@ -62,11 +62,15 @@ def b09_boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b16_split_part",
     oracle="""
       SELECT o_orderkey,
-             split_part(o_orderpriority, '-', 1) AS prio_code,
-             split_part(o_orderpriority, '-', 2) AS prio_name
+             CASE WHEN o_orderpriority IS NULL THEN NULL
+                  ELSE split_part(o_orderpriority, '-', 1) END AS prio_code,
+             CASE WHEN o_orderpriority IS NULL THEN NULL
+                  ELSE split_part(o_orderpriority, '-', 2) END AS prio_name
       FROM orders
     """,
-    doc="split_part field extraction (1-indexed in both engines).",
+    doc="split_part field extraction (1-indexed in both engines; DuckDB "
+        "returns '' for NULL input where Spark propagates NULL — oracle "
+        "guards with CASE, found by the NULL-injection sweep).",
     tags=("B16",),
 )
 def b16_split_part(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -65,13 +65,21 @@ POOL = [
 MUTATED = ("region", "nation", "customer", "supplier", "part",
            "orders", "lineitem")
 
+#: --nulls mode: tables whose string columns get every-7th-value NULLed.
+#: nation/region are excluded — their names feed the derived `plans`
+#: titles, and a NULL title RAISES in a08 by documented design
+#: (ROUND5_NOTES §2/§10), which would report an intended guard as a
+#: sweep failure.
+NULLABLE = ("customer", "supplier", "part", "orders", "lineitem")
 
-def hostile_dir(sf_dir: str) -> str:
+
+def hostile_dir(sf_dir: str, *, nulls: bool = False) -> str:
     out = tempfile.mkdtemp(prefix="hostile_sf_")
+    mutated = NULLABLE if nulls else MUTATED
     for t in TABLES:
         src = f"{sf_dir}/{t}.parquet"
         dst = f"{out}/{t}.parquet"
-        if t not in MUTATED:
+        if t not in mutated:
             os.symlink(src, dst)
             continue
         tbl = pq.read_table(src)
@@ -82,10 +90,20 @@ def hostile_dir(sf_dir: str) -> str:
                 field.type
             ):
                 n = len(tbl)
-                col = pa.array(
-                    [POOL[(i * 7 + ci) % len(POOL)] for i in range(n)],
-                    field.type,
-                )
+                if nulls:
+                    vals = col.to_pylist()
+                    col = pa.array(
+                        [
+                            None if (i + ci) % 7 == 0 else v
+                            for i, v in enumerate(vals)
+                        ],
+                        field.type,
+                    )
+                else:
+                    col = pa.array(
+                        [POOL[(i * 7 + ci) % len(POOL)] for i in range(n)],
+                        field.type,
+                    )
             cols.append(col)
         pq.write_table(
             pa.table(dict(zip(tbl.schema.names, cols))), dst
@@ -94,8 +112,9 @@ def hostile_dir(sf_dir: str) -> str:
 
 
 def main() -> None:
+    nulls = "--nulls" in sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    hostile = hostile_dir(sf_dir)
+    hostile = hostile_dir(sf_dir, nulls=nulls)
     spark = get_spark(app_name="hpss-hostile-probe")
     failures = []
     n = 0

@@ -233,3 +233,29 @@ def test_string_family_queries_match_oracle_on_hostile_tpch(spark, sf_dir):
         except Exception as ex:  # noqa: BLE001 — collecting all failures
             failures.append(f"{name}: {str(ex).splitlines()[0][:200]}")
     assert not failures, "\n".join(failures)
+
+
+def test_string_family_queries_match_oracle_with_null_injection(spark, sf_dir):
+    """Same families, NULL injection instead of hostile content: every
+    7th string value of customer/supplier/part/orders/lineitem becomes
+    NULL (TPC-H columns are NOT NULL in the generator, so no fixture
+    row ever exercises these paths). The first sweep found three real
+    NULL-semantics divergences — DuckDB split_part('' for NULL input),
+    DuckDB concat skipping NULLs where Spark propagates, and Spark
+    to_json omitting null fields where DuckDB emits "s":null
+    (ROUND5_NOTES §13) — all fixed; this pins the class. B20 included:
+    the JSON serializers were one of the finds."""
+    from scripts.hostile_probe import hostile_dir
+
+    hostile = hostile_dir(sf_dir, nulls=True)
+    failures = []
+    for name, q in sorted(_QUERIES.items()):
+        if not q.oracle or not (
+            {"B1", "B13", "B16", "B17", "B20", "B21"} & set(q.tags)
+        ):
+            continue
+        try:
+            check_query(spark, q, hostile)
+        except Exception as ex:  # noqa: BLE001 — collecting all failures
+            failures.append(f"{name}: {str(ex).splitlines()[0][:200]}")
+    assert not failures, "\n".join(failures)
