@@ -61,8 +61,11 @@ def b05_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      HAVING COUNT(*) > 0
     """,
-    doc="GROUPING SETS with disjoint groupings in one pass.",
+    doc="GROUPING SETS with disjoint groupings in one pass (oracle "
+        "HAVING: Spark emits 0 rows on empty input, DuckDB the () row — "
+        "exact on non-empty).",
     tags=("B10",),
 )
 def b10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,7 +530,13 @@ def b01_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.select("event_id", "event_type", "day_bucket").write.mode(
         "overwrite"
     ).partitionBy("day_bucket").parquet(out)
-    back = spark.read.parquet(out)
+    # explicit schema: a filtered-to-empty write leaves no files and
+    # schema inference then fails (empty-fixture sweep, ROUND5_NOTES
+    # §13); declaring it also pins day_bucket to bigint instead of
+    # partition-value inference
+    back = spark.read.schema(
+        "event_id bigint, event_type string, day_bucket bigint"
+    ).parquet(out)
     return back.filter(F.col("day_bucket").between(19725, 19729)).select(
         "event_id", "event_type", F.col("day_bucket").cast("bigint").alias("day_bucket")
     )

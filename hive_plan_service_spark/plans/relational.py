@@ -374,8 +374,13 @@ def b08_asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders
       GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      HAVING COUNT(*) > 0
     """,
-    doc="ROLLUP: (status, priority) + per-status + grand total, tagged by grouping_id.",
+    doc="ROLLUP: (status, priority) + per-status + grand total, tagged by "
+        "grouping_id. Oracle HAVING mirrors Spark: on EMPTY input Spark "
+        "emits 0 rows while DuckDB emits the grand-total row; exact on "
+        "non-empty input where every grouping row covers ≥1 source row "
+        "(empty-fixture sweep, ROUND5_NOTES §13).",
     tags=("B10",),
 )
 def b10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,8 +405,10 @@ def b10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS n
       FROM lineitem
       GROUP BY CUBE(l_returnflag, l_linestatus)
+      HAVING COUNT(*) > 0
     """,
-    doc="CUBE over two dims.",
+    doc="CUBE over two dims (oracle HAVING: Spark emits 0 rows on empty "
+        "input, DuckDB the grand-total row — exact on non-empty).",
     tags=("B10",),
 )
 def b10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -297,4 +297,16 @@ class ContinuousHourlyRollup:
             .start()
         )
         q.awaitTermination()
+        from hive_plan_service_spark.streaming.counter import _has_parquet
+
+        if not _has_parquet(self.out):
+            # empty feed (first boot): no batch ever materialized the
+            # rollup — a zero-row frame in the public projection's shape
+            # instead of a PATH_NOT_FOUND on the never-created store
+            # (empty-fixture sweep, ROUND5_NOTES §13)
+            return self.spark.createDataFrame(
+                [],
+                "hour_bucket bigint, event_type string, n bigint, "
+                "total_value double, day_bucket bigint",
+            )
         return self.spark.read.parquet(self.out)

@@ -51,8 +51,24 @@ def streaming_counter_value(
         .start()
     )
     q.awaitTermination()
-    log = spark.read.parquet(log_dir).drop("epoch")
+    if _has_parquet(log_dir):
+        log = spark.read.parquet(log_dir).drop("epoch")
+    else:
+        # empty feed (first boot): no batch ever committed a partition —
+        # replay the fold over zero commands instead of failing schema
+        # inference on a file-less directory (empty-fixture sweep,
+        # ROUND5_NOTES §13)
+        log = spark.createDataFrame([], ce.schema)
     return current_counter_value(log)
+
+
+def _has_parquet(path: str) -> bool:
+    """True iff the directory exists and holds at least one parquet file."""
+    import glob
+
+    return bool(
+        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
 
 
 def fold_counter_batch(value: int, batch) -> int:
@@ -132,5 +148,14 @@ def stateful_counter_stream(spark: SparkSession, events_path: str) -> DataFrame:
     from hive_plan_service_spark.streaming.windows import run_to_completion
 
     emitted = run_to_completion(out, output_mode="update")
+    if not emitted.take(1):  # bounded control-flow probe of the memory sink
+        # empty feed: a stream with zero batches emits nothing, but the
+        # reference's GET returns the null-default on an empty command
+        # log (A12) — replay the batch fold over zero commands so the
+        # stream and batch forms agree on first boot (empty-fixture
+        # sweep, ROUND5_NOTES §13)
+        return current_counter_value(
+            spark.createDataFrame([], ce.drop("k").schema)
+        )
     last = emitted.orderBy(F.col("seq").desc()).limit(1)
     return last.select(F.col("joined_count").cast("bigint").alias("joined_count"))

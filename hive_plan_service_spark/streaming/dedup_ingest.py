@@ -221,4 +221,20 @@ class StreamingDedupIngest:
             .start()
         )
         q.awaitTermination()
+        from hive_plan_service_spark.streaming.counter import _has_parquet
+
+        if not _has_parquet(self.flags):
+            # empty feed (first boot): no batch ever wrote a flag
+            # partition — return a typed empty frame instead of failing
+            # schema inference (empty-fixture sweep, ROUND5_NOTES §13);
+            # doc_id's type follows the observed feed schema
+            from pyspark.sql.types import BooleanType, StructField, StructType
+
+            observed = self.spark.read.parquet(self.docs_path).schema
+            return self.spark.createDataFrame(
+                [],
+                StructType(
+                    [observed["doc_id"], StructField("is_dup", BooleanType())]
+                ),
+            )
         return self.spark.read.parquet(self.flags).select("doc_id", "is_dup")

@@ -73,6 +73,16 @@ MUTATED = ("region", "nation", "customer", "supplier", "part",
 NULLABLE = ("customer", "supplier", "part", "orders", "lineitem")
 
 
+def empty_dir(sf_dir: str) -> str:
+    """Every table 0-row with its EXACT arrow schema preserved (events'
+    physical ts type is sniff-contractual — slice(0,0) keeps it)."""
+    out = tempfile.mkdtemp(prefix="hostile_sf_empty_")
+    for t in TABLES:
+        tbl = pq.read_table(f"{sf_dir}/{t}.parquet")
+        pq.write_table(tbl.slice(0, 0), f"{out}/{t}.parquet")
+    return out
+
+
 def hostile_dir(sf_dir: str, *, nulls: bool = False) -> str:
     out = tempfile.mkdtemp(prefix="hostile_sf_")
     mutated = NULLABLE if nulls else MUTATED
@@ -113,8 +123,9 @@ def hostile_dir(sf_dir: str, *, nulls: bool = False) -> str:
 
 def main() -> None:
     nulls = "--nulls" in sys.argv[1:]
+    empty = "--empty" in sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    hostile = hostile_dir(sf_dir, nulls=nulls)
+    hostile = empty_dir(sf_dir) if empty else hostile_dir(sf_dir, nulls=nulls)
     spark = get_spark(app_name="hpss-hostile-probe")
     failures = []
     n = 0

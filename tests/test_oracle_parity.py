@@ -259,3 +259,28 @@ def test_string_family_queries_match_oracle_with_null_injection(spark, sf_dir):
         except Exception as ex:  # noqa: BLE001 — collecting all failures
             failures.append(f"{name}: {str(ex).splitlines()[0][:200]}")
     assert not failures, "\n".join(failures)
+
+
+def test_all_oracled_queries_match_oracle_on_empty_fixtures(spark, sf_dir):
+    """Every oracled query on 0-row fixtures (exact arrow schemas
+    preserved — events' physical ts type is sniff-contractual). The
+    first sweep found two real classes (ROUND5_NOTES §13): write-then-
+    read-back paths crashing when the write produced no files (the
+    partitioned-prune copy, the streaming counter log, the dedup-ingest
+    flags, the rollup store — all first-boot/filtered-to-empty
+    realities at 100 TB), and Spark emitting 0 rows for ROLLUP/CUBE/
+    GROUPING SETS on empty input where DuckDB emits the grand-total row
+    (oracles now HAVING-guarded, exact on non-empty input). All fixed;
+    this pins both classes plus every aggregate's empty-input shape."""
+    from scripts.hostile_probe import empty_dir
+
+    empty = empty_dir(sf_dir)
+    failures = []
+    for name, q in sorted(_QUERIES.items()):
+        if not q.oracle:
+            continue
+        try:
+            check_query(spark, q, empty)
+        except Exception as ex:  # noqa: BLE001 — collecting all failures
+            failures.append(f"{name}: {str(ex).splitlines()[0][:200]}")
+    assert not failures, "\n".join(failures)
