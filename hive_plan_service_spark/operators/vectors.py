@@ -144,6 +144,115 @@ def ivf_assign(
     return corpus.join(best, id_col)
 
 
+def cosine_topk_np(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    *,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Throughput twin of :func:`cosine_topk`: Arrow-batched numpy scan.
+
+    The Column form pays q·n interpreted dot folds; this twin does the
+    identical arithmetic in a ``mapInPandas`` kernel and keeps only the
+    per-batch top-k per query (a total order on (cos DESC, neighbor
+    ASC), so the global top-k is contained in the union of per-batch
+    top-k's — the candidate relation crossing the final rank window is
+    ≤ batches·q·k rows, not q·n).
+
+    BIT-IDENTICAL by construction (the ``pq_encode_np`` argument): dot
+    and norm accumulate in float64 in the SAME sequential element-order
+    left fold as :func:`dot`/:func:`norm`, the score composes in the
+    same op order (IEEE multiply is exactly commutative, so qn·cn ==
+    cn·qn bitwise), and the selection order (cos desc, neighbor asc) is
+    the exact rank order of the Column path — pinned by
+    tests/test_llm_ops.py::test_cosine_topk_np_matches_column. A
+    zero-norm vector would score NaN, which Spark's DESC sort places
+    FIRST and numpy's sort places last — rejected loudly instead.
+
+    Non-SQL-expressible (a Python stage) ⇒ NOT registered (invariant
+    1); the oracle-checked canonical path stays :func:`cosine_topk`.
+    The query batch is collected driver-side — the same fixed-size
+    relation the Column path broadcasts (invariant 5's closure class).
+    """
+    import numpy as np
+
+    q_rows = queries.select(
+        F.col(query_id).alias("_qid"), F.col(vec).alias("_qv")
+    ).collect()
+    if not q_rows:
+        raise ValueError("cosine_topk_np: empty query batch")
+    q_rows.sort(key=lambda r: r["_qid"])
+    qids = np.array([r["_qid"] for r in q_rows])
+    qmat = np.array([r["_qv"] for r in q_rows], dtype=np.float64)
+    nq, dim = qmat.shape
+    qn_acc = np.zeros(nq, dtype=np.float64)
+    for j in range(dim):  # sequential left fold, as norm()
+        qn_acc += qmat[:, j] * qmat[:, j]
+    qn = np.sqrt(qn_acc)
+    if not np.all(qn > 0):
+        raise ValueError(
+            "cosine_topk_np: zero-norm query vector (its NaN scores "
+            "would sort differently than the Column path)"
+        )
+
+    src = corpus.select(F.col(corpus_id).alias("_cid"), F.col(vec).alias("_v"))
+    cid_type = src.schema["_cid"].dataType.simpleString()
+    qid_type = queries.schema[query_id].dataType.simpleString()
+
+    def _scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            ids = pdf["_cid"].to_numpy()
+            b = len(pdf)
+            cn_acc = np.zeros(b, dtype=np.float64)
+            dots = np.zeros((b, nq), dtype=np.float64)
+            for j in range(dim):  # one fold order for norm AND dot
+                xj = x[:, j]
+                cn_acc += xj * xj
+                dots += xj[:, None] * qmat[None, :, j]
+            cos = dots / (np.sqrt(cn_acc)[:, None] * qn[None, :])
+            if np.isnan(cos).any():
+                raise ValueError(
+                    "cosine_topk_np: zero-norm corpus vector (NaN "
+                    "scores sort differently than the Column path)"
+                )
+            out_q, out_n, out_c = [], [], []
+            for qi in range(nq):
+                col = cos[:, qi]
+                cand_ids, cand_cos = ids, col
+                if exclude_self:
+                    keep = ids != qids[qi]
+                    cand_ids, cand_cos = ids[keep], col[keep]
+                # exact rank order: cos DESC, neighbor id ASC
+                order = np.lexsort((cand_ids, -cand_cos))[:k]
+                out_q.extend([qids[qi]] * len(order))
+                out_n.extend(cand_ids[order])
+                out_c.extend(cand_cos[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cos": out_c}
+            )
+
+    cands = src.mapInPandas(
+        _scan,
+        schema=f"query_id {qid_type}, neighbor_id {cid_type}, cos double",
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_assign_np(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -382,8 +382,56 @@ def assign_main(mults: list[int]) -> None:
     spark.stop()
 
 
+def brute_main(mults: list[int]) -> None:
+    """Exact-search A/B (--brute): Column ``cosine_topk`` (the
+    canonical/truth path) vs ``cosine_topk_np`` (Arrow/numpy twin) on
+    the widened corpus; the (query, neighbor, cos, rank) sets are
+    compared exactly per run.
+    """
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="hpss-brute-probe")
+    register_tables(spark, sf_dir)
+    for mult in mults:
+        unit, path = widened_corpus(spark, mult)
+        n = unit.count()
+        queries = unit.filter(F.col("vec_id") < N_QUERIES)
+
+        t0 = time.perf_counter()
+        col = vx.cosine_topk(queries, unit, k=5).localCheckpoint(eager=True)
+        t_col = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        np_ = vx.cosine_topk_np(queries, unit, k=5).localCheckpoint(
+            eager=True
+        )
+        t_np = time.perf_counter() - t0
+
+        mismatch = col.exceptAll(np_).count() + np_.exceptAll(col).count()
+        print(
+            json.dumps(
+                {
+                    "dim": DIM,
+                    "mult": mult,
+                    "n_vectors": n,
+                    "n_queries": N_QUERIES,
+                    "brute_column_sec": round(t_col, 2),
+                    "brute_np_sec": round(t_np, 2),
+                    "speedup": round(t_col / t_np, 1),
+                    "mismatched_rows": mismatch,
+                }
+            ),
+            flush=True,
+        )
+        shutil.rmtree(path, ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
     args = sys.argv[1:]
+    if "--brute" in args:
+        args.remove("--brute")
+        brute_main([int(m) for m in args] or [128])
+        return
     if "--assign" in args:
         args.remove("--assign")
         assign_main([int(m) for m in args] or [128])

@@ -377,6 +377,38 @@ def test_pq_encode_np_rejects_bad_codebooks(spark, sf_dir):
         vx.pq_encode_np(emb, gapped, subspaces=4)
 
 
+def test_cosine_topk_np_matches_column(spark, sf_dir):
+    """The Arrow/numpy exact-search twin must produce the EXACT
+    (query, neighbor, cos, rank) rows of the Column ``cosine_topk`` —
+    same sequential folds, same score op order, same (cos DESC, id ASC)
+    selection order — for both exclude_self settings. Zero-norm inputs
+    are rejected loudly (NaN sorts first in Spark's DESC, last in
+    numpy)."""
+    import pytest
+
+    from hive_plan_service_spark.operators import vectors as vx
+    from hive_plan_service_spark.sources.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 7)
+    for excl in (True, False):
+        col = vx.cosine_topk(queries, emb, k=5, exclude_self=excl)
+        np_ = vx.cosine_topk_np(queries, emb, k=5, exclude_self=excl)
+        assert col.exceptAll(np_).count() == 0, excl
+        assert np_.exceptAll(col).count() == 0, excl
+
+    zeroq = queries.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") == 0,
+            F.transform("embedding", lambda _: F.lit(0.0).cast("float")),
+        ).otherwise(F.col("embedding")),
+    )
+    with pytest.raises(ValueError, match="zero-norm query"):
+        vx.cosine_topk_np(zeroq, emb, k=5)
+
+
 def test_ivf_assign_np_matches_column(spark, sf_dir):
     """The Arrow/numpy assignment twin must produce the EXACT
     (vector → centroid) map of the Column ``ivf_assign``: same
