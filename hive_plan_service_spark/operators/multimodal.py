@@ -53,12 +53,21 @@ def decode_features(multimodal: DataFrame) -> DataFrame:
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            # nullable Int64 for the payload-derived features: a NULL
+            # payload (NULL source text) yields NULL bytes/sum like the
+            # oracle's length(NULL), instead of crashing len(None) —
+            # the NULL-documents sweep found exactly that (§13); the
+            # meta-derived fields stay non-null (built from doc_id)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": payloads.map(len).astype("int64"),
+                    "n_bytes": payloads.map(
+                        lambda b: len(b) if b is not None else None
+                    ).astype("Int64"),
                     # deterministic fake for the codec call:
-                    "byte_sum": payloads.map(lambda b: int(sum(b))).astype("int64"),
+                    "byte_sum": payloads.map(
+                        lambda b: int(sum(b)) if b is not None else None
+                    ).astype("Int64"),
                     "width": pdf["meta"].map(lambda m: m["width"]).astype("int32"),
                     "height": pdf["meta"].map(lambda m: m["height"]).astype("int32"),
                     "mime": pdf["meta"].map(lambda m: m["mime"]),
@@ -97,19 +106,26 @@ def resize_payloads(multimodal: DataFrame, max_dim: int = 64) -> DataFrame:
             ):
                 w, h = int(meta["width"]), int(meta["height"])
                 scale = min(1.0, max_dim / max(w, h))
-                resized = payload[: int(len(payload) * scale * scale)]
                 rows["doc_id"].append(doc_id)
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["new_width"].append(int(w * scale))
                 rows["new_height"].append(int(h * scale))
-                rows["n_bytes"].append(len(payload))
-                rows["n_bytes_after"].append(len(resized))
+                if payload is None:
+                    # NULL payload: dims still resize (meta-derived),
+                    # byte counts are NULL like the oracle's
+                    # length(NULL) arithmetic (NULL-docs sweep, §13)
+                    rows["n_bytes"].append(None)
+                    rows["n_bytes_after"].append(None)
+                else:
+                    resized = payload[: int(len(payload) * scale * scale)]
+                    rows["n_bytes"].append(len(payload))
+                    rows["n_bytes_after"].append(len(resized))
             yield pd.DataFrame(rows).astype(
                 {
                     "doc_id": "int64", "width": "int32", "height": "int32",
                     "new_width": "int32", "new_height": "int32",
-                    "n_bytes": "int64", "n_bytes_after": "int64",
+                    "n_bytes": "Int64", "n_bytes_after": "Int64",
                 }
             )
 
@@ -132,6 +148,8 @@ def sample_frames(multimodal: DataFrame, stride: int = 64, frame: int = 8) -> Da
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_hash": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # NULL payload: zero frames; the
+                    continue  # consumer decides NULL-vs-0 (§13)
                 for idx, off in enumerate(range(0, len(payload), stride)):
                     window = payload[off : off + frame]
                     h = 0

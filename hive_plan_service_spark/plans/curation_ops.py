@@ -194,10 +194,14 @@ def llm_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, string_split(text, ' ') AS ws FROM documents
       ),
       s AS (
+        -- COALESCE mirrors the engine's clamped gram of NULL text ([''],
+        -- like every other shingle consumer): degenerate docs share the
+        -- degenerate gram on BOTH sides — the composed pipeline's quality
+        -- gate owns removing them upstream (NULL-docs sweep, §13)
         SELECT doc_id,
                unnest(list_distinct(list_transform(
                  range(0, greatest(len(ws)-{DECONTAM_N}, 0)+1),
-                 i -> array_to_string(ws[i+1:i+{DECONTAM_N}], ' ')))) AS sh
+                 i -> COALESCE(array_to_string(ws[i+1:i+{DECONTAM_N}], ' '), '')))) AS sh
         FROM t
       )
       SELECT tr.doc_id, CAST(count(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs
@@ -258,7 +262,9 @@ def llm_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_text_normalize",
     oracle="""
       WITH t AS (
-        SELECT doc_id, concat(text, ' ', source) AS raw FROM documents
+        -- ||, not concat: DuckDB's concat SKIPS NULL args where Spark's
+        -- propagates (NULL-documents sweep, ROUND5_NOTES §13)
+        SELECT doc_id, (text || ' ' || source) AS raw FROM documents
       )
       SELECT doc_id,
              trim(regexp_replace(regexp_replace(lower(raw), '[0-9]+', '<num>', 'g'),
@@ -300,9 +306,12 @@ def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, string_split(text, ' ') AS ws FROM documents
       ),
       g AS (
+        -- COALESCE: on NULL text Spark's clamped gram builder yields
+        -- [''] while a NULL gram would be DROPPED by list_distinct
+        -- (NULL-documents sweep, ROUND5_NOTES §13)
         SELECT doc_id,
                list_transform(range(0, greatest(len(ws)-3, 0)+1),
-                 i -> array_to_string(ws[i+1:i+3], ' ')) AS grams
+                 i -> COALESCE(array_to_string(ws[i+1:i+3], ' '), '')) AS grams
         FROM t
       )
       SELECT doc_id,

@@ -156,7 +156,8 @@ def b18_math_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 5)) AS BIGINT)
                AS n_long_words,
              list_contains(string_split(text, ' '), 'spark') AS has_spark,
-             array_to_string(list_transform(string_split(text, ' ')[1:3], w -> upper(w)), '-')
+             COALESCE(array_to_string(
+               list_transform(string_split(text, ' ')[1:3], w -> upper(w)), '-'), '')
                AS first3_uc,
              CAST(list_sum(list_transform(string_split(text, ' '), w -> len(w))) AS BIGINT)
                AS total_chars
@@ -269,7 +270,10 @@ def b26_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("bigint")
     def affine_len(s: pd.Series) -> pd.Series:
-        return 2 * s.str.len().astype("int64") + 1
+        # nullable Int64: a NULL text must yield NULL (as the oracle's
+        # length(NULL) does), not crash the int64 cast on NaN — the
+        # NULL-documents sweep found exactly that (ROUND5_NOTES §13)
+        return (2 * s.str.len() + 1).astype("Int64")
 
     return spark.table("documents").select(
         "doc_id", affine_len(F.col("text")).alias("affine_len")

@@ -93,9 +93,12 @@ def b16_split_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
       )
       SELECT doc_id,
-             array_to_string(flatten([a, b]), ',') AS flat,
-             array_to_string(
-               list_transform(list_zip(a, b), p -> concat(p[1], ':', p[2])), ',')
+             -- COALESCE: Spark's concat_ws NEVER returns NULL (yields ''
+             -- on a NULL array from NULL text) while array_to_string
+             -- propagates NULL — NULL-documents sweep, ROUND5_NOTES §13
+             COALESCE(array_to_string(flatten([a, b]), ','), '') AS flat,
+             COALESCE(array_to_string(
+               list_transform(list_zip(a, b), p -> concat(p[1], ':', p[2])), ','), '')
                AS zipped
       FROM t
     """,

@@ -181,11 +181,14 @@ def b29_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b29_text_fingerprint",
     oracle="""
       SELECT doc_id,
+             -- CASE: Spark's fold over a NULL array is NULL, DuckDB's
+             -- list_prepend(0, NULL) folds to 0 (NULL-docs sweep, §13)
+             CASE WHEN text IS NULL THEN NULL ELSE
              list_reduce(
                list_prepend(CAST(0 AS BIGINT),
                  list_transform(string_split(text, ''),
                                 c -> CAST(ascii(c) AS BIGINT))),
-               (acc, c) -> (acc * 31 + c) % 2147483647) AS fingerprint
+               (acc, c) -> (acc * 31 + c) % 2147483647) END AS fingerprint
       FROM documents
     """,
     doc="Rolling-hash fingerprint (mod 2^31-1), bit-identical cross-engine.",
@@ -645,6 +648,9 @@ def b30_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
       SELECT doc_id,
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             -- CASE: the kernel's NULL payload yields NULL byte_sum,
+             -- DuckDB's list_prepend(0, NULL) folds to 0 (§13)
+             CASE WHEN text IS NULL THEN NULL ELSE
              CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
                list_transform(string_split(text, ''), c -> CAST(
                  CASE WHEN ascii(c) < 128 THEN ascii(c)
@@ -654,7 +660,7 @@ def b30_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ELSE 624 + (ascii(c) >> 18) + ((ascii(c) >> 12) & 63)
                            + ((ascii(c) >> 6) & 63) + (ascii(c) & 63)
                  END AS BIGINT))),
-               (a, b) -> a + b) AS BIGINT) AS byte_sum,
+               (a, b) -> a + b) AS BIGINT) END AS byte_sum,
              CAST(((doc_id % 1024) + 1024) % 1024 + 16 AS INT) AS width,
              CAST((((doc_id * 7) % 768) + 768) % 768 + 16 AS INT) AS height,
              'image/png' AS mime
@@ -976,9 +982,15 @@ def b30_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = mm.sample_frames(mm.attach_binary_payload(docs))
     counts = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
     # empty payloads emit zero frames — restore those docs with n_frames=0
-    # so the output covers every document (matches the oracle's CEIL(0)=0)
-    return docs.select("doc_id").join(counts, "doc_id", "left").select(
-        "doc_id", F.coalesce("n_frames", F.lit(0).cast("bigint")).alias("n_frames")
+    # so the output covers every document (matches the oracle's CEIL(0)=0);
+    # NULL text stays NULL (the oracle's CEIL(length(NULL)) — §13)
+    return docs.select(
+        "doc_id", F.col("text").isNull().alias("_tnull")
+    ).join(counts, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("_tnull"), F.lit(None).cast("bigint"))
+        .otherwise(F.coalesce("n_frames", F.lit(0).cast("bigint")))
+        .alias("n_frames"),
     )
 
 
@@ -1032,7 +1044,8 @@ def b30_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
       SELECT doc_id,
              CAST(u.i - 1 AS BIGINT) AS chunk_idx,
-             array_to_string(t.ws[(u.i - 1) * 24 + 1 : (u.i - 1) * 24 + 32], ' ')
+             COALESCE(array_to_string(
+               t.ws[(u.i - 1) * 24 + 1 : (u.i - 1) * 24 + 32], ' '), '')
                AS chunk_text,
              CAST(len(t.ws[(u.i - 1) * 24 + 1 : (u.i - 1) * 24 + 32]) AS BIGINT)
                AS chunk_words

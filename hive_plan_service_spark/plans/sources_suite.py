@@ -140,6 +140,8 @@ def b26_udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="word: string, pos: int")
     class SplitWords:
         def eval(self, text: str):
+            if text is None:  # no rows — matches the oracle's LATERAL
+                return  # over string_split(NULL) dropping the document
             for i, w in enumerate(text.split(" ")):
                 yield w, i
 

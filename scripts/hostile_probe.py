@@ -70,7 +70,8 @@ MUTATED = ("region", "nation", "customer", "supplier", "part",
 #: titles, and a NULL title RAISES in a08 by documented design
 #: (ROUND5_NOTES §2/§10), which would report an intended guard as a
 #: sweep failure.
-NULLABLE = ("customer", "supplier", "part", "orders", "lineitem")
+NULLABLE = ("customer", "supplier", "part", "orders", "lineitem",
+            "documents")
 
 
 def empty_dir(sf_dir: str) -> str:

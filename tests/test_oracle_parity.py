@@ -236,22 +236,25 @@ def test_string_family_queries_match_oracle_on_hostile_tpch(spark, sf_dir):
 
 
 def test_string_family_queries_match_oracle_with_null_injection(spark, sf_dir):
-    """Same families, NULL injection instead of hostile content: every
-    7th string value of customer/supplier/part/orders/lineitem becomes
-    NULL (TPC-H columns are NOT NULL in the generator, so no fixture
-    row ever exercises these paths). The first sweep found three real
-    NULL-semantics divergences — DuckDB split_part('' for NULL input),
-    DuckDB concat skipping NULLs where Spark propagates, and Spark
-    to_json omitting null fields where DuckDB emits "s":null
-    (ROUND5_NOTES §13) — all fixed; this pins the class. B20 included:
-    the JSON serializers were one of the finds."""
+    """String + document families, NULL injection instead of hostile
+    content: every 7th string value of customer/supplier/part/orders/
+    lineitem/documents becomes NULL (these columns are NOT NULL in the
+    generator, so no fixture row ever exercises the paths). The sweeps
+    found nine real NULL-semantics divergences (ROUND5_NOTES §13):
+    DuckDB split_part('' for NULL input), DuckDB concat skipping NULLs
+    where Spark propagates, Spark to_json omitting null fields, five
+    Python stages crashing on None (len/str.len/split of None), Spark
+    concat_ws never returning NULL where array_to_string propagates,
+    and DuckDB list_prepend/list_distinct folding or dropping NULL
+    grams — all fixed; this pins the classes."""
     from scripts.hostile_probe import hostile_dir
 
     hostile = hostile_dir(sf_dir, nulls=True)
     failures = []
     for name, q in sorted(_QUERIES.items()):
         if not q.oracle or not (
-            {"B1", "B13", "B16", "B17", "B20", "B21"} & set(q.tags)
+            {"B1", "B13", "B15", "B16", "B17", "B19", "B20", "B21",
+             "B26", "B27", "B29", "B30", "llm"} & set(q.tags)
         ):
             continue
         try:
