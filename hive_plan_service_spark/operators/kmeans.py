@@ -249,113 +249,127 @@ def kmeans_integer_np(
     # and persist: the kernel passes over the input once per iteration
     par = spark.sparkContext.defaultParallelism
     raw = raw.repartition(par, *group_cols, "_pid").persist()
+    # try/finally (r5 ADVICE): any exception in the seed collect
+    # or an iteration must not leak the cached relation.
+    try:
 
-    # Seeds: identical selection to the Column trainer (k smallest-id
-    # points per group; TakeOrdered when ungrouped — same plan-shape
-    # rules), quantized Spark-side so both trainers share one quantize
-    # expression; collected as the fixed-size k(·groups)·dim artifact.
-    qcol = quantize(F.col("_v")).alias("_q")
-    if group_cols:
-        w = W.partitionBy(*g).orderBy("_pid")
-        seeds = (
-            raw.select(*group_cols, "_pid", qcol)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= k)
-        )
-    else:
-        seeds = (
-            raw.select("_pid", qcol)
-            .orderBy("_pid")
-            .limit(k)
-            .withColumn("_rn", F.row_number().over(W.orderBy("_pid")))
-        )
-    seed_rows = seeds.select(
-        *group_cols, (F.col("_rn") - 1).cast("int").alias("code"), "_q"
-    ).collect()
-
-    # per-group centroid state: group key tuple -> (k_g, dim) int64
-    cents: dict[tuple, "np.ndarray"] = {}
-    for r in seed_rows:
-        key = tuple(r[c] for c in group_cols)
-        arr = cents.setdefault(key, np.zeros((0, dim), dtype=np.int64))
-        if r["code"] >= arr.shape[0]:
-            grown = np.zeros((r["code"] + 1, dim), dtype=np.int64)
-            grown[: arr.shape[0]] = arr
-            cents[key] = arr = grown
-        arr[r["code"]] = r["_q"]
-    gkeys = sorted(cents)  # stable group index for the partial rows
-    gindex = {key: i for i, key in enumerate(gkeys)}
-
-    scale, offset = float(SCALE), OFFSET
-
-    def _partials_stage(cb_list):
-        # cb_list: per-group (k_g, dim) int64 centroid arrays, closed over
-        def _partials(batches):
-            import pandas as pd
-
-            # one accumulator set per group, summed ACROSS the
-            # partition's batches; one output row per (group, code)
-            sums = [np.zeros_like(cb) for cb in cb_list]
-            counts = [
-                np.zeros(cb.shape[0], dtype=np.int64) for cb in cb_list
-            ]
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                x = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-                qx = np.floor((x + offset) * scale).astype(np.int64)
-                if group_cols:
-                    keys = pd.MultiIndex.from_frame(pdf[list(group_cols)])
-                    gi_rows = np.fromiter(
-                        (gindex[t] for t in keys), dtype=np.int64, count=len(pdf)
-                    )
-                else:
-                    gi_rows = np.zeros(len(pdf), dtype=np.int64)
-                for gi in np.unique(gi_rows):
-                    xs = qx[gi_rows == gi]
-                    cb = cb_list[gi]
-                    acc = np.zeros((len(xs), cb.shape[0]), dtype=np.int64)
-                    for j in range(dim):
-                        d = xs[:, j : j + 1] - cb[None, :, j]
-                        acc += d * d
-                    assigned = np.argmin(acc, axis=1)
-                    counts[gi] += np.bincount(
-                        assigned, minlength=cb.shape[0]
-                    )
-                    np.add.at(sums[gi], assigned, xs)
-            rows = {"_g": [], "code": [], "_n": [], "_s": []}
-            for gi, cb in enumerate(cb_list):
-                for code in range(cb.shape[0]):
-                    if counts[gi][code]:
-                        rows["_g"].append(gi)
-                        rows["code"].append(code)
-                        rows["_n"].append(int(counts[gi][code]))
-                        rows["_s"].append(sums[gi][code].tolist())
-            if rows["_g"]:  # empty partition: an empty frame's _s column
-                # would infer float64 and fail Arrow's list<int64> cast
-                yield pd.DataFrame(rows)
-
-        return _partials
-
-    feed = raw.select(*group_cols, "_v")
-    for _ in range(iters):
-        cb_list = [cents[key] for key in gkeys]
-        part_rows = feed.mapInPandas(
-            _partials_stage(cb_list),
-            schema="_g int, code int, _n bigint, _s array<bigint>",
+        # Seeds: identical selection to the Column trainer (k smallest-id
+        # points per group; TakeOrdered when ungrouped — same plan-shape
+        # rules), quantized Spark-side so both trainers share one quantize
+        # expression; collected as the fixed-size k(·groups)·dim artifact.
+        qcol = quantize(F.col("_v")).alias("_q")
+        if group_cols:
+            w = W.partitionBy(*g).orderBy("_pid")
+            seeds = (
+                raw.select(*group_cols, "_pid", qcol)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= k)
+            )
+        else:
+            seeds = (
+                raw.select("_pid", qcol)
+                .orderBy("_pid")
+                .limit(k)
+                .withColumn("_rn", F.row_number().over(W.orderBy("_pid")))
+            )
+        seed_rows = seeds.select(
+            *group_cols, (F.col("_rn") - 1).cast("int").alias("code"), "_q"
         ).collect()
-        tot_n = [np.zeros(cb.shape[0], dtype=np.int64) for cb in cb_list]
-        tot_s = [np.zeros_like(cb) for cb in cb_list]
-        for r in part_rows:
-            tot_n[r["_g"]][r["code"]] += r["_n"]
-            tot_s[r["_g"]][r["code"]] += np.asarray(r["_s"], dtype=np.int64)
-        for gi, key in enumerate(gkeys):
-            nonempty = tot_n[gi] > 0
-            new = cents[key].copy()
-            new[nonempty] = tot_s[gi][nonempty] // tot_n[gi][nonempty, None]
-            cents[key] = new  # empty cluster keeps its previous centroid
 
-    raw.unpersist()
+        # per-group centroid state: group key tuple -> (k_g, dim) int64
+        cents: dict[tuple, "np.ndarray"] = {}
+        for r in seed_rows:
+            key = tuple(r[c] for c in group_cols)
+            arr = cents.setdefault(key, np.zeros((0, dim), dtype=np.int64))
+            if r["code"] >= arr.shape[0]:
+                grown = np.zeros((r["code"] + 1, dim), dtype=np.int64)
+                grown[: arr.shape[0]] = arr
+                cents[key] = arr = grown
+            arr[r["code"]] = r["_q"]
+        gkeys = sorted(cents)  # stable group index for the partial rows
+        gindex = {key: i for i, key in enumerate(gkeys)}
+
+        scale, offset = float(SCALE), OFFSET
+
+        def _partials_stage(cb_list):
+            # cb_list: per-group (k_g, dim) int64 centroid arrays, closed over
+            def _partials(batches):
+                import pandas as pd
+
+                # one accumulator set per group, summed ACROSS the
+                # partition's batches; one output row per (group, code)
+                sums = [np.zeros_like(cb) for cb in cb_list]
+                counts = [
+                    np.zeros(cb.shape[0], dtype=np.int64) for cb in cb_list
+                ]
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    x = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                    qx = np.floor((x + offset) * scale).astype(np.int64)
+                    if (qx < 0).any():
+                        # Loud guard (r5 ADVICE): numpy's flooring // and
+                        # Spark's truncating div agree only on non-negative
+                        # operands — a component outside the |x| < 8 bound
+                        # must fail, not silently break the bit-identical
+                        # contract with the Column trainer.
+                        raise ValueError(
+                            "kmeans_integer_np: quantized component < 0 "
+                            "(input outside the documented |x| < 8 bound)"
+                        )
+                    if group_cols:
+                        keys = pd.MultiIndex.from_frame(pdf[list(group_cols)])
+                        gi_rows = np.fromiter(
+                            (gindex[t] for t in keys), dtype=np.int64, count=len(pdf)
+                        )
+                    else:
+                        gi_rows = np.zeros(len(pdf), dtype=np.int64)
+                    for gi in np.unique(gi_rows):
+                        xs = qx[gi_rows == gi]
+                        cb = cb_list[gi]
+                        acc = np.zeros((len(xs), cb.shape[0]), dtype=np.int64)
+                        for j in range(dim):
+                            d = xs[:, j : j + 1] - cb[None, :, j]
+                            acc += d * d
+                        assigned = np.argmin(acc, axis=1)
+                        counts[gi] += np.bincount(
+                            assigned, minlength=cb.shape[0]
+                        )
+                        np.add.at(sums[gi], assigned, xs)
+                rows = {"_g": [], "code": [], "_n": [], "_s": []}
+                for gi, cb in enumerate(cb_list):
+                    for code in range(cb.shape[0]):
+                        if counts[gi][code]:
+                            rows["_g"].append(gi)
+                            rows["code"].append(code)
+                            rows["_n"].append(int(counts[gi][code]))
+                            rows["_s"].append(sums[gi][code].tolist())
+                if rows["_g"]:  # empty partition: an empty frame's _s column
+                    # would infer float64 and fail Arrow's list<int64> cast
+                    yield pd.DataFrame(rows)
+
+            return _partials
+
+        feed = raw.select(*group_cols, "_v")
+        for _ in range(iters):
+            cb_list = [cents[key] for key in gkeys]
+            part_rows = feed.mapInPandas(
+                _partials_stage(cb_list),
+                schema="_g int, code int, _n bigint, _s array<bigint>",
+            ).collect()
+            tot_n = [np.zeros(cb.shape[0], dtype=np.int64) for cb in cb_list]
+            tot_s = [np.zeros_like(cb) for cb in cb_list]
+            for r in part_rows:
+                tot_n[r["_g"]][r["code"]] += r["_n"]
+                tot_s[r["_g"]][r["code"]] += np.asarray(r["_s"], dtype=np.int64)
+            for gi, key in enumerate(gkeys):
+                nonempty = tot_n[gi] > 0
+                new = cents[key].copy()
+                new[nonempty] = tot_s[gi][nonempty] // tot_n[gi][nonempty, None]
+                cents[key] = new  # empty cluster keeps its previous centroid
+
+    finally:
+        raw.unpersist()
 
     from pyspark.sql.types import (
         ArrayType,

@@ -184,7 +184,18 @@ def cosine_topk_np(
         F.col(query_id).alias("_qid"), F.col(vec).alias("_qv")
     ).collect()
     if not q_rows:
-        raise ValueError("cosine_topk_np: empty query batch")
+        # Mirror the Column path (r5 ADVICE): cosine_topk on an empty
+        # query batch yields an empty result, not an error — return a
+        # typed empty frame with the identical output schema.
+        qid_t = queries.schema[query_id].dataType.simpleString()
+        cid_t = corpus.schema[corpus_id].dataType.simpleString()
+        return queries.sparkSession.createDataFrame(
+            [],
+            schema=(
+                f"query_id {qid_t}, neighbor_id {cid_t}, "
+                "cos double, rank bigint"
+            ),
+        )
     q_rows.sort(key=lambda r: r["_qid"])
     qids = np.array([r["_qid"] for r in q_rows])
     qmat = np.array([r["_qv"] for r in q_rows], dtype=np.float64)

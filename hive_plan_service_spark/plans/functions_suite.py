@@ -221,8 +221,11 @@ def b20_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN c_acctbal < 5000 THEN 'mid'
                   ELSE 'high' END AS tier,
              COALESCE(NULLIF(c_mktsegment, 'FURNITURE'), '(hidden)') AS segment,
-             TRY_CAST(substr(c_name, 10) AS BIGINT) AS parsed_key,
-             (TRY_CAST(substr(c_name, 10) AS BIGINT) = c_custkey) AS parse_ok
+             CASE WHEN regexp_matches(trim(substr(c_name, 10)), '^[+-]?[0-9]+$')
+                  THEN TRY_CAST(substr(c_name, 10) AS BIGINT) END AS parsed_key,
+             (CASE WHEN regexp_matches(trim(substr(c_name, 10)), '^[+-]?[0-9]+$')
+                   THEN TRY_CAST(substr(c_name, 10) AS BIGINT) END
+              = c_custkey) AS parse_ok
       FROM customer
     """,
     doc="CASE WHEN / coalesce / nullif / string→int try_cast round-trip.",
@@ -236,6 +239,11 @@ def b21_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     # content is NOT contractual (invariant 26 — found by the hostile
     # TPC-H sweep, ROUND5_NOTES §13). try_cast yields NULL in both
     # engines; identical values on every well-formed fixture row.
+    # The DuckDB oracle is guarded to integral-only tokens: DuckDB's
+    # TRY_CAST rounds decimal strings ('42.5'→43) and accepts
+    # scientific notation ('1e3'→1000) where Spark's try_cast yields
+    # NULL for both (r5 ADVICE; pinned by the hostile pool's
+    # positional numeric tokens).
     parsed = F.substring("c_name", 10, 100).try_cast("bigint")
     return c.select(
         "c_custkey",

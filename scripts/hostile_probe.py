@@ -56,6 +56,12 @@ POOL = [
     "O'Brien's 'single' quotes; drop table t; --",
     "a,b;c:d-e_f|g",
     "0x1F 42.5e-3 1_000_000",
+    # Bare decimal / scientific numerals landing at substr position 10
+    # (9-char prefixes): DuckDB TRY_CAST rounds '42.5'→43 and parses
+    # '1e3'→1000 where Spark try_cast yields NULL — pins the b21
+    # integral-only oracle guard (r5 ADVICE).
+    "decimalX 42.5",
+    "sciNote#9 1e3",
     "MiXeD CaSe WORDS lower",
     "trailing space ",
     " leading space",

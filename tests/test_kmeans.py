@@ -155,6 +155,23 @@ def test_kmeans_np_twin_tie_and_empty_cluster(spark):
     assert sorted(map(tuple, colg.collect())) == sorted(map(tuple, npg.collect()))
 
 
+def test_kmeans_np_twin_rejects_out_of_bound_components(spark):
+    """A component outside the documented |x| < 8 bound quantizes
+    negative, where numpy's flooring // would silently diverge from
+    Spark's truncating div — the twin must fail LOUDLY instead
+    (r5 ADVICE)."""
+    import pytest
+
+    from hive_plan_service_spark.operators.kmeans import kmeans_integer_np
+
+    pts = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, [-9.0, 0.0])],
+        "vec_id bigint, vec array<double>",
+    )
+    with pytest.raises(Exception, match="outside the documented"):
+        kmeans_integer_np(pts, k=2, dim=2, iters=1, vec="vec")
+
+
 def test_pq_train_codebooks_np_matches_column(spark, sf_dir):
     """End-to-end PQ wrapper: the numpy-trained codebooks must equal the
     registered oracle path's bit-for-bit (the codebook feeds pq_encode /

@@ -408,6 +408,15 @@ def test_cosine_topk_np_matches_column(spark, sf_dir):
     with pytest.raises(ValueError, match="zero-norm query"):
         vx.cosine_topk_np(zeroq, emb, k=5)
 
+    # empty query batch mirrors the Column path (r5 ADVICE): an empty
+    # typed frame with the identical output schema, not an error
+    col_empty = vx.cosine_topk(queries.limit(0), emb, k=5)
+    np_empty = vx.cosine_topk_np(queries.limit(0), emb, k=5)
+    assert np_empty.count() == 0
+    assert [(f.name, f.dataType) for f in np_empty.schema] == [
+        (f.name, f.dataType) for f in col_empty.schema
+    ]
+
 
 def test_ivf_assign_np_matches_column(spark, sf_dir):
     """The Arrow/numpy assignment twin must produce the EXACT
