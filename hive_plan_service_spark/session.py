@@ -110,6 +110,16 @@ def scratch_root() -> str:
     return d
 
 
+def shuffle_partitions() -> int:
+    """Shuffle partition count: ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` if
+    set (a real cluster runs 200–2000; the r6 sweep certifies plans and
+    oracles at 64/256/1024), else the local-core default."""
+    explicit = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if explicit:
+        return max(8, int(explicit))
+    return max(8, default_parallelism())
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime conf to a session we did not necessarily build."""
     for k, v in _RUNTIME_CONF.items():
@@ -118,9 +128,7 @@ def tune(spark: SparkSession) -> SparkSession:
         except Exception:
             pass  # non-runtime conf on some builds: keep going
     try:
-        spark.conf.set(
-            "spark.sql.shuffle.partitions", str(max(8, default_parallelism()))
-        )
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions()))
     except Exception:
         pass
     return spark
@@ -134,7 +142,7 @@ def get_spark(app_name: str = APP_NAME, cpus: int | None = None) -> SparkSession
         .appName(app_name)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.shuffle.partitions", str(max(8, n)))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions()))
         # shuffle/spill block files on tmpfs (cluster: local NVMe)
         .config("spark.local.dir", os.path.join(scratch, "local"))
         # temporary streaming checkpoints (memory-sink runs) come from

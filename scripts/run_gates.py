@@ -1,0 +1,108 @@
+"""One-command certification matrix (r5 verdict item #5).
+
+The full round gate spans five invocations a future round (or judge)
+must otherwise remember: pytest, the driver simulation, the bench, and
+the three hostile oracle sweeps (content / NULL-injection / empty
+fixtures — CLAUDE.md invariant 7). This runner executes all of them
+sequentially, captures each gate's verdict line, and emits ONE summary
+JSON line (plus an optional file via --out).
+
+Usage:
+    python scripts/run_gates.py [--out GATES.json] [--skip bench,...]
+
+Gates (names usable with --skip / --only, comma-separated):
+    pytest   python -m pytest tests/ -q                       (sf0.001)
+    driver   python scripts/driver_sim.py                     (sf0.01)
+    bench    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py
+    hostile  python scripts/hostile_probe.py                  (content)
+    nulls    python scripts/hostile_probe.py --nulls
+    empty    python scripts/hostile_probe.py --empty
+
+Exit 0 iff every executed gate passed. Each gate runs in its own
+subprocess (its own JVM) so a crashed session can't poison the rest.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+GATES: dict[str, list[str]] = {
+    "pytest": [sys.executable, "-m", "pytest", "tests/", "-q"],
+    "driver": [sys.executable, "scripts/driver_sim.py"],
+    "bench": [sys.executable, "bench.py"],
+    "hostile": [sys.executable, "scripts/hostile_probe.py"],
+    "nulls": [sys.executable, "scripts/hostile_probe.py", "--nulls"],
+    "empty": [sys.executable, "scripts/hostile_probe.py", "--empty"],
+}
+
+#: per-gate env overrides (bench runs the contract scale)
+GATE_ENV: dict[str, dict[str, str]] = {
+    "bench": {"SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1"},
+}
+
+
+def tail_line(out: str) -> str:
+    """Last non-empty, non-progress-bar line of a gate's output."""
+    for ln in reversed(out.splitlines()):
+        s = ln.strip().replace("\r", "")
+        if s and not s.startswith("[Stage"):
+            return s[:400]
+    return ""
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None, help="write the summary JSON here")
+    ap.add_argument("--skip", default="", help="comma-separated gate names")
+    ap.add_argument("--only", default="", help="run only these gates")
+    args = ap.parse_args()
+
+    skip = {s for s in args.skip.split(",") if s}
+    only = {s for s in args.only.split(",") if s}
+    unknown = (skip | only) - set(GATES)
+    if unknown:
+        ap.error(f"unknown gate(s): {sorted(unknown)}")
+
+    results: dict[str, dict] = {}
+    for name, cmd in GATES.items():
+        if name in skip or (only and name not in only):
+            continue
+        env = {**os.environ, **GATE_ENV.get(name, {})}
+        t0 = time.time()
+        print(f"=== gate {name}: {' '.join(cmd[1:])}", flush=True)
+        proc = subprocess.run(
+            cmd, cwd=REPO_ROOT, env=env, text=True,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        wall = round(time.time() - t0, 1)
+        verdict = tail_line(proc.stdout)
+        ok = proc.returncode == 0
+        results[name] = {"ok": ok, "rc": proc.returncode,
+                         "wall_s": wall, "verdict": verdict}
+        print(f"    {'OK' if ok else 'FAIL'} in {wall}s — {verdict}",
+              flush=True)
+        if not ok:
+            # keep the failing gate's full output readable in-band
+            print(proc.stdout[-4000:], flush=True)
+
+    summary = {
+        "ok": all(r["ok"] for r in results.values()),
+        "gates": results,
+        "total_wall_s": round(sum(r["wall_s"] for r in results.values()), 1),
+    }
+    line = json.dumps(summary)
+    print(line, flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    sys.exit(0 if summary["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()
