@@ -14,6 +14,7 @@ Gates (names usable with --skip / --only, comma-separated):
     pytest   python -m pytest tests/ -q                       (sf0.001)
     driver   python scripts/driver_sim.py                     (sf0.01)
     bench    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py
+    extbench python scripts/bench_extended.py  (production shapes, sf0.1)
     hostile  python scripts/hostile_probe.py                  (content)
     nulls    python scripts/hostile_probe.py --nulls
     empty    python scripts/hostile_probe.py --empty
@@ -36,6 +37,7 @@ GATES: dict[str, list[str]] = {
     "pytest": [sys.executable, "-m", "pytest", "tests/", "-q"],
     "driver": [sys.executable, "scripts/driver_sim.py"],
     "bench": [sys.executable, "bench.py"],
+    "extbench": [sys.executable, "scripts/bench_extended.py"],
     "hostile": [sys.executable, "scripts/hostile_probe.py"],
     "nulls": [sys.executable, "scripts/hostile_probe.py", "--nulls"],
     "empty": [sys.executable, "scripts/hostile_probe.py", "--empty"],
@@ -44,6 +46,7 @@ GATES: dict[str, list[str]] = {
 #: per-gate env overrides (bench runs the contract scale)
 GATE_ENV: dict[str, dict[str, str]] = {
     "bench": {"SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1"},
+    "extbench": {"SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1"},
 }
 
 
