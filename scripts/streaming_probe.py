@@ -250,6 +250,38 @@ def probe_join_store(spark, mult: int) -> None:
     shutil.rmtree(feed, ignore_errors=True)
 
 
+def probe_join_store_auto(spark, mult: int) -> None:
+    """Same stream-stream join, provider chosen by the MEASURED decision
+    helper (VERDICT r5 #4): project state rows as plan arithmetic (the
+    1h join window retains ~40% of this feed's events — the measured
+    399k at 1M), let ``apply_state_store_conf`` pick the provider, then
+    verify the projection against the run's actual peak state."""
+    from hive_plan_service_spark.streaming.windows import (
+        apply_state_store_conf,
+    )
+
+    feed = replicated_events(spark, mult)
+    n_events = spark.read.parquet(feed).count()
+    projected = int(n_events * 0.4)
+    try:
+        cls = apply_state_store_conf(spark, projected)
+        wall, out_rows, progress = drive(_ss_join(spark, feed), "append")
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    row = {
+        "op": "stream_stream_join_auto_store",
+        "chosen_provider": cls.rsplit(".", 1)[-1],
+        "projected_state_rows": projected,
+        "mult": mult,
+        "events": n_events,
+        "wall_sec": round(wall, 2),
+        "out_rows_last_batch": out_rows[-1] if out_rows else 0,
+    }
+    row.update(state_breakdown(progress))
+    print(json.dumps(row), flush=True)
+    shutil.rmtree(feed, ignore_errors=True)
+
+
 def probe_docs(spark, mult: int) -> None:
     """Streaming dedup ingest over a mult x documents corpus (the
     scale_probe distinct-copy recipe), split into 4-file micro-batches
@@ -319,14 +351,19 @@ def main() -> None:
     args = sys.argv[1:]
     docs_mode = "--docs" in args
     join_store_mode = "--join-store" in args
+    join_store_auto = "--join-store-auto" in args
     counter_mode = "--counter" in args
-    args = [a for a in args if a not in ("--docs", "--join-store", "--counter")]
+    args = [a for a in args
+            if a not in ("--docs", "--join-store", "--join-store-auto",
+                         "--counter")]
     mults = [int(m) for m in args] or ([10, 40] if docs_mode else [10, 100])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="hpss-streaming-probe")
     register_tables(spark, sf_dir)
     for mult in mults:
-        if join_store_mode:
+        if join_store_auto:
+            probe_join_store_auto(spark, mult)
+        elif join_store_mode:
             probe_join_store(spark, mult)
         elif docs_mode:
             probe_docs(spark, mult)

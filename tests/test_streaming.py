@@ -518,3 +518,56 @@ def test_continuous_rollup_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(maintainer.out).collect()
     }
     assert before == after, "replayed batch double-counted"
+
+
+def test_state_store_provider_decision():
+    """The provider helper encodes the MEASURED crossover (ROUND5_NOTES
+    §6): in-heap HDFS wins while per-partition state is a small heap
+    fraction (3.99M rows / 32 partitions — the measured point where
+    HDFS beat RocksDB 7.2 s vs 14.5 s); RocksDB only when per-partition
+    state approaches executor heap. Monotone in state size."""
+    from hive_plan_service_spark.streaming.windows import (
+        HDFS_BACKED_PROVIDER,
+        ROCKSDB_PROVIDER,
+        choose_state_store_provider,
+    )
+
+    # the measured point: 3.99M rows, 32 partitions → HDFS (the winner)
+    assert (
+        choose_state_store_provider(3_990_000, partitions=32)
+        == HDFS_BACKED_PROVIDER
+    )
+    # 100 TB-rate shape: 1B state rows over 256 partitions → ~2 GiB per
+    # partition ≫ the heap budget → RocksDB
+    assert (
+        choose_state_store_provider(1_000_000_000, partitions=256)
+        == ROCKSDB_PROVIDER
+    )
+    # monotone: once RocksDB, more state never flips back
+    seen_rocks = False
+    for rows in (10**5, 10**6, 10**7, 10**8, 10**9, 10**10):
+        cls = choose_state_store_provider(rows, partitions=64)
+        if cls == ROCKSDB_PROVIDER:
+            seen_rocks = True
+        else:
+            assert not seen_rocks, "decision not monotone in state rows"
+    assert seen_rocks
+
+
+def test_apply_state_store_conf_sets_runtime_knob(spark):
+    """apply_state_store_conf must set the runtime-settable providerClass
+    on a live session and return the chosen class."""
+    from hive_plan_service_spark.streaming.windows import (
+        HDFS_BACKED_PROVIDER,
+        apply_state_store_conf,
+    )
+
+    try:
+        cls = apply_state_store_conf(spark, 100_000, partitions=32)
+        assert cls == HDFS_BACKED_PROVIDER
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == cls
+        )
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
