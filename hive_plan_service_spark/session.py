@@ -134,7 +134,14 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def get_spark(app_name: str = APP_NAME, cpus: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = APP_NAME,
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build the engine session. ``extra_conf`` lets probes add
+    build-time conf (event logging, memory limits) without duplicating
+    the scratch/conf plumbing — applied LAST, so it can override."""
     n = cpus or default_parallelism()
     scratch = scratch_root()
     builder = (
@@ -155,6 +162,8 @@ def get_spark(app_name: str = APP_NAME, cpus: int | None = None) -> SparkSession
         .config("spark.sql.warehouse.dir", os.path.join(scratch, "warehouse"))
     )
     for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
