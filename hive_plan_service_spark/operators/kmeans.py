@@ -272,9 +272,18 @@ def kmeans_integer_np(
                 .limit(k)
                 .withColumn("_rn", F.row_number().over(W.orderBy("_pid")))
             )
-        seed_rows = seeds.select(
-            *group_cols, (F.col("_rn") - 1).cast("int").alias("code"), "_q"
-        ).collect()
+        from hive_plan_service_spark.operators.artifacts import (
+            bounded_collect,
+        )
+
+        # k·groups rows — loudly capped: a high-cardinality group column
+        # would silently turn the seed artifact corpus-proportional
+        seed_rows = bounded_collect(
+            seeds.select(
+                *group_cols, (F.col("_rn") - 1).cast("int").alias("code"), "_q"
+            ),
+            "kmeans_integer_np seed set",
+        )
 
         # per-group centroid state: group key tuple -> (k_g, dim) int64
         cents: dict[tuple, "np.ndarray"] = {}

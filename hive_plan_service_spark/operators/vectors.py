@@ -180,9 +180,12 @@ def cosine_topk_np(
     """
     import numpy as np
 
-    q_rows = queries.select(
-        F.col(query_id).alias("_qid"), F.col(vec).alias("_qv")
-    ).collect()
+    from hive_plan_service_spark.operators.artifacts import bounded_collect
+
+    q_rows = bounded_collect(
+        queries.select(F.col(query_id).alias("_qid"), F.col(vec).alias("_qv")),
+        "cosine_topk_np query batch",
+    )
     if not q_rows:
         # Mirror the Column path (r5 ADVICE): cosine_topk on an empty
         # query batch yields an empty result, not an error — return a
@@ -301,9 +304,14 @@ def ivf_assign_np(
     """
     import numpy as np
 
-    cent_rows = centroids.select(
-        F.col(centroid_id).alias("_cid"), F.col(vec).alias("_cv")
-    ).collect()
+    from hive_plan_service_spark.operators.artifacts import bounded_collect
+
+    cent_rows = bounded_collect(
+        centroids.select(
+            F.col(centroid_id).alias("_cid"), F.col(vec).alias("_cv")
+        ),
+        "ivf_assign_np centroid set",
+    )
     if not cent_rows:
         raise ValueError("ivf_assign_np: empty centroid set")
     cent_rows.sort(key=lambda r: r["_cid"])
@@ -689,7 +697,11 @@ def pq_encode_np(
     # tuning constants, never corpus-proportional (a 16×256×48 book is
     # ~1.5 MB). Bounded control-flow collect, documented per invariant 5;
     # the closure ships it to executors like a broadcast.
-    book_rows = codebooks.select("s", "code", "centroid").collect()
+    from hive_plan_service_spark.operators.artifacts import bounded_collect
+
+    book_rows = bounded_collect(
+        codebooks.select("s", "code", "centroid"), "pq_encode_np codebook"
+    )
     n_codes = len(book_rows) // subspaces if subspaces else 0
     got = sorted((r["s"], r["code"]) for r in book_rows)
     want = [(i // n_codes, i % n_codes) for i in range(len(book_rows))]

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from hive_plan_service_spark.operators import vectors as vx  # noqa: E402
 from hive_plan_service_spark.session import get_spark  # noqa: E402
 from hive_plan_service_spark.sources.catalog import register_tables  # noqa: E402
+from hive_plan_service_spark.sources.writers import write_parquet_heap_safe  # noqa: E402
 
 
 def multiplied(spark, mult: int):
@@ -68,7 +69,7 @@ def multiplied(spark, mult: int):
         .drop("_rep")
     )
     path = os.path.join(scratch_root(), f"ann_probe_corpus_{mult}")
-    out.repartition(default_parallelism()).write.mode("overwrite").parquet(path)
+    write_parquet_heap_safe(out.repartition(default_parallelism()), path)
     return spark.read.parquet(path), path
 
 

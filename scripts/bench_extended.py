@@ -45,6 +45,7 @@ from hive_plan_service_spark.session import (  # noqa: E402
     scratch_root,
 )
 from hive_plan_service_spark.sources.catalog import register_tables  # noqa: E402
+from hive_plan_service_spark.sources.writers import write_parquet_heap_safe  # noqa: E402
 
 DOCS_MULT = int(os.environ.get("SPARK_GRAFT_EXT_DOCS_MULT", "8"))
 EMB_MULT = int(os.environ.get("SPARK_GRAFT_EXT_EMB_MULT", "50"))
@@ -105,7 +106,7 @@ def _mult_embeddings(spark, mult: int) -> str:
         .drop("_rep")
     )
     path = os.path.join(scratch_root(), f"bench_ext_emb_{mult}")
-    out.repartition(default_parallelism()).write.mode("overwrite").parquet(path)
+    write_parquet_heap_safe(out.repartition(default_parallelism()), path)
     return path
 
 

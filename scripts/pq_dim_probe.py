@@ -46,6 +46,7 @@ from hive_plan_service_spark.session import (  # noqa: E402
     scratch_root,
 )
 from hive_plan_service_spark.sources.catalog import register_tables  # noqa: E402
+from hive_plan_service_spark.sources.writers import write_parquet_heap_safe  # noqa: E402
 
 DIM = int(os.environ.get("PQ_PROBE_DIM", "768"))
 BASE_DIM = 64
@@ -118,7 +119,10 @@ def widened_corpus(spark, mult: int):
         ).alias("embedding"),
     )
     path = os.path.join(scratch_root(), f"pq_dim_probe_{DIM}_{mult}")
-    unit.write.mode("overwrite").parquet(path)
+    # heap-safe row groups for the wide 768-dim rows (r6 spill
+    # certification: default 128 MiB x 32 writer buffers OOM a 4 GiB
+    # heap before the first flush — sources/writers.py)
+    write_parquet_heap_safe(unit, path)
     return spark.read.parquet(path), path
 
 

@@ -352,3 +352,35 @@ def test_shingles_and_ngrams_short_docs_yield_partial_gram(spark):
     }
     assert grams[1] == ["alpha beta"]
     assert grams[3] == ["a b c", "b c d"]
+
+
+def test_bounded_collect_caps_driver_artifacts(spark, monkeypatch):
+    """A corpus-proportional relation passed where a fixed-size driver
+    artifact belongs must fail LOUDLY — after shipping at most cap+1
+    rows, never the corpus (r5 VERDICT top item: broadcast/collect
+    guards)."""
+    import pytest
+
+    from hive_plan_service_spark.operators import artifacts
+
+    monkeypatch.setattr(artifacts, "MAX_DRIVER_ARTIFACT_ROWS", 100)
+    ok = artifacts.bounded_collect(spark.range(100), "small artifact")
+    assert len(ok) == 100
+    with pytest.raises(ValueError, match="fixed-size cap"):
+        artifacts.bounded_collect(spark.range(101), "too big")
+
+
+def test_cosine_topk_np_rejects_corpus_sized_query_batch(spark, sf_dir, monkeypatch):
+    """The numpy twin must refuse to collect a corpus-proportional
+    'query batch' instead of silently pulling it onto the driver."""
+    import pytest
+
+    from hive_plan_service_spark.operators import artifacts
+    from hive_plan_service_spark.operators import vectors as vx
+    from hive_plan_service_spark.sources.catalog import register_tables
+
+    monkeypatch.setattr(artifacts, "MAX_DRIVER_ARTIFACT_ROWS", 10)
+    register_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    with pytest.raises(ValueError, match="fixed-size cap"):
+        vx.cosine_topk_np(emb, emb, k=3)

@@ -1,0 +1,52 @@
+"""Heap-safe parquet writing (sources/writers.py) — found by the r6
+spill certification: parquet row-group buffers live on unmanaged JVM
+heap (they cannot spill), so concurrent wide-row write tasks must size
+row groups from the heap actually available."""
+
+from __future__ import annotations
+
+import pytest
+
+from hive_plan_service_spark.sources.writers import (
+    parse_mem,
+    safe_parquet_block_bytes,
+    write_parquet_heap_safe,
+)
+
+
+def test_parse_mem_units():
+    assert parse_mem("4g") == 4 << 30
+    assert parse_mem("512m") == 512 << 20
+    assert parse_mem("1024k") == 1 << 20
+    assert parse_mem("2048") == 2048 << 20  # bare number = MiB (Spark rule)
+    assert parse_mem("4G") == 4 << 30
+    with pytest.raises(ValueError):
+        parse_mem("lots")
+
+
+def test_block_size_clamps(spark):
+    default = safe_parquet_block_bytes(spark)
+    assert (1 << 20) <= default <= (128 << 20)
+    # a tiny budget fraction must hit the floor, never zero
+    assert safe_parquet_block_bytes(spark, heap_budget_fraction=1e-9) == 1 << 20
+    # a huge fraction caps at the parquet default (narrow rows keep the
+    # scan-efficient 128 MiB row groups)
+    assert safe_parquet_block_bytes(spark, heap_budget_fraction=1e9) == 128 << 20
+    # budget arithmetic: all concurrent writers' buffers fit the fraction
+    import re
+
+    heap = parse_mem(spark.conf.get("spark.driver.memory", "1g"))
+    cores = spark.sparkContext.defaultParallelism
+    assert default * cores <= max(0.25 * heap, cores * (1 << 20))
+
+
+def test_write_heap_safe_roundtrip(spark, tmp_path):
+    df = spark.range(1000).selectExpr(
+        "id", "transform(sequence(1, 64), i -> cast(id * i as float)) AS vec"
+    )
+    path = str(tmp_path / "wide")
+    block = write_parquet_heap_safe(df, path)
+    assert (1 << 20) <= block <= (128 << 20)
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert back.agg({"id": "sum"}).collect()[0][0] == 499500
