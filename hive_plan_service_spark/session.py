@@ -120,6 +120,60 @@ def shuffle_partitions() -> int:
     return max(8, default_parallelism())
 
 
+def heap_scaled_rows(
+    spark: SparkSession,
+    row_bytes: int,
+    *,
+    budget_fraction: float = 0.05,
+    floor: int = 256,
+    cap: int = 10_000,
+) -> int:
+    """Rows-per-buffer such that all concurrent tasks' per-task buffers
+    fit ``budget_fraction`` of the JVM heap (invariant 27's sizing rule
+    for UNMANAGED buffers — they cannot spill). Used for Arrow batches
+    (:func:`arrow_batch_rows`) and the columnar cache builder
+    (operators/kmeans.py); parquet writer row groups use the byte-level
+    twin ``sources/writers.safe_parquet_block_bytes``."""
+    from hive_plan_service_spark.sources.writers import parse_mem
+
+    try:
+        heap = parse_mem(spark.conf.get("spark.executor.memory"))
+        cores = int(spark.conf.get("spark.executor.cores", "1"))
+    except Exception:
+        heap, cores = None, None
+    if spark.sparkContext.master.startswith("local") or heap is None:
+        heap = parse_mem(spark.conf.get("spark.driver.memory", "1g"))
+        cores = spark.sparkContext.defaultParallelism
+    rows = int(heap * budget_fraction / max(1, cores) / max(1, row_bytes))
+    return max(floor, min(cap, rows))
+
+
+def arrow_batch_rows(
+    spark: SparkSession,
+    row_bytes: int,
+    *,
+    budget_fraction: float = 0.05,
+    floor: int = 256,
+    cap: int = 10_000,
+) -> int:
+    """Heap-aware ``spark.sql.execution.arrow.maxRecordsPerBatch`` for
+    WIDE rows (embedding columns).
+
+    Found by the r6 spill certification: the default 10,000-row Arrow
+    batch is sized for narrow relational rows. A 768-dim float corpus
+    makes each batch ~30 MB of JNI-pinned allocation PER CONCURRENT
+    TASK (the observed 4 GiB-heap failure was a GCLocker retry on a
+    33 MB allocation with 32 tasks in flight) — like the parquet writer
+    buffers (sources/writers.py), this memory is unmanaged and cannot
+    spill. Callers running wide Pandas-UDF stages apply it via
+    ``spark.conf.set`` (runtime-settable).
+    """
+    return heap_scaled_rows(
+        spark, row_bytes,
+        budget_fraction=budget_fraction, floor=floor, cap=cap,
+    )
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime conf to a session we did not necessarily build."""
     for k, v in _RUNTIME_CONF.items():
