@@ -240,7 +240,14 @@ def kmeans_integer_np(
     """
     import numpy as np
 
+    from hive_plan_service_spark.session import apply_wide_row_conf
+
     spark = points.sparkSession
+    # Size the two unmanaged per-task row buffers this function creates
+    # — Arrow batches (the kernel feed) and the persist()'s columnar
+    # cache builder — from heap and row width (invariant 27; the r6
+    # spill certification OOM'd in ColumnBuilder.ensureFreeSpace here).
+    apply_wide_row_conf(spark, dim * 8)
     g = [F.col(c) for c in group_cols]
     raw = points.select(
         *group_cols, F.col(id_col).alias("_pid"), F.col(vec).alias("_v")
@@ -252,38 +259,112 @@ def kmeans_integer_np(
     # try/finally (r5 ADVICE): any exception in the seed collect
     # or an iteration must not leak the cached relation.
     try:
+        # Materialize the cache in its OWN job before the seed window
+        # reads it (the invariant-24 discipline, applied within one
+        # operator): the grouped seed selection sorts the full corpus,
+        # and on a tight heap the sorter's execution-memory requests
+        # thrash against the cache build's storage unrolls when both
+        # run in one stage — the r6 spill certification's fourth OOM.
+        # Built first, the cache spills what storage can't hold and the
+        # sort then evicts borrowed storage down to the protected floor.
+        raw.count()
 
-        # Seeds: identical selection to the Column trainer (k smallest-id
-        # points per group; TakeOrdered when ungrouped — same plan-shape
-        # rules), quantized Spark-side so both trainers share one quantize
-        # expression; collected as the fixed-size k(·groups)·dim artifact.
-        qcol = quantize(F.col("_v")).alias("_q")
-        if group_cols:
-            w = W.partitionBy(*g).orderBy("_pid")
-            seeds = (
-                raw.select(*group_cols, "_pid", qcol)
-                .withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") <= k)
-            )
-        else:
-            seeds = (
-                raw.select("_pid", qcol)
-                .orderBy("_pid")
-                .limit(k)
-                .withColumn("_rn", F.row_number().over(W.orderBy("_pid")))
-            )
         from hive_plan_service_spark.operators.artifacts import (
             bounded_collect,
         )
 
-        # k·groups rows — loudly capped: a high-cardinality group column
-        # would silently turn the seed artifact corpus-proportional
-        seed_rows = bounded_collect(
-            seeds.select(
-                *group_cols, (F.col("_rn") - 1).cast("int").alias("code"), "_q"
-            ),
-            "kmeans_integer_np seed set",
-        )
+        scale, offset = float(SCALE), OFFSET
+
+        # Seeds: identical selection to the Column trainer (k smallest-id
+        # points per group; TakeOrdered when ungrouped — same plan-shape
+        # rules). The Column path keeps its window for the grouped case
+        # (oracle-shaped); this twin must NOT sort the whole corpus to
+        # pick k·groups rows — the r6 spill certification caught the
+        # full-corpus window sort thrashing against the cache build on a
+        # tight heap, and at 100 TB it is pure waste. Instead: one
+        # streaming pass keeps the k smallest (pid, quantized vec) per
+        # group per partition — the same ≤ partitions·groups·k bounded
+        # driver class as the per-iteration partials — merged exactly on
+        # the driver. The kernel quantize is the partials kernel's exact
+        # IEEE op sequence (bit-identity pinned by test_kmeans).
+        if group_cols:
+            gtypes = ", ".join(
+                f"`{c}` {raw.schema[c].dataType.simpleString()}"
+                for c in group_cols
+            )
+            pid_t = raw.schema["_pid"].dataType.simpleString()
+            cand_schema = f"{gtypes}, _pid {pid_t}, _q array<bigint>"
+
+            def _seed_candidates(batches):
+                import pandas as pd
+
+                best: dict = {}  # group key tuple -> (pids, qmat)
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    x = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                    qx = np.floor((x + offset) * scale).astype(np.int64)
+                    if (qx < 0).any():
+                        raise ValueError(
+                            "kmeans_integer_np: quantized component < 0 "
+                            "(input outside the documented |x| < 8 bound)"
+                        )
+                    pids = pdf["_pid"].to_numpy()
+                    gb = pdf.groupby(list(group_cols), sort=False).indices
+                    for key, idx in gb.items():
+                        key_t = key if isinstance(key, tuple) else (key,)
+                        cp = best.get(key_t)
+                        np_pids, np_q = pids[idx], qx[idx]
+                        if cp is not None:
+                            np_pids = np.concatenate([cp[0], np_pids])
+                            np_q = np.vstack([cp[1], np_q])
+                        if len(np_pids) > k:
+                            order = np.argsort(np_pids, kind="stable")[:k]
+                            np_pids, np_q = np_pids[order], np_q[order]
+                        best[key_t] = (np_pids, np_q)
+                out = {c: [] for c in group_cols}
+                out.update({"_pid": [], "_q": []})
+                for key_t, (bp, bq) in best.items():
+                    for c, v in zip(group_cols, key_t):
+                        out[c].extend([v] * len(bp))
+                    out["_pid"].extend(bp.tolist())
+                    out["_q"].extend([row.tolist() for row in bq])
+                if out["_pid"]:
+                    yield pd.DataFrame(out)
+
+            # ≤ partitions·groups·k rows — loudly capped: a
+            # high-cardinality group column would silently turn the
+            # seed artifact corpus-proportional
+            cand_rows = bounded_collect(
+                raw.mapInPandas(_seed_candidates, schema=cand_schema),
+                "kmeans_integer_np seed candidates",
+            )
+            by_group: dict = {}
+            for r in cand_rows:
+                by_group.setdefault(
+                    tuple(r[c] for c in group_cols), []
+                ).append((r["_pid"], r["_q"]))
+            seed_rows = []
+            for key_t, lst in by_group.items():
+                lst.sort(key=lambda t: t[0])
+                for code, (_pid, qv) in enumerate(lst[:k]):
+                    seed_rows.append(
+                        dict(zip(group_cols, key_t), code=code, _q=qv)
+                    )
+        else:
+            seeds = (
+                raw.select("_pid", quantize(F.col("_v")).alias("_q"))
+                .orderBy("_pid")
+                .limit(k)
+                .withColumn("_rn", F.row_number().over(W.orderBy("_pid")))
+            )
+            # k rows — loudly capped like every driver-side artifact
+            seed_rows = bounded_collect(
+                seeds.select(
+                    (F.col("_rn") - 1).cast("int").alias("code"), "_q"
+                ),
+                "kmeans_integer_np seed set",
+            )
 
         # per-group centroid state: group key tuple -> (k_g, dim) int64
         cents: dict[tuple, "np.ndarray"] = {}
@@ -297,8 +378,6 @@ def kmeans_integer_np(
             arr[r["code"]] = r["_q"]
         gkeys = sorted(cents)  # stable group index for the partial rows
         gindex = {key: i for i, key in enumerate(gkeys)}
-
-        scale, offset = float(SCALE), OFFSET
 
         def _partials_stage(cb_list):
             # cb_list: per-group (k_g, dim) int64 centroid arrays, closed over

@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from hive_plan_service_spark.session import apply_wide_row_conf
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product of two float arrays, in DOUBLE."""
@@ -203,6 +205,8 @@ def cosine_topk_np(
     qids = np.array([r["_qid"] for r in q_rows])
     qmat = np.array([r["_qv"] for r in q_rows], dtype=np.float64)
     nq, dim = qmat.shape
+    # Arrow/cache batches sized for the corpus row width (invariant 27)
+    apply_wide_row_conf(queries.sparkSession, dim * 8)
     qn_acc = np.zeros(nq, dtype=np.float64)
     for j in range(dim):  # sequential left fold, as norm()
         qn_acc += qmat[:, j] * qmat[:, j]
@@ -318,6 +322,8 @@ def ivf_assign_np(
     cids = np.array([r["_cid"] for r in cent_rows])
     cmat = np.array([r["_cv"] for r in cent_rows], dtype=np.float64)
     kk, dim = cmat.shape
+    # Arrow/cache batches sized for the corpus row width (invariant 27)
+    apply_wide_row_conf(corpus.sparkSession, dim * 8)
     kn_acc = np.zeros(kk, dtype=np.float64)
     for j in range(dim):  # sequential left fold, as norm()
         kn_acc += cmat[:, j] * cmat[:, j]
@@ -608,6 +614,10 @@ def pq_train_codebooks_np(
     """
     from hive_plan_service_spark.operators.kmeans import kmeans_integer_np
 
+    # Size scan/cache/Arrow buffers for the FULL-width corpus rows the
+    # subvector explode reads (kmeans will recompute from the narrower
+    # subvec width, but the ratchet only ever moves down) — invariant 27
+    apply_wide_row_conf(corpus.sparkSession, dim * 8)
     subs = corpus.select(
         F.col(id_col),
         F.posexplode(_subvectors(F.col(vec), subspaces, dim)).alias(
@@ -716,6 +726,9 @@ def pq_encode_np(
     for r in book_rows:
         cb[r["s"], r["code"]] = r["centroid"]
 
+    # Arrow/cache batches sized for the full-width corpus rows the
+    # kernel consumes (invariant 27)
+    apply_wide_row_conf(corpus.sparkSession, dim * 8)
     src = corpus.select(F.col(id_col).alias("_pid"), F.col(vec).alias("_v"))
     id_type = src.schema["_pid"].dataType.simpleString()
 

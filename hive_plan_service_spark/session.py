@@ -145,6 +145,14 @@ def heap_scaled_rows(
         heap = parse_mem(spark.conf.get("spark.driver.memory", "1g"))
         cores = spark.sparkContext.defaultParallelism
     rows = int(heap * budget_fraction / max(1, cores) / max(1, row_bytes))
+    # G1 humongous guard: a single buffer at or above half a G1 region
+    # (region = clamp(heap/2048, 1 MiB, 32 MiB)) is a "humongous"
+    # allocation, which needs contiguous regions and fails under
+    # GCLocker pressure (snappy/Arrow JNI critical sections) long
+    # before the heap is actually full — the r6 certification's OOMs
+    # were all multi-MiB buffer allocations on a heap with free space.
+    region = max(1 << 20, min(32 << 20, heap // 2048))
+    rows = min(rows, (region // 2) // max(1, row_bytes))
     return max(floor, min(cap, rows))
 
 
@@ -172,6 +180,50 @@ def arrow_batch_rows(
         spark, row_bytes,
         budget_fraction=budget_fraction, floor=floor, cap=cap,
     )
+
+
+def apply_wide_row_conf(spark: SparkSession, row_bytes: int) -> dict:
+    """Ratchet the per-task UNMANAGED row-buffer sizes DOWN (never
+    up) to the heap-safe value for ``row_bytes``-wide rows.
+
+    Invariant 27: neither buffer is Spark execution memory, so neither
+    can spill — they must be sized from heap and task concurrency.
+
+    * ``spark.sql.execution.arrow.maxRecordsPerBatch`` — Arrow transfer
+      batches for Pandas-UDF stages (JNI-pinned; the r6 spill
+      certification's GCLocker OOM at 4 GiB: 32 tasks × ~30 MB batches
+      of 768 floats).
+    * ``spark.sql.inMemoryColumnarStorage.batchSize`` — the columnar
+      cache builder behind ``persist()`` grows plain ByteBuffers per
+      column per in-flight batch (``ColumnBuilder.ensureFreeSpace``,
+      the r6 certification's second OOM, in the kmeans training cache).
+    * ``spark.sql.parquet.columnarReaderBatchSize`` — the vectorized
+      parquet reader materializes a ColumnarBatch per in-flight scan
+      task (the certification's third OOM site, reading the wide
+      corpus back under snappy's GC-critical JNI sections).
+
+    Sticky on the session by design: lazy DataFrames returned by the
+    wide operators read the conf at ACTION time, so a scoped
+    set-and-restore would silently revert before execution. Ratcheting
+    down only means a user's explicit lower setting is always honored,
+    and on production-sized heaps the computed value is the default
+    10,000 — a no-op. Returns the effective values for probes/tests.
+    """
+    out = {}
+    for key, cap in (
+        ("spark.sql.execution.arrow.maxRecordsPerBatch", 10_000),
+        ("spark.sql.inMemoryColumnarStorage.batchSize", 10_000),
+        # the vectorized parquet reader's ColumnarBatch is the same
+        # unmanaged per-task class (default 4096 rows — ~12 MB per
+        # in-flight task at 768 float dims)
+        ("spark.sql.parquet.columnarReaderBatchSize", 4_096),
+    ):
+        safe = heap_scaled_rows(spark, row_bytes, cap=cap)
+        cur = int(spark.conf.get(key))
+        if safe < cur:
+            spark.conf.set(key, str(safe))
+        out[key] = min(safe, cur)
+    return out
 
 
 def tune(spark: SparkSession) -> SparkSession:

@@ -39,7 +39,7 @@ def parse_mem(s: str) -> int:
 def safe_parquet_block_bytes(
     spark: SparkSession,
     *,
-    heap_budget_fraction: float = 0.25,
+    heap_budget_fraction: float = 0.03125,
     floor: int = 1 << 20,
     cap: int = 128 << 20,
 ) -> int:
@@ -49,6 +49,15 @@ def safe_parquet_block_bytes(
     Local mode: the driver heap is the executor heap and every core may
     write at once. Cluster mode: per-executor heap / executor cores —
     the same rule, read from the session conf.
+
+    The fraction budgets the READ side too, which is why it is small:
+    a row group is also the atomic read unit — the parquet reader's
+    vectored IO allocates the whole column-chunk range per in-flight
+    task (the r6 certification observed the exact write-time block size
+    reappear as a GCLocker-starved read allocation), and snappy JNI
+    holds GC-critical sections while it decompresses. At 1/32 the 4 GiB
+    certification heap gets ~4 MiB row groups; any heap ≥ 128 GiB
+    keeps the scan-efficient 128 MiB default.
     """
     conf = spark.conf
     try:

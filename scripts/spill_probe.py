@@ -135,15 +135,11 @@ def _run_workload(name: str, mult: int, heap: str, fraction: str,
     elif name == "pq":
         from scripts.pq_dim_probe import widened_corpus, SUBSPACES, CODES, DIM
         from hive_plan_service_spark.operators import vectors as vx
-        from hive_plan_service_spark.session import arrow_batch_rows
 
-        # wide-row Arrow batches sized to the constrained heap (a
-        # 10k-row default batch of 768 floats is ~30 MB of JNI-pinned
-        # allocation per in-flight task — the observed GCLocker OOM)
-        spark.conf.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch",
-            str(arrow_batch_rows(spark, DIM * 8)),
-        )
+        # No conf set here ON PURPOSE: the certification is that the
+        # wide-row operators size their own unmanaged buffers
+        # (session.apply_wide_row_conf inside the twins, heap-safe row
+        # groups inside widened_corpus's write) with no caller help.
         unit, path = widened_corpus(spark, mult)
         cleanup.append(path)
         t0 = time.perf_counter()  # corpus synthesis excluded

@@ -76,6 +76,29 @@ def test_live_epochs_selection_is_exactly_once(state):
     assert covered == set(range(n)), (values, base, live)
 
 
+def test_live_epochs_high_epoch_count_longevity():
+    """Long-lived store (r5 VERDICT #6): 2,000 epochs, compaction every
+    8th epoch (250 bases), GC lazy enough that EVERY superseded base and
+    half the folded raws still linger. The read rule must still pick the
+    newest base + exactly the raws beyond its coverage — and stay O(n)
+    driver-side arithmetic (directory values in, ints out).
+
+    The 200-epoch Spark-backed twin (scripts/epoch_longevity_probe.py)
+    checks the same rule against real parquet with truth recomputes;
+    this pins the pure algebra at 10× that history length.
+    """
+    n = 2000
+    compactions = list(range(7, n, 8))  # 7, 15, ..., 1999
+    newest = max(compactions)
+    values = set(range(n)) | {epoch_store.base_epoch(c) for c in compactions}
+    # lazy GC: drop only every other folded raw; keep all stale bases
+    values -= {e for e in range(0, newest + 1, 2)}
+    base, live = epoch_store.live_epochs(sorted(values))
+    assert base == epoch_store.base_epoch(newest)
+    assert live == list(range(newest + 1, n))
+    assert set(range(newest + 1)) | set(live) == set(range(n))
+
+
 def test_live_epochs_exhaustive_small_histories():
     """EXHAUSTIVE check for n ≤ 6: every compaction subset × every
     partial-GC state. The read rule has no size-dependent branches, so

@@ -52,6 +52,36 @@ def test_write_heap_safe_roundtrip(spark, tmp_path):
     assert back.agg({"id": "sum"}).collect()[0][0] == 499500
 
 
+def test_apply_wide_row_conf_ratchets_down_only(spark):
+    """The sticky session conf may only move DOWN toward the heap-safe
+    value — a user's explicit lower setting is never raised, and on a
+    roomy heap the computed value equals the defaults (no-op)."""
+    from hive_plan_service_spark.session import apply_wide_row_conf
+
+    keys = (
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+        "spark.sql.inMemoryColumnarStorage.batchSize",
+        "spark.sql.parquet.columnarReaderBatchSize",
+    )
+    before = {k: spark.conf.get(k) for k in keys}
+    try:
+        # explicit user setting below any computed value must survive
+        for k in keys:
+            spark.conf.set(k, "100")
+        eff = apply_wide_row_conf(spark, 768 * 8)
+        assert all(v == 100 for v in eff.values())
+        assert all(spark.conf.get(k) == "100" for k in keys)
+        # from the defaults, the conf can only shrink (or stay)
+        for k in keys:
+            spark.conf.set(k, "10000")
+        eff = apply_wide_row_conf(spark, 1 << 30)  # absurdly wide
+        assert all(v == 256 for v in eff.values())  # heap_scaled floor
+        assert all(spark.conf.get(k) == "256" for k in keys)
+    finally:
+        for k, v in before.items():
+            spark.conf.set(k, v)
+
+
 def test_arrow_batch_rows_scales_with_row_width(spark):
     """Wide rows shrink the Arrow batch (JNI-pinned, unmanaged — the
     same class as parquet writer buffers); narrow rows keep the 10k
