@@ -98,6 +98,41 @@ def fold_counter_batch(value: int, batch) -> int:
     return value
 
 
+def stateful_counter_transform(
+    spark: SparkSession, events_path: str
+) -> DataFrame:
+    """The B24 streaming transform WITHOUT a sink: the keyed
+    ``applyInPandasWithState`` fold as a streaming DataFrame, so
+    callers choose the sink and checkpoint. ``stateful_counter_stream``
+    drives it to completion on an ephemeral checkpoint (the registered
+    query); ``scripts/restart_probe.py`` drives it across a real
+    checkpointed stop/restart to certify state-store reload."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ce = counter_events_from(events_stream(spark, events_path)).withColumn(
+        "k", F.lit(1)
+    )
+
+    def fold(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        value, seq = state.get if state.exists else (0, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"], ignore_index=True)
+        value = fold_counter_batch(value, batch)
+        seq += 1
+        state.update((value, seq))
+        yield pd.DataFrame({"seq": [seq], "joined_count": [value]})
+
+    return ce.groupBy("k").applyInPandasWithState(
+        fold,
+        outputStructType="seq bigint, joined_count bigint",
+        stateStructType="value bigint, seq bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stateful_counter_stream(spark: SparkSession, events_path: str) -> DataFrame:
     """B24 via ``applyInPandasWithState``: the counter as a keyed stateful op.
 
@@ -120,30 +155,7 @@ def stateful_counter_stream(spark: SparkSession, events_path: str) -> DataFrame:
     (``_EFFECTFUL``), so the ban stays crisp: JVM-side everywhere except
     where Python IS the operator under test (B24/B26/B30).
     """
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    ce = counter_events_from(events_stream(spark, events_path)).withColumn(
-        "k", F.lit(1)
-    )
-
-    def fold(key, pdfs, state: "GroupState"):
-        import pandas as pd
-
-        value, seq = state.get if state.exists else (0, 0)
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts", "event_id"], ignore_index=True)
-        value = fold_counter_batch(value, batch)
-        seq += 1
-        state.update((value, seq))
-        yield pd.DataFrame({"seq": [seq], "joined_count": [value]})
-
-    out = ce.groupBy("k").applyInPandasWithState(
-        fold,
-        outputStructType="seq bigint, joined_count bigint",
-        stateStructType="value bigint, seq bigint",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    out = stateful_counter_transform(spark, events_path)
 
     from hive_plan_service_spark.streaming.windows import run_to_completion
 
@@ -154,8 +166,9 @@ def stateful_counter_stream(spark: SparkSession, events_path: str) -> DataFrame:
         # log (A12) — replay the batch fold over zero commands so the
         # stream and batch forms agree on first boot (empty-fixture
         # sweep, ROUND5_NOTES §13)
+        empty_ce = counter_events_from(events_stream(spark, events_path))
         return current_counter_value(
-            spark.createDataFrame([], ce.drop("k").schema)
+            spark.createDataFrame([], empty_ce.schema)
         )
     last = emitted.orderBy(F.col("seq").desc()).limit(1)
     return last.select(F.col("joined_count").cast("bigint").alias("joined_count"))

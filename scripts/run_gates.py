@@ -18,6 +18,7 @@ Gates (names usable with --skip / --only, comma-separated):
     hostile  python scripts/hostile_probe.py                  (content)
     nulls    python scripts/hostile_probe.py --nulls
     empty    python scripts/hostile_probe.py --empty
+    restart  python scripts/restart_probe.py  (crash/replay + state reload)
 
 Exit 0 iff every executed gate passed. Each gate runs in its own
 subprocess (its own JVM) so a crashed session can't poison the rest.
@@ -41,6 +42,7 @@ GATES: dict[str, list[str]] = {
     "hostile": [sys.executable, "scripts/hostile_probe.py"],
     "nulls": [sys.executable, "scripts/hostile_probe.py", "--nulls"],
     "empty": [sys.executable, "scripts/hostile_probe.py", "--empty"],
+    "restart": [sys.executable, "scripts/restart_probe.py"],
 }
 
 #: per-gate env overrides (bench runs the contract scale)
