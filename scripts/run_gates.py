@@ -19,6 +19,7 @@ Gates (names usable with --skip / --only, comma-separated):
     nulls    python scripts/hostile_probe.py --nulls
     empty    python scripts/hostile_probe.py --empty
     restart  python scripts/restart_probe.py  (crash/replay + state reload)
+    smallfiles python scripts/small_files_probe.py (2000-file layouts)
 
 Exit 0 iff every executed gate passed. Each gate runs in its own
 subprocess (its own JVM) so a crashed session can't poison the rest.
@@ -43,6 +44,7 @@ GATES: dict[str, list[str]] = {
     "nulls": [sys.executable, "scripts/hostile_probe.py", "--nulls"],
     "empty": [sys.executable, "scripts/hostile_probe.py", "--empty"],
     "restart": [sys.executable, "scripts/restart_probe.py"],
+    "smallfiles": [sys.executable, "scripts/small_files_probe.py"],
 }
 
 #: per-gate env overrides (bench runs the contract scale)
