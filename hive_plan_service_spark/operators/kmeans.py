@@ -310,7 +310,12 @@ def kmeans_integer_np(
                             "(input outside the documented |x| < 8 bound)"
                         )
                     pids = pdf["_pid"].to_numpy()
-                    gb = pdf.groupby(list(group_cols), sort=False).indices
+                    # dropna=False: a NULL group key is a real window
+                    # partition on the Column path — dropping it here
+                    # would silently diverge
+                    gb = pdf.groupby(
+                        list(group_cols), sort=False, dropna=False
+                    ).indices
                     for key, idx in gb.items():
                         key_t = key if isinstance(key, tuple) else (key,)
                         cp = best.get(key_t)
