@@ -202,3 +202,34 @@ def test_grouped_training_matches_independent_runs(spark, training):
         )
         for key, val in solo.items():
             assert joint[key] == val
+
+
+def test_kmeans_np_twin_degenerate_inputs(spark):
+    """The streaming seed kernel (r6: replaced the grouped window sort)
+    must match the Column trainer on the degenerate ends too: an EMPTY
+    grouped corpus yields zero centroids on both paths, and a
+    single-row group seeds and trains identically."""
+    from hive_plan_service_spark.operators.kmeans import kmeans_integer_np
+
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, s int, vec array<double>"
+    )
+    a = kmeans_integer_np(
+        empty, k=2, dim=2, iters=2, vec="vec", group_cols=("s",)
+    ).collect()
+    b = kmeans_integer(
+        empty, k=2, dim=2, iters=2, vec="vec", group_cols=("s",)
+    ).collect()
+    assert a == [] and b == []
+
+    one = spark.createDataFrame(
+        [(0, 0, [1.0, 2.0])], "vec_id bigint, s int, vec array<double>"
+    )
+    a = kmeans_integer_np(
+        one, k=3, dim=2, iters=2, vec="vec", group_cols=("s",)
+    ).collect()
+    b = kmeans_integer(
+        one, k=3, dim=2, iters=2, vec="vec", group_cols=("s",)
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 1
