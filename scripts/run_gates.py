@@ -20,6 +20,7 @@ Gates (names usable with --skip / --only, comma-separated):
     empty    python scripts/hostile_probe.py --empty
     restart  python scripts/restart_probe.py  (crash/replay + state reload)
     smallfiles python scripts/small_files_probe.py (2000-file layouts)
+    concurrency python scripts/concurrency_probe.py (50 queries, 8 threads)
 
 Exit 0 iff every executed gate passed. Each gate runs in its own
 subprocess (its own JVM) so a crashed session can't poison the rest.
@@ -45,6 +46,7 @@ GATES: dict[str, list[str]] = {
     "empty": [sys.executable, "scripts/hostile_probe.py", "--empty"],
     "restart": [sys.executable, "scripts/restart_probe.py"],
     "smallfiles": [sys.executable, "scripts/small_files_probe.py"],
+    "concurrency": [sys.executable, "scripts/concurrency_probe.py"],
 }
 
 #: per-gate env overrides (bench runs the contract scale)
