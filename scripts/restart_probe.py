@@ -26,7 +26,10 @@ Part B — stateful counter (applyInPandasWithState, engine state store):
   2. add 6 files, restart from the checkpoint: the state store must
      RELOAD (per-key seq continues past phase 1 — not recomputed from
      zero) and only the new files may be processed; the final value
-     must equal the batch fold over all 12 files.
+     must equal the batch fold over all 12 files;
+  3. the whole of part B runs twice — default HDFS-backed provider and
+     RocksDBStateStoreProvider (the provider the decision helper picks
+     at 100 TB state rates) — both must reload identically.
 
 Usage: python scripts/restart_probe.py
 Prints JSON rows per phase and one summary; exit 1 on any divergence.
@@ -177,15 +180,33 @@ def make_counter_batch(spark, epoch: int):
     )
 
 
-def part_b(spark, work: str) -> None:
+def part_b(spark, work: str, *, provider: str | None = None,
+           tag: str = "") -> None:
     from hive_plan_service_spark.operators.counter import current_counter_value
     from hive_plan_service_spark.sources.catalog import counter_events_from
     from hive_plan_service_spark.streaming.counter import (
         stateful_counter_transform,
     )
 
-    feed = os.path.join(work, "feed_b")
-    ckpt = os.path.join(work, "ckpt_b")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    if provider:
+        # the alternate provider the decision helper picks at 100 TB
+        # state rates (streaming/windows.choose_state_store_provider)
+        # must ALSO reload across a restart
+        spark.conf.set(key, provider)
+    try:
+        _part_b_body(spark, work, current_counter_value,
+                     counter_events_from, stateful_counter_transform, tag)
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _part_b_body(spark, work, current_counter_value, counter_events_from,
+                 stateful_counter_transform, tag: str) -> None:
+
+    feed = os.path.join(work, f"feed_b{tag}")
+    ckpt = os.path.join(work, f"ckpt_b{tag}")
 
     def add_files(epochs) -> None:
         for e in epochs:
@@ -193,7 +214,7 @@ def part_b(spark, work: str) -> None:
                 "append"
             ).parquet(feed)
 
-    out_dir = os.path.join(work, "out_b")
+    out_dir = os.path.join(work, f"out_b{tag}")
 
     def drive(run_tag: str):
         # the memory sink refuses checkpoint recovery — a restartable
@@ -226,21 +247,21 @@ def part_b(spark, work: str) -> None:
         ).collect()[0]["joined_count"]
 
     add_files(range(6))
-    rows1 = drive("hpss_restart_b1")
+    rows1 = drive(f"hpss_restart{tag}_b1")
     v1, s1 = rows1[-1]["joined_count"], rows1[-1]["seq"]
-    check(v1 == batch_truth(), "B1: phase-1 stream value equals batch fold")
+    check(v1 == batch_truth(), f"B1{tag}: phase-1 stream value equals batch fold")
 
     add_files(range(6, 12))
-    rows2 = drive("hpss_restart_b2")
+    rows2 = drive(f"hpss_restart{tag}_b2")
     v2, seqs2 = rows2[-1]["joined_count"], [r["seq"] for r in rows2]
-    check(v2 == batch_truth(), "B2: post-restart value equals batch fold over all files")
+    check(v2 == batch_truth(), f"B2{tag}: post-restart value equals batch fold over all files")
     check(
         min(seqs2) == s1 + 1,
-        f"B2: state RELOADED from checkpoint (seq continues {s1}→{min(seqs2)})",
+        f"B2{tag}: state RELOADED from checkpoint (seq continues {s1}→{min(seqs2)})",
     )
     check(
         len(seqs2) <= 6,
-        f"B2: only new files processed after restart ({len(seqs2)} batches)",
+        f"B2{tag}: only new files processed after restart ({len(seqs2)} batches)",
     )
 
 
@@ -250,6 +271,14 @@ def main() -> None:
     try:
         part_a(spark, work)
         part_b(spark, work)
+        part_b(
+            spark, work,
+            provider=(
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            ),
+            tag="_rocksdb",
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
     print(
