@@ -46,7 +46,9 @@ if REPO_ROOT not in sys.path:
 
 #: (workload, default mult) — mults sized so each leg stresses a 4 GiB
 #: heap without running for tens of minutes (raise via --mult).
-DEFAULT_MULTS = {"tpch": 1, "dedup": 40, "pq": 500, "join": 100}
+DEFAULT_MULTS = {
+    "tpch": 1, "dedup": 40, "pq": 500, "join": 100, "curation": 40,
+}
 
 
 def parse_event_log(log_dir: str) -> dict:
@@ -149,6 +151,17 @@ def _run_workload(name: str, mult: int, heap: str, fraction: str,
         rows = vx.pq_encode_np(
             unit, books, subspaces=SUBSPACES, dim=DIM
         ).count()
+    elif name == "curation":
+        from scripts.scale_probe import multiplied_docs
+        from hive_plan_service_spark.plans.llm_ops import (
+            llm_corpus_clean_pipeline,
+        )
+
+        corpus, path = multiplied_docs(spark, mult)
+        cleanup.append(path)
+        corpus.createOrReplaceTempView("documents")
+        t0 = time.perf_counter()  # corpus synthesis excluded
+        rows = llm_corpus_clean_pipeline(spark, sf_dir).count()
     elif name == "join":
         from scripts.streaming_probe import (
             replicated_events,
@@ -202,7 +215,7 @@ def main() -> None:
     if not args.all:
         ap.error("pass --all or --workload NAME")
     results = []
-    for name in ("tpch", "dedup", "pq", "join"):
+    for name in ("tpch", "dedup", "pq", "join", "curation"):
         cmd = [sys.executable, os.path.abspath(__file__),
                "--workload", name,
                "--mult", str(args.mult or DEFAULT_MULTS[name]),
