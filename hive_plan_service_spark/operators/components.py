@@ -31,15 +31,26 @@ def connected_components(
     Deterministic: labels are vertex-id minima, independent of execution
     order.
     """
+    # Materialize the DIRECTED edges before the symmetrizing union: the
+    # union's two branches are two instances of the caller's whole
+    # edge-producing pipeline, so un-materialized they EXECUTE twice in
+    # one stage — r6 measured the capped dedup composition spending
+    # 43 s of 57 s re-running its shingle+intersect verify once per
+    # union branch (on an AQE-coalesced 2-task read, compounding it).
+    # Edge rows are tiny (two ids + weights); this checkpoint is cheap
+    # for every caller and cuts the duplicated-subtree class at the
+    # operator boundary (invariant 24 applied to the caller's input).
+    e0 = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         # materialize ONCE: sym is joined every propagation round, and
-        # without the checkpoint each round re-executes the whole edge-
-        # producing pipeline upstream (for the LSH-verify dedup graph
-        # that pipeline alone is ~2.7 s at sf0.1 — the un-checkpointed
-        # loop measured 20.5 s vs 4.9 s fixed, r4)
+        # without the checkpoint each round re-executes the union above
+        # (for the LSH-verify dedup graph the upstream pipeline alone
+        # was ~2.7 s at sf0.1 — the un-checkpointed loop measured
+        # 20.5 s vs 4.9 s fixed, r4)
         .localCheckpoint(eager=True)
     )
     labels = (

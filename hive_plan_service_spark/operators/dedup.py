@@ -146,21 +146,42 @@ def jaccard_verify_pairs(
     Cost is O(candidate pairs × shingles/doc), never the all-pairs
     shingle self-join.
     """
+    from hive_plan_service_spark.session import default_parallelism
+
     pairs = candidates.select("doc_a", "doc_b")
-    txt = docs.select(F.col(id_col), F.col(text_col))
-    a = txt.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta"))
-    b = txt.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb"))
-    # no broadcast hint: the candidate set is O(near-dups) — usually tiny,
-    # but unbounded in the worst case; AQE broadcasts it only while it fits
-    joined = (
-        pairs.join(a, "doc_a").join(b, "doc_b")
+    # Build each candidate DOC's shingle array ONCE, below a
+    # join/exchange barrier — never as a lambda expression the jaccard
+    # filter can inline (invariant 13, measured r6 on the 8× capped-
+    # cluster shape): written as `join texts then project shingles`,
+    # the filter collapses into the text join's CONDITION with the
+    # whole shingle build inlined ~3× per side per pair, the now-
+    # redundant width pin is optimizer-removed against the candidate
+    # dedup's same-key exchange, and AQE (bytes-blind to per-row CPU)
+    # coalesces that to ONE task — 43 s of the 58 s total. Here the
+    # string-heavy shingle build runs per candidate DOC at scan width
+    # and materializes at the join boundary (broadcast build or
+    # shuffle write — both are expression barriers); only the cheap
+    # array-intersect over materialized arrays can be inlined into the
+    # join condition. The semi-join keeps the array build O(candidate
+    # docs), not O(corpus) — at 100 TB candidates are the small side.
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        docs.join(cand_ids, id_col, "left_semi")
+        .repartition(default_parallelism(), id_col)
         .select(
-            "doc_a",
-            "doc_b",
-            shingles(tokens("_ta"), n).alias("_sa"),
-            shingles(tokens("_tb"), n).alias("_sb"),
+            F.col(id_col),
+            shingles(tokens(F.col(text_col)), n).alias("_sh"),
         )
     )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sa"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sb"))
+    # no broadcast hint: the candidate set is O(near-dups) — usually tiny,
+    # but unbounded in the worst case; AQE broadcasts it only while it fits
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
     # size/intersect re-evaluation after CollapseProject inlining is fine
     # here: it is per-CANDIDATE work, not per-corpus (invariant 4 guards
     # the per-shingle sketch stages, not this verify tail)
