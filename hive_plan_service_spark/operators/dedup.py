@@ -137,14 +137,16 @@ def jaccard_verify_pairs(
 
     The scale shape for exact-threshold dedup: a high-recall LSH pass
     proposes pairs, then this verifies each against the true shingle
-    sets. The candidate subtree appears exactly ONCE in the plan (an LSH
-    candidate set is itself a multi-stage job — referencing it N times
-    re-runs it N times), and the two joins against ``docs`` carry only
-    (id, text): shingle sets are computed AFTER the join, on candidate
-    rows only, as JVM array algebra (``array_intersect`` over the
+    sets. The candidate relation is referenced three times (pairs +
+    both legs of the candidate-id semi-join), all reading ONE shared
+    exchange — the LSH pipeline ends in its dedup shuffle, so Spark's
+    ReusedExchange serves every reference; the multi-stage candidate
+    job still executes once. Shingle sets are built per candidate DOC
+    below the pair join (see the inline invariant-13 note), and the
+    per-pair work is JVM array algebra (``array_intersect`` over the
     distinct-shingle arrays ≡ the exact join's per-pair common count).
-    Cost is O(candidate pairs × shingles/doc), never the all-pairs
-    shingle self-join.
+    Cost is O(candidate docs × shingles/doc + candidate pairs ×
+    intersect), never the all-pairs shingle self-join.
     """
     from hive_plan_service_spark.session import default_parallelism
 
