@@ -179,10 +179,20 @@ def jaccard_verify_pairs(
             shingles(tokens(F.col(text_col)), n).alias("_sh"),
         )
     )
-    a = sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sa"))
-    b = sh.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sb"))
-    # no broadcast hint: the candidate set is O(near-dups) — usually tiny,
-    # but unbounded in the worst case; AQE broadcasts it only while it fits
+    # merge hints: BOTH relations here are SF-proportional (invariant
+    # 9), and the static planner must not be allowed to broadcast
+    # either — the semi-join above wrecks the optimizer's size estimate
+    # for the array side, and a statically-planned BroadcastExchange
+    # materializes BEFORE any runtime stats exist (AQE cannot save it:
+    # the r6 scale probe died collecting ~1 GiB of shingle arrays to
+    # the driver at 200k docs). A shuffle join is the only shape that
+    # holds at every scale; at fixture scale it costs milliseconds.
+    a = sh.select(
+        F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sa")
+    ).hint("merge")
+    b = sh.select(
+        F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sb")
+    ).hint("merge")
     joined = pairs.join(a, "doc_a").join(b, "doc_b")
     # size/intersect re-evaluation after CollapseProject inlining is fine
     # here: it is per-CANDIDATE work, not per-corpus (invariant 4 guards
