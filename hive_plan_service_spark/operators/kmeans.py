@@ -318,6 +318,13 @@ def kmeans_integer_np(
                     ).indices
                     for key, idx in gb.items():
                         key_t = key if isinstance(key, tuple) else (key,)
+                        # pandas surfaces a Spark NULL key as NaN/NaT
+                        # (numeric/datetime dtypes) but the Arrow-cast
+                        # collect and the Column path both see None —
+                        # normalize here so the three agree (r6 ADVICE)
+                        key_t = tuple(
+                            None if pd.isna(v) else v for v in key_t
+                        )
                         cp = best.get(key_t)
                         np_pids, np_q = pids[idx], qx[idx]
                         if cp is not None:
@@ -381,7 +388,11 @@ def kmeans_integer_np(
                 grown[: arr.shape[0]] = arr
                 cents[key] = arr = grown
             arr[r["code"]] = r["_q"]
-        gkeys = sorted(cents)  # stable group index for the partial rows
+        # stable group index for the partial rows; None-safe key because
+        # tuples containing a NULL group key are unorderable (r6 ADVICE)
+        gkeys = sorted(
+            cents, key=lambda t: tuple((v is not None, v) for v in t)
+        )
         gindex = {key: i for i, key in enumerate(gkeys)}
 
         def _partials_stage(cb_list):
@@ -412,8 +423,21 @@ def kmeans_integer_np(
                         )
                     if group_cols:
                         keys = pd.MultiIndex.from_frame(pdf[list(group_cols)])
+                        # same NaN→None normalization as the seed kernel:
+                        # gindex is keyed by the Arrow-cast driver rows
+                        # where a NULL key is None, never NaN (r6 ADVICE)
                         gi_rows = np.fromiter(
-                            (gindex[t] for t in keys), dtype=np.int64, count=len(pdf)
+                            (
+                                gindex[
+                                    tuple(
+                                        None if pd.isna(v) else v
+                                        for v in t
+                                    )
+                                ]
+                                for t in keys
+                            ),
+                            dtype=np.int64,
+                            count=len(pdf),
                         )
                     else:
                         gi_rows = np.zeros(len(pdf), dtype=np.int64)

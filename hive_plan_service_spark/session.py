@@ -134,15 +134,24 @@ def heap_scaled_rows(
     (:func:`arrow_batch_rows`) and the columnar cache builder
     (operators/kmeans.py); parquet writer row groups use the byte-level
     twin ``sources/writers.safe_parquet_block_bytes``."""
-    from hive_plan_service_spark.sources.writers import parse_mem
+    from hive_plan_service_spark.sources.writers import (
+        is_plain_local,
+        jvm_heap_bytes,
+        parse_mem,
+    )
 
     try:
         heap = parse_mem(spark.conf.get("spark.executor.memory"))
         cores = int(spark.conf.get("spark.executor.cores", "1"))
     except Exception:
         heap, cores = None, None
-    if spark.sparkContext.master.startswith("local") or heap is None:
-        heap = parse_mem(spark.conf.get("spark.driver.memory", "1g"))
+    master = spark.sparkContext.master
+    if is_plain_local(master) or heap is None:
+        # plain local (driver == executor): the running JVM's real -Xmx,
+        # not the often-unset driver conf (r6 VERDICT #5). local-cluster
+        # and real clusters size from spark.executor.memory above.
+        heap = (jvm_heap_bytes(spark) if is_plain_local(master) else None) \
+            or parse_mem(spark.conf.get("spark.driver.memory", "1g"))
         cores = spark.sparkContext.defaultParallelism
     rows = int(heap * budget_fraction / max(1, cores) / max(1, row_bytes))
     # G1 humongous guard: a single buffer at or above half a G1 region

@@ -36,6 +36,28 @@ def parse_mem(s: str) -> int:
     return int(m.group(1)) * _UNITS.get(m.group(2), 1 << 20)
 
 
+def is_plain_local(master: str) -> bool:
+    """``local[...]`` where driver == executor (one JVM). NOT
+    ``local-cluster[...]`` — that mode runs separate executor JVMs whose
+    heap is ``spark.executor.memory``, never the driver's."""
+    return master.startswith("local") and not master.startswith("local-cluster")
+
+
+def jvm_heap_bytes(spark: SparkSession) -> int | None:
+    """Actual ``-Xmx`` of the RUNNING driver JVM via
+    ``Runtime.getRuntime().maxMemory()`` (r6 VERDICT #5): on a
+    driver-provided plain session ``spark.driver.memory`` is often unset
+    and the old "1g" default under-estimated a roomy heap, shrinking row
+    groups/batches far more than needed. maxMemory() reads the launch
+    ``-Xmx`` (minus one survivor space — slightly conservative, the safe
+    direction). Only meaningful for the plain-local path where driver ==
+    executor; returns None if the gateway call fails."""
+    try:
+        return int(spark.sparkContext._jvm.Runtime.getRuntime().maxMemory())
+    except Exception:
+        return None
+
+
 def safe_parquet_block_bytes(
     spark: SparkSession,
     *,
@@ -66,8 +88,12 @@ def safe_parquet_block_bytes(
     except Exception:
         heap, cores = None, None
     master = spark.sparkContext.master
-    if master.startswith("local") or heap is None:
-        heap = parse_mem(conf.get("spark.driver.memory", "1g"))
+    if is_plain_local(master) or heap is None:
+        # plain local: the running JVM's real -Xmx beats the conf (which
+        # a driver-provided session may never set); non-local with no
+        # executor conf keeps the conservative driver-conf fallback
+        heap = (jvm_heap_bytes(spark) if is_plain_local(master) else None) \
+            or parse_mem(conf.get("spark.driver.memory", "1g"))
         cores = spark.sparkContext.defaultParallelism
     budget = int(heap * heap_budget_fraction / max(1, cores))
     return max(floor, min(cap, budget))

@@ -126,15 +126,20 @@ def main() -> None:
 
     registry = all_queries()
 
-    def dedup_capped():
+    # view swap/restore live OUTSIDE the timed region (r6 ADVICE: the
+    # finally-block register_tables ran inside the perf_counter bracket,
+    # polluting the round-over-round numbers this artifact exists for)
+    def dedup_setup():
         # override the documents view with the multiplied corpus
         # (register_tables is idempotent per (session, sf_dir): the
         # composition's internal call resolves this override)
         spark.read.parquet(docs_path).createOrReplaceTempView("documents")
-        try:
-            return dedup_clusters_production(spark, sf_dir).count()
-        finally:
-            register_tables(spark, sf_dir, force=True)
+
+    def dedup_teardown():
+        register_tables(spark, sf_dir, force=True)
+
+    def dedup_capped():
+        return dedup_clusters_production(spark, sf_dir).count()
 
     def pq_index_build():
         corpus = spark.read.parquet(emb_path)
@@ -164,22 +169,30 @@ def main() -> None:
         ).count()
 
     shapes = {
-        f"dedup_clusters_capped_{DOCS_MULT}x": dedup_capped,
-        f"pq_index_build_np_{EMB_MULT}x": pq_index_build,
-        f"ivf_index_build_np_{EMB_MULT}x": ivf_index_build,
-        "b27_stream_dedup_ingest": stream_ingest,
-        "b24_stateful_counter_applyinpandas": stateful_counter,
+        f"dedup_clusters_capped_{DOCS_MULT}x": (
+            dedup_capped, dedup_setup, dedup_teardown
+        ),
+        f"pq_index_build_np_{EMB_MULT}x": (pq_index_build, None, None),
+        f"ivf_index_build_np_{EMB_MULT}x": (ivf_index_build, None, None),
+        "b27_stream_dedup_ingest": (stream_ingest, None, None),
+        "b24_stateful_counter_applyinpandas": (stateful_counter, None, None),
     }
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for name, fn in shapes.items():
-        runs = []
-        for _ in range(2):  # min-of-2; run 1 is the codegen/JIT warm-up
-            t0 = time.perf_counter()
-            rows[name] = fn()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(min(runs), 4)
+    for name, (fn, setup, teardown) in shapes.items():
+        if setup is not None:
+            setup()
+        try:
+            runs = []
+            for _ in range(2):  # min-of-2; run 1 is the codegen/JIT warm-up
+                t0 = time.perf_counter()
+                rows[name] = fn()
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(min(runs), 4)
+        finally:
+            if teardown is not None:
+                teardown()
 
     calibration = bench.calibrate(spark)
     total = round(sum(timings.values()), 4)

@@ -233,3 +233,34 @@ def test_kmeans_np_twin_degenerate_inputs(spark):
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len(a) == 1
+
+    # Mixed NULL and non-NULL group keys (r6 ADVICE): a NULL key is a
+    # real partition on the Column path; the twin's pandas kernels see
+    # it as NaN and its driver merge must sort None-containing tuples.
+    mixed = spark.createDataFrame(
+        [(0, None, [1.0, 2.0]), (1, None, [1.5, 2.5]),
+         (2, 1, [3.0, 3.0]), (3, 1, [3.5, 3.5]), (4, 1, [0.0, 0.0])],
+        "vec_id bigint, s int, vec array<double>",
+    )
+    a = kmeans_integer_np(
+        mixed, k=2, dim=2, iters=2, vec="vec", group_cols=("s",)
+    ).collect()
+    b = kmeans_integer(
+        mixed, k=2, dim=2, iters=2, vec="vec", group_cols=("s",)
+    ).collect()
+    key = lambda r: ((r[0] is not None, r[0]), r[1])
+    assert sorted(map(tuple, a), key=key) == sorted(map(tuple, b), key=key)
+    assert {r["s"] for r in a} == {None, 1}
+
+    # NULL-only group (the partials-kernel KeyError class on its own)
+    nul = spark.createDataFrame(
+        [(0, None, [1.0, 2.0]), (1, None, [2.0, 1.0])],
+        "vec_id bigint, s int, vec array<double>",
+    )
+    a = kmeans_integer_np(
+        nul, k=2, dim=2, iters=2, vec="vec", group_cols=("s",)
+    ).collect()
+    b = kmeans_integer(
+        nul, k=2, dim=2, iters=2, vec="vec", group_cols=("s",)
+    ).collect()
+    assert sorted(map(tuple, a), key=key) == sorted(map(tuple, b), key=key)

@@ -25,6 +25,8 @@ def test_parse_mem_units():
 
 
 def test_block_size_clamps(spark):
+    from hive_plan_service_spark.sources.writers import jvm_heap_bytes
+
     default = safe_parquet_block_bytes(spark)
     assert (1 << 20) <= default <= (128 << 20)
     # a tiny budget fraction must hit the floor, never zero
@@ -32,12 +34,32 @@ def test_block_size_clamps(spark):
     # a huge fraction caps at the parquet default (narrow rows keep the
     # scan-efficient 128 MiB row groups)
     assert safe_parquet_block_bytes(spark, heap_budget_fraction=1e9) == 128 << 20
-    # budget arithmetic: all concurrent writers' buffers fit the fraction
-    import re
-
-    heap = parse_mem(spark.conf.get("spark.driver.memory", "1g"))
+    # budget arithmetic against the ACTUAL defaults (r6 ADVICE: the old
+    # 0.25·heap bound would survive an 8× budget regression): all
+    # concurrent writers' buffers fit the 0.03125 default fraction of
+    # the REAL running-JVM heap, floored at 1 MiB per core
+    heap = jvm_heap_bytes(spark)
+    assert heap is not None and heap > (4 << 30)  # 16g test session
     cores = spark.sparkContext.defaultParallelism
-    assert default * cores <= max(0.25 * heap, cores * (1 << 20))
+    assert default * cores <= max(0.03125 * heap, cores * (1 << 20))
+
+
+def test_block_size_uses_running_jvm_heap(spark, monkeypatch):
+    """r6 VERDICT #5: on a plain-local session the block size must come
+    from Runtime.maxMemory() (the real -Xmx), NOT the often-unset
+    ``spark.driver.memory`` conf whose old "1g" default shrank row
+    groups 16× on a roomy driver-provided session."""
+    import hive_plan_service_spark.sources.writers as wr
+
+    monkeypatch.setattr(wr, "jvm_heap_bytes", lambda s: 256 << 30)
+    cores = spark.sparkContext.defaultParallelism
+    expect = min(128 << 20, int((256 << 30) * 0.03125 / cores))
+    assert wr.safe_parquet_block_bytes(spark) == expect
+    # and the fallback only engages when the gateway read fails
+    monkeypatch.setattr(wr, "jvm_heap_bytes", lambda s: None)
+    heap = parse_mem(spark.conf.get("spark.driver.memory", "1g"))
+    expect = max(1 << 20, min(128 << 20, int(heap * 0.03125 / cores)))
+    assert wr.safe_parquet_block_bytes(spark) == expect
 
 
 def test_write_heap_safe_roundtrip(spark, tmp_path):
