@@ -21,6 +21,10 @@ Gates (names usable with --skip / --only, comma-separated):
     restart  python scripts/restart_probe.py  (crash/replay + state reload)
     smallfiles python scripts/small_files_probe.py (2000-file layouts)
     concurrency python scripts/concurrency_probe.py (50 queries, 8 threads)
+    localcluster python scripts/localcluster_probe.py (separate executor
+             JVMs: 50 canonical + row-identical production shapes, r7)
+    retry    python scripts/retry_probe.py (injected task failures ×4
+             attempts: all 50 canonical + np twins bit-identical, r7)
 
 Exit 0 iff every executed gate passed. Each gate runs in its own
 subprocess (its own JVM) so a crashed session can't poison the rest.
@@ -47,6 +51,8 @@ GATES: dict[str, list[str]] = {
     "restart": [sys.executable, "scripts/restart_probe.py"],
     "smallfiles": [sys.executable, "scripts/small_files_probe.py"],
     "concurrency": [sys.executable, "scripts/concurrency_probe.py"],
+    "localcluster": [sys.executable, "scripts/localcluster_probe.py"],
+    "retry": [sys.executable, "scripts/retry_probe.py"],
 }
 
 #: per-gate env overrides (bench runs the contract scale)
