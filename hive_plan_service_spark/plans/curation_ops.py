@@ -267,7 +267,11 @@ def llm_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, (text || ' ' || source) AS raw FROM documents
       )
       SELECT doc_id,
-             trim(regexp_replace(regexp_replace(lower(raw), '[0-9]+', '<num>', 'g'),
+             -- final-sigma lower emulation (r7 fuzz sweep): Java's
+             -- lower() maps Σ→ς at word end, utf8proc's never does
+             trim(regexp_replace(regexp_replace(lower(regexp_replace(raw,
+                  '(\\p{L})Σ(\\P{L}|$)', '\\1ς\\2', 'g')),
+                  '[0-9]+', '<num>', 'g'),
                   ' +', ' ', 'g')) AS norm_text,
              CAST(len(regexp_extract_all(raw, '[0-9]+')) AS BIGINT) AS n_masked
       FROM t
@@ -730,7 +734,11 @@ MIX_MAX_REP = 0.2
     oracle=f"""
       WITH norm AS (
         SELECT doc_id, lang,
-               trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
+               -- final-sigma lower emulation (r7 fuzz sweep; the
+               -- llm_text_normalize rule)
+               trim(regexp_replace(regexp_replace(lower(regexp_replace(text,
+                    '(\\p{{L}})Σ(\\P{{L}}|$)', '\\1ς\\2', 'g')),
+                    '[0-9]+', '<num>', 'g'),
                     ' +', ' ', 'g')) AS nt
         FROM documents
       ),

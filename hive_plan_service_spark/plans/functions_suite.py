@@ -23,8 +23,12 @@ from hive_plan_service_spark.sources.catalog import register_tables
     "b16_string_functions",
     oracle="""
       SELECT p_partkey,
-             lower(p_name) AS name_lc,
-             upper(p_brand) AS brand_uc,
+             -- Java case mappings (r7 fuzz sweep): lower() is
+             -- context-sensitive for Greek final sigma (Σ→ς at word
+             -- end) and upper('ß')='SS' — utf8proc does neither
+             lower(regexp_replace(p_name,
+               '(\\p{L})Σ(\\P{L}|$)', '\\1ς\\2', 'g')) AS name_lc,
+             upper(replace(p_brand, 'ß', 'ss')) AS brand_uc,
              substr(p_type, 1, 4) AS type_prefix,
              trim('  ' || p_name || '  ') AS trimmed,
              CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
@@ -157,7 +161,9 @@ def b18_math_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_long_words,
              list_contains(string_split(text, ' '), 'spark') AS has_spark,
              COALESCE(array_to_string(
-               list_transform(string_split(text, ' ')[1:3], w -> upper(w)), '-'), '')
+               -- Java upper('ß')='SS', utf8proc 'ẞ' (r7 fuzz sweep)
+               list_transform(string_split(text, ' ')[1:3],
+                 w -> upper(replace(w, 'ß', 'ss'))), '-'), '')
                AS first3_uc,
              CAST(list_sum(list_transform(string_split(text, ' '), w -> len(w))) AS BIGINT)
                AS total_chars

@@ -27,12 +27,27 @@ from hive_plan_service_spark.sources.catalog import register_tables
              translate(p_name, 'aeiou', 'AEIOU') AS voweled,
              CAST(position('widget' IN p_name) AS BIGINT) AS widget_at,
              repeat(left(p_brand, 2), 2) AS brand_echo,
-             reverse(p_type) AS type_rev,
+             -- codepoint-level reverse: DuckDB's reverse() keeps grapheme
+             -- clusters (base + combining marks) intact while Spark
+             -- reverses CODEPOINTS; string_split(x, '') splits per
+             -- codepoint, so reversing the list matches Spark exactly
+             -- (found by the r7 fuzz sweep, seed 20260815)
+             array_to_string(list_reverse(string_split(p_type, '')), '')
+               AS type_rev,
              right(p_name, 6) AS name_tail,
              starts_with(p_type, 'ECON') AS is_econ,
              contains(p_name, 'small') AS has_small,
+             -- initcap emulation with JAVA case semantics (r7 fuzz
+             -- sweep): title-case of 'ß' is the full mapping 'Ss'
+             -- (utf8proc upper gives 'ẞ'), and the lowered remainder
+             -- needs Greek final-sigma context (Σ→ς at word end) —
+             -- sigma-substitute on the WHOLE word first (1:1, slice
+             -- positions unchanged), then slice
              array_to_string(list_transform(string_split(p_name, ' '),
-               w -> upper(w[1]) || lower(w[2:])), ' ') AS name_title
+               w -> CASE WHEN w[1] = 'ß' THEN 'Ss' ELSE upper(w[1]) END ||
+                    lower(regexp_replace(w,
+                      '(\\p{L})Σ(\\P{L}|$)', '\\1ς\\2', 'g')[2:])), ' ')
+               AS name_title
       FROM part
     """,
     doc="levenshtein/translate/position/repeat/reverse/left/right/prefix tests/initcap.",
@@ -75,8 +90,16 @@ def b16_string_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b21_try_cast_safe",
     oracle="""
       SELECT o_orderkey,
-             TRY_CAST(o_orderpriority AS INT) AS prio_int,
-             TRY_CAST(left(o_orderpriority, 1) AS INT) AS prio_digit,
+             -- integral-only guard (the b21_conditional_null rule):
+             -- DuckDB TRY_CAST also parses hex ('0x1F'→31), decimal
+             -- ('42.5'→43) and scientific ('1e3'→1000) strings where
+             -- Spark's try_cast yields NULL for all three (the hex
+             -- class found by the r7 fuzz sweep, seed 20260815)
+             CASE WHEN regexp_matches(trim(o_orderpriority), '^[+-]?[0-9]+$')
+                  THEN TRY_CAST(o_orderpriority AS INT) END AS prio_int,
+             CASE WHEN regexp_matches(left(o_orderpriority, 1), '^[0-9]$')
+                  THEN TRY_CAST(left(o_orderpriority, 1) AS INT) END
+               AS prio_digit,
              CAST(greatest(o_orderkey % 10, 5) AS BIGINT) AS hi,
              CAST(least(o_orderkey % 10, 5) AS BIGINT) AS lo
       FROM orders

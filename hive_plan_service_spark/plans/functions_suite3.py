@@ -97,8 +97,15 @@ def b16_split_part(spark: SparkSession, sf_dir: str) -> DataFrame:
              -- on a NULL array from NULL text) while array_to_string
              -- propagates NULL — NULL-documents sweep, ROUND5_NOTES §13
              COALESCE(array_to_string(flatten([a, b]), ','), '') AS flat,
+             -- '||', never concat: list_zip NULL-pads the shorter side
+             -- and DuckDB's concat SKIPS NULLs ('w:') where Spark's
+             -- propagates (NULL element, dropped by concat_ws) —
+             -- invariant 7's concat rule, resurfaced through zip
+             -- padding on texts with <6 space-separated tokens (r7
+             -- fuzz sweep, seed 20260815; the static content mode
+             -- never mutated documents)
              COALESCE(array_to_string(
-               list_transform(list_zip(a, b), p -> concat(p[1], ':', p[2])), ','), '')
+               list_transform(list_zip(a, b), p -> p[1] || ':' || p[2]), ','), '')
                AS zipped
       FROM t
     """,

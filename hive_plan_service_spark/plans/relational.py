@@ -78,7 +78,9 @@ def b02_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
       SELECT o_orderkey,
              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS doubled,
-             upper(o_orderstatus) AS status_uc,
+             -- Java full case mapping: upper('ß')='SS' where
+             -- utf8proc gives 'ẞ' (r7 fuzz sweep, seed 7)
+             upper(replace(o_orderstatus, 'ß', 'ss')) AS status_uc,
              (o_orderkey % 7 = 0) AS lucky
       FROM orders
     """,

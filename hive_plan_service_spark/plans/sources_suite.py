@@ -36,7 +36,13 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     register_tables(spark, sf_dir)
     from hive_plan_service_spark.session import scratch_root
 
-    out = os.path.join(scratch_root(), f"hpss_src_{fmt}")
+    # UNIQUE sink dir per invocation: a fixed path races when two
+    # sessions (or two threads of one session — the concurrency gate's
+    # 8×50 sweep) run the same roundtrip, overwrite-under-read (seen as
+    # a flaky getResult failure when the r7 fuzz sweep overlapped the
+    # parity suite). 25-row nation writes make the leak negligible and
+    # the scratch root is per-run tmpfs.
+    out = tempfile.mkdtemp(prefix=f"hpss_src_{fmt}_", dir=scratch_root())
     n = spark.table("nation").select("n_nationkey", "n_name", "n_regionkey")
     writer = n.write.mode("overwrite").format(fmt)
     if fmt == "csv":

@@ -1,0 +1,207 @@
+"""Per-stage task-time attribution for a registered query.
+
+The r6 round found 43 s of a 58 s composition hiding in ONE two-task
+stage by summing per-task executor time per stage from the event log
+(ROUND6_NOTES §12) — a pathology invisible to wall-clock timing, which
+charges idle cores to nobody. This makes that methodology a reusable
+tool (r6 VERDICT #4 asks for exactly this pass over
+``llm_corpus_clean_pipeline``).
+
+For each stage of the LAST (warm) run it reports: summed executor run
+time (the real cost — idle-core time shows up as wall >> task_time/NCPU),
+CPU time, task count, the MAX single task (skew/serialization), and
+input / shuffle-read / shuffle-write volumes. A stage whose
+``task_time`` dominates the total is the optimization target; a stage
+whose ``max_task ≈ wall`` while others idle is the serial-bottleneck
+signature the dedup fix removed.
+
+Usage:
+  python scripts/attribution_probe.py [query] [--mult N] [--runs 2]
+      [--sf-dir DIR]
+query defaults to llm_corpus_clean_pipeline; --mult N replicates the
+documents fixture N× as distinct content (invariant 23) to expose
+scale-dependent stages at bench scale.
+Prints one JSON line (stages sorted by task_time desc) after a
+human-readable table.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+
+def parse_stages(log_dir: str, t_min_ms: int) -> list[dict]:
+    """Stage table from a (rolling or flat) plain-JSON event log,
+    restricted to stages submitted at/after ``t_min_ms``."""
+    files: list[str] = []
+    for p in glob.glob(os.path.join(log_dir, "*")):
+        if os.path.isdir(p):
+            files.extend(glob.glob(os.path.join(p, "events_*")))
+        elif not p.endswith(".inprogress"):
+            files.append(p)
+
+    stages: dict[int, dict] = {}
+    for path in sorted(files):
+        with open(path, errors="replace") as f:
+            for line in f:
+                if '"SparkListenerStageCompleted"' in line:
+                    try:
+                        si = json.loads(line)["Stage Info"]
+                    except (json.JSONDecodeError, KeyError):
+                        continue
+                    if si.get("Submission Time", 0) < t_min_ms:
+                        continue
+                    stages[si["Stage ID"]] = {
+                        "stage": si["Stage ID"],
+                        "name": si.get("Stage Name", "")[:80],
+                        "tasks": si.get("Number of Tasks", 0),
+                        "wall_s": round(
+                            (si.get("Completion Time", 0)
+                             - si.get("Submission Time", 0)) / 1e3, 2
+                        ),
+                        "task_time_s": 0.0,
+                        "cpu_s": 0.0,
+                        "max_task_s": 0.0,
+                        "input_mb": 0.0,
+                        "shuf_read_mb": 0.0,
+                        "shuf_write_mb": 0.0,
+                    }
+                elif '"SparkListenerTaskEnd"' in line:
+                    try:
+                        ev = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    sid = ev.get("Stage ID")
+                    st = stages.get(sid)
+                    tm = ev.get("Task Metrics") or {}
+                    if st is None or not tm:
+                        continue
+                    run_s = tm.get("Executor Run Time", 0) / 1e3
+                    st["task_time_s"] += run_s
+                    st["cpu_s"] += tm.get("Executor CPU Time", 0) / 1e9
+                    st["max_task_s"] = max(st["max_task_s"], run_s)
+                    st["input_mb"] += (
+                        (tm.get("Input Metrics") or {}).get("Bytes Read", 0)
+                        / 1024**2
+                    )
+                    srm = tm.get("Shuffle Read Metrics") or {}
+                    st["shuf_read_mb"] += (
+                        srm.get("Remote Bytes Read", 0)
+                        + srm.get("Local Bytes Read", 0)
+                    ) / 1024**2
+                    st["shuf_write_mb"] += (
+                        (tm.get("Shuffle Write Metrics") or {})
+                        .get("Shuffle Bytes Written", 0) / 1024**2
+                    )
+    out = sorted(stages.values(), key=lambda s: -s["task_time_s"])
+    for s in out:
+        for k in ("task_time_s", "cpu_s", "max_task_s", "input_mb",
+                  "shuf_read_mb", "shuf_write_mb"):
+            s[k] = round(s[k], 2)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("query", nargs="?", default="llm_corpus_clean_pipeline")
+    ap.add_argument("--mult", type=int, default=0,
+                    help="replicate documents N x as distinct content")
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from hive_plan_service_spark.session import default_parallelism, get_spark
+    from hive_plan_service_spark.plans.registry import all_queries
+    from hive_plan_service_spark.sources.catalog import register_tables
+
+    log_dir = tempfile.mkdtemp(prefix="attrib_")
+    spark = get_spark(
+        app_name=f"hpss-attrib-{args.query}",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{log_dir}",
+            "spark.eventLog.compress": "false",
+        },
+    )
+    register_tables(spark, args.sf_dir)
+
+    docs_path = None
+    if args.mult > 1:
+        base = spark.table("documents")
+        n = base.count()
+        reps = spark.range(args.mult).select(F.col("id").alias("_rep"))
+        out = (
+            base.crossJoin(reps)
+            .withColumn("doc_id", F.col("doc_id") + F.col("_rep") * F.lit(n))
+            .withColumn(
+                "text",
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w: F.concat(
+                            w, F.lit("_"), F.col("_rep").cast("string")
+                        ),
+                    ),
+                ),
+            )
+            .drop("_rep")
+        )
+        from hive_plan_service_spark.session import scratch_root
+
+        docs_path = os.path.join(scratch_root(), f"attrib_docs_{args.mult}")
+        out.repartition(default_parallelism()).write.mode(
+            "overwrite"
+        ).parquet(docs_path)
+        spark.read.parquet(docs_path).createOrReplaceTempView("documents")
+
+    q = all_queries()[args.query]
+    walls = []
+    t_mark = 0
+    for _ in range(args.runs):
+        t_mark = int(time.time() * 1000)
+        t0 = time.perf_counter()
+        rows = q.fn(spark, args.sf_dir).count()
+        walls.append(round(time.perf_counter() - t0, 2))
+    spark.stop()  # flush the event log
+
+    stages = parse_stages(log_dir, t_mark)
+    total_task = round(sum(s["task_time_s"] for s in stages), 2)
+    print(f"\n{args.query} mult={args.mult} rows={rows} "
+          f"walls={walls} (attributed: last run)")
+    print(f"{'stage':>6} {'tasks':>5} {'wall':>7} {'tasktime':>9} "
+          f"{'cpu':>7} {'maxtask':>8} {'in MB':>8} {'shR MB':>8} "
+          f"{'shW MB':>8}  name")
+    for s in stages:
+        if s["task_time_s"] < 0.01 and s["wall_s"] < 0.05:
+            continue
+        print(f"{s['stage']:>6} {s['tasks']:>5} {s['wall_s']:>7} "
+              f"{s['task_time_s']:>9} {s['cpu_s']:>7} {s['max_task_s']:>8} "
+              f"{s['input_mb']:>8} {s['shuf_read_mb']:>8} "
+              f"{s['shuf_write_mb']:>8}  {s['name']}")
+    print(json.dumps({
+        "query": args.query, "mult": args.mult, "rows": rows,
+        "walls_s": walls, "total_task_time_s": total_task,
+        "stages": stages[:20],
+    }), flush=True)
+    shutil.rmtree(log_dir, ignore_errors=True)
+    if docs_path:
+        shutil.rmtree(docs_path, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,20 @@ live-query proof of the §2 escape hardening.
 Usage: python scripts/hostile_probe.py   (env SPARK_GRAFT_SF_DIR,
 default /root/testdata/sf0.001)
 Prints one JSON line: {"queries": N, "failures": [...]}.
+
+``--fuzz [SEED]`` (r6 VERDICT #6): the static pool is hand-curated,
+and its one known blind spot was found by review, not by the sweep
+(the b21 TRY_CAST class). Fuzz mode replaces the pool with a
+SEED-PINNED random composer mixing the classes review keeps finding:
+bare/embedded numerals, scientific notation, unicode (Latin-1
+accents, Greek, Cyrillic, CJK, emoji, COMBINING marks), zero-width /
+word-joiner / BOM characters, huge tokens (200–2000 chars), mixed
+separators (nbsp, multi-space), and the curated classics at random
+positions. Same exclusions as the static pool, by documented design:
+control characters (a08 rejects them), '/' (partition-path safety),
+and lone surrogates (invalid UTF-8). The printed JSON carries the
+seed and the full generated pool, so any divergence is exactly
+reproducible — fix it, then add the value to the static POOL.
 """
 
 from __future__ import annotations
@@ -66,7 +80,99 @@ POOL = [
     "trailing space ",
     " leading space",
     "multi  space   words\u00a0nbsp",
+    # r7 fuzz-sweep finds (seed 20260815), promoted per VERDICT #6:
+    # bare hex \u2014 DuckDB TRY_CAST('0x1F')\u219231, Spark try_cast\u2192NULL
+    "0x1F",
+    # combining marks \u2014 DuckDB reverse() keeps grapheme clusters,
+    # Spark reverses codepoints
+    "combining a\u0307 marks o\u030b\u030c end",
+    # nbsp-only separators: split(' ') yields ONE token, so array
+    # slices/zips hit the NULL-padding path (DuckDB concat skips
+    # NULLs where Spark's propagates)
+    "nbsp\u00a0only\u00a0separated\u00a0words",
+    # Java full/contextual case mappings vs utf8proc (r7 fuzz seed 7):
+    # upper('ß')='SS' vs 'ẞ'; lower maps FINAL Σ→ς vs always σ
+    "straße ÄΣΣ ΛΣ τέλοΣ",
 ]
+
+#: Codepoint ranges for the fuzz composer — printable, non-control,
+#: no '/', no surrogates. Combining marks (0x300–) are the interesting
+#: class: they make codepoint-count vs grapheme-count disagreements
+#: visible in length/substr logic if an oracle ever drifts.
+_FUZZ_RANGES = (
+    (0x41, 0x5A), (0x61, 0x7A), (0x30, 0x39),          # ASCII alnum
+    (0xC0, 0xFF),                                       # Latin-1 accents
+    (0x391, 0x3C9), (0x410, 0x44F),                     # Greek, Cyrillic
+    (0x4E00, 0x4FFF), (0x3040, 0x309F),                 # CJK, hiragana
+    (0x300, 0x30F),                                     # combining marks
+    (0x1F600, 0x1F64F),                                 # emoji
+)
+
+_ZERO_WIDTH = (
+    "\u200b",  # zero width space
+    "\u200c",  # zero width non-joiner
+    "\u200d",  # zero width joiner
+    "\u2060",  # word joiner
+    "\ufeff",  # BOM / zero width no-break space
+)
+
+
+def fuzz_pool(seed: int, n: int = 24) -> list[str]:
+    """Deterministic hostile-content pool for ``--fuzz`` (values vary
+    with the seed, never with the run)."""
+    import random
+
+    rng = random.Random(seed)
+
+    def uni_token() -> str:
+        lo, hi = rng.choice(_FUZZ_RANGES)
+        return "".join(
+            chr(rng.randint(lo, hi)) for _ in range(rng.randint(1, 6))
+        )
+
+    def token() -> str:
+        r = rng.random()
+        if r < 0.15:  # integral / huge integral
+            return str(rng.choice([0, -1, 7, 42, 2**31, 2**63 - 1]))
+        if r < 0.28:  # decimal numeral
+            return f"{rng.uniform(-1e6, 1e6):.{rng.randint(0, 4)}f}"
+        if r < 0.40:  # scientific notation
+            return f"{rng.uniform(-1, 1):.{rng.randint(1, 3)}e}"
+        if r < 0.48:  # numeric-looking tokens
+            return rng.choice(
+                ["NaN", "Inf", "-Infinity", "0x1F", "1_000", "-0", "1e", ".5"]
+            )
+        if r < 0.62:  # unicode run (possibly led by a combining mark)
+            return uni_token()
+        if r < 0.70:  # zero-width injected mid-word
+            w = uni_token()
+            zw = rng.choice(_ZERO_WIDTH)
+            cut = rng.randint(0, len(w))
+            return w[:cut] + zw + w[cut:]
+        if r < 0.76:  # huge token
+            return chr(rng.randint(0x61, 0x7A)) * rng.randint(200, 2000)
+        return "".join(
+            chr(rng.randint(0x61, 0x7A)) for _ in range(rng.randint(1, 8))
+        )
+
+    out = []
+    for _ in range(n):
+        if rng.random() < 0.2:  # a curated classic at a random position
+            mid = rng.choice(POOL)
+        else:
+            mid = ""
+        toks = [token() for _ in range(rng.randint(1, 6))]
+        if mid:
+            toks.insert(rng.randint(0, len(toks)), mid)
+        sep = rng.choice([" ", " ", " ", "  ", " ", "  "])
+        s = sep.join(toks)
+        if rng.random() < 0.15:
+            s = " " + s
+        if rng.random() < 0.15:
+            s = s + " "
+        out.append(s)
+    return out
+
 
 MUTATED = ("region", "nation", "customer", "supplier", "part",
            "orders", "lineitem")
@@ -90,9 +196,18 @@ def empty_dir(sf_dir: str) -> str:
     return out
 
 
-def hostile_dir(sf_dir: str, *, nulls: bool = False) -> str:
+def hostile_dir(
+    sf_dir: str,
+    *,
+    nulls: bool = False,
+    pool: list[str] | None = None,
+    tables: tuple[str, ...] | None = None,
+) -> str:
     out = tempfile.mkdtemp(prefix="hostile_sf_")
-    mutated = NULLABLE if nulls else MUTATED
+    mutated = tables if tables is not None else (
+        NULLABLE if nulls else MUTATED
+    )
+    use_pool = pool if pool is not None else POOL
     for t in TABLES:
         src = f"{sf_dir}/{t}.parquet"
         dst = f"{out}/{t}.parquet"
@@ -118,7 +233,10 @@ def hostile_dir(sf_dir: str, *, nulls: bool = False) -> str:
                     )
                 else:
                     col = pa.array(
-                        [POOL[(i * 7 + ci) % len(POOL)] for i in range(n)],
+                        [
+                            use_pool[(i * 7 + ci) % len(use_pool)]
+                            for i in range(n)
+                        ],
                         field.type,
                     )
             cols.append(col)
@@ -129,10 +247,31 @@ def hostile_dir(sf_dir: str, *, nulls: bool = False) -> str:
 
 
 def main() -> None:
-    nulls = "--nulls" in sys.argv[1:]
-    empty = "--empty" in sys.argv[1:]
+    argv = sys.argv[1:]
+    nulls = "--nulls" in argv
+    empty = "--empty" in argv
+    seed = None
+    if "--fuzz" in argv:
+        i = argv.index("--fuzz")
+        nxt = argv[i + 1] if len(argv) > i + 1 else ""
+        seed = (
+            int(nxt) if nxt.lstrip("-").isdigit()
+            else int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "20260815"))
+        )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    hostile = empty_dir(sf_dir) if empty else hostile_dir(sf_dir, nulls=nulls)
+    pool = None
+    if empty:
+        hostile = empty_dir(sf_dir)
+    elif seed is not None:
+        pool = fuzz_pool(seed)
+        # fuzz also mutates documents — the static content mode leaves
+        # it to the committed pytest net, so this is NEW exposure for
+        # the shingle/langid/fingerprint oracles
+        hostile = hostile_dir(
+            sf_dir, pool=pool, tables=MUTATED + ("documents",)
+        )
+    else:
+        hostile = hostile_dir(sf_dir, nulls=nulls)
     spark = get_spark(app_name="hpss-hostile-probe")
     failures = []
     n = 0
@@ -144,7 +283,12 @@ def main() -> None:
             check_query(spark, q, hostile)
         except Exception as ex:  # noqa: BLE001 — collecting all failures
             failures.append(f"{name}: {str(ex).splitlines()[0][:200]}")
-    print(json.dumps({"queries": n, "failures": failures}), flush=True)
+    payload: dict = {"queries": n, "failures": failures}
+    if seed is not None:
+        payload["fuzz_seed"] = seed
+        if failures:  # full pool only when needed for reproduction
+            payload["pool"] = pool
+    print(json.dumps(payload), flush=True)
     spark.stop()
     sys.exit(1 if failures else 0)
 

@@ -25,6 +25,8 @@ Gates (names usable with --skip / --only, comma-separated):
              JVMs: 50 canonical + row-identical production shapes, r7)
     retry    python scripts/retry_probe.py (injected task failures ×4
              attempts: all 50 canonical + np twins bit-identical, r7)
+    fuzz     python scripts/hostile_probe.py --fuzz (seed-pinned random
+             hostile content over all oracled queries, r7)
 
 Exit 0 iff every executed gate passed. Each gate runs in its own
 subprocess (its own JVM) so a crashed session can't poison the rest.
@@ -53,6 +55,7 @@ GATES: dict[str, list[str]] = {
     "concurrency": [sys.executable, "scripts/concurrency_probe.py"],
     "localcluster": [sys.executable, "scripts/localcluster_probe.py"],
     "retry": [sys.executable, "scripts/retry_probe.py"],
+    "fuzz": [sys.executable, "scripts/hostile_probe.py", "--fuzz"],
 }
 
 #: per-gate env overrides (bench runs the contract scale)
