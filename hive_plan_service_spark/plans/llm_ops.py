@@ -737,7 +737,11 @@ def llm_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = (
         dd.jaccard_verify_pairs(docs, candidates, threshold=0.9)
         .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
+        # no distinct(): LEFT ANTI dedups its build side by
+        # construction, and the distinct was a whole extra
+        # exchange + aggregate in the AQE chain (r7 attribution pass:
+        # 2.67 → 2.47 s at sf0.1, one fewer shuffle at any scale;
+        # doc_b multiplicity is pair-bounded, never corpus-squared)
     )
     base = docs.select("doc_id", "text", tokens("text").alias("ws"))
     gated = base.filter(F.size("ws").between(20, 400))

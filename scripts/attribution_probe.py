@@ -39,9 +39,31 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO_ROOT)
 
 
+def _scope_label(si: dict) -> str:
+    """Human-readable stage label from RDD scopes: the operator names
+    (WholeStageCodegen / Exchange / MapInPandas / ...) beat the generic
+    callsite in "Stage Name"."""
+    names: list[str] = []
+    for rdd in si.get("RDD Info", []):
+        scope = rdd.get("Scope")
+        if not scope:
+            continue
+        try:
+            nm = json.loads(scope).get("name", "")
+        except (json.JSONDecodeError, TypeError):
+            continue
+        if nm and nm not in names:
+            names.append(nm)
+    return " | ".join(names[:5]) or si.get("Stage Name", "")[:60]
+
+
 def parse_stages(log_dir: str, t_min_ms: int) -> list[dict]:
     """Stage table from a (rolling or flat) plain-JSON event log,
-    restricted to stages submitted at/after ``t_min_ms``."""
+    restricted to stages submitted at/after ``t_min_ms``.
+
+    Two passes: TaskEnd events are logged BEFORE their stage's
+    StageCompleted event, so task metrics accumulate independently
+    keyed by stage id and join the stage rows at the end."""
     files: list[str] = []
     for p in glob.glob(os.path.join(log_dir, "*")):
         if os.path.isdir(p):
@@ -50,6 +72,7 @@ def parse_stages(log_dir: str, t_min_ms: int) -> list[dict]:
             files.append(p)
 
     stages: dict[int, dict] = {}
+    acc: dict[int, dict] = {}
     for path in sorted(files):
         with open(path, errors="replace") as f:
             for line in f:
@@ -62,52 +85,49 @@ def parse_stages(log_dir: str, t_min_ms: int) -> list[dict]:
                         continue
                     stages[si["Stage ID"]] = {
                         "stage": si["Stage ID"],
-                        "name": si.get("Stage Name", "")[:80],
+                        "name": _scope_label(si)[:80],
                         "tasks": si.get("Number of Tasks", 0),
                         "wall_s": round(
                             (si.get("Completion Time", 0)
                              - si.get("Submission Time", 0)) / 1e3, 2
                         ),
-                        "task_time_s": 0.0,
-                        "cpu_s": 0.0,
-                        "max_task_s": 0.0,
-                        "input_mb": 0.0,
-                        "shuf_read_mb": 0.0,
-                        "shuf_write_mb": 0.0,
                     }
                 elif '"SparkListenerTaskEnd"' in line:
                     try:
                         ev = json.loads(line)
                     except json.JSONDecodeError:
                         continue
-                    sid = ev.get("Stage ID")
-                    st = stages.get(sid)
                     tm = ev.get("Task Metrics") or {}
-                    if st is None or not tm:
+                    if not tm:
                         continue
+                    a = acc.setdefault(ev.get("Stage ID"), {
+                        "task_time_s": 0.0, "cpu_s": 0.0, "max_task_s": 0.0,
+                        "input_mb": 0.0, "shuf_read_mb": 0.0,
+                        "shuf_write_mb": 0.0,
+                    })
                     run_s = tm.get("Executor Run Time", 0) / 1e3
-                    st["task_time_s"] += run_s
-                    st["cpu_s"] += tm.get("Executor CPU Time", 0) / 1e9
-                    st["max_task_s"] = max(st["max_task_s"], run_s)
-                    st["input_mb"] += (
+                    a["task_time_s"] += run_s
+                    a["cpu_s"] += tm.get("Executor CPU Time", 0) / 1e9
+                    a["max_task_s"] = max(a["max_task_s"], run_s)
+                    a["input_mb"] += (
                         (tm.get("Input Metrics") or {}).get("Bytes Read", 0)
                         / 1024**2
                     )
                     srm = tm.get("Shuffle Read Metrics") or {}
-                    st["shuf_read_mb"] += (
+                    a["shuf_read_mb"] += (
                         srm.get("Remote Bytes Read", 0)
                         + srm.get("Local Bytes Read", 0)
                     ) / 1024**2
-                    st["shuf_write_mb"] += (
+                    a["shuf_write_mb"] += (
                         (tm.get("Shuffle Write Metrics") or {})
                         .get("Shuffle Bytes Written", 0) / 1024**2
                     )
-    out = sorted(stages.values(), key=lambda s: -s["task_time_s"])
-    for s in out:
+    for sid, st in stages.items():
+        a = acc.get(sid, {})
         for k in ("task_time_s", "cpu_s", "max_task_s", "input_mb",
                   "shuf_read_mb", "shuf_write_mb"):
-            s[k] = round(s[k], 2)
-    return out
+            st[k] = round(a.get(k, 0.0), 2)
+    return sorted(stages.values(), key=lambda s: -s["task_time_s"])
 
 
 def main() -> None:
