@@ -235,15 +235,37 @@ def apply_wide_row_conf(spark: SparkSession, row_bytes: int) -> dict:
     return out
 
 
+def conf_overrides() -> dict[str, str]:
+    """Probe hook: ``SPARK_GRAFT_CONF_OVERRIDES="k=v;k=v"`` wins over
+    ``_RUNTIME_CONF`` on EVERY ``tune()`` application. The plan-variance
+    gates (run_gates ``aqeoff`` / ``nobroadcast``) re-run the full
+    canonical oracle sweep under a different physical-plan regime; a
+    bare ``spark.conf.set`` after session build is not enough because
+    internal ``tune()`` calls (register_tables, streaming sources)
+    would silently reset the conf mid-sweep."""
+    raw = os.environ.get("SPARK_GRAFT_CONF_OVERRIDES", "")
+    out: dict[str, str] = {}
+    for kv in raw.split(";"):
+        if kv.strip():
+            k, _, v = kv.partition("=")
+            out[k.strip()] = v.strip()
+    return out
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime conf to a session we did not necessarily build."""
-    for k, v in _RUNTIME_CONF.items():
+    for k, v in {**_RUNTIME_CONF, **conf_overrides()}.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-runtime conf on some builds: keep going
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions()))
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            conf_overrides().get(
+                "spark.sql.shuffle.partitions", str(shuffle_partitions())
+            ),
+        )
     except Exception:
         pass
     return spark

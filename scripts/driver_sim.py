@@ -5,7 +5,16 @@ hands ``__spark_entry__``), applies ``session.tune`` the way the entry
 module does, then runs ``tests.parity.check_query`` over every
 CANONICAL registry slot at sf0.01 (the driver's correctness scale).
 
-Run: python scripts/driver_sim.py [sf_dir]
+Run: python scripts/driver_sim.py [sf_dir [cores [k=v ...]]]
+Trailing ``k=v`` pairs are runtime SQL conf overrides routed through
+``SPARK_GRAFT_CONF_OVERRIDES`` so every internal ``tune()``
+re-application keeps them (a bare ``conf.set`` after session build is
+silently undone by register_tables' tune call). The plan-variance
+gates (run_gates ``aqeoff`` / ``nobroadcast``) use this to re-run the
+whole oracle sweep with AQE disabled / statistics-driven broadcasts
+disabled: every canonical result must be invariant to the
+physical-plan strategy Spark picks (at 100 TB, AQE re-plans and join
+strategies differ run to run).
 Exit 0 iff every canonical slot passes its value-hash oracle (or is
 rows-only by design, which the canonical set no longer contains).
 """
@@ -31,6 +40,9 @@ sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 # Running the same gate at a different parallelism certifies that every
 # canonical result is reproduction-independent of cluster layout.
 cores = sys.argv[2] if len(sys.argv) > 2 else "32"
+if len(sys.argv) > 3:
+    os.environ["SPARK_GRAFT_CONF_OVERRIDES"] = ";".join(sys.argv[3:])
+    print(f"conf overrides (via tune): {sys.argv[3:]}", flush=True)
 
 spark = SparkSession.builder.master(f"local[{cores}]").getOrCreate()
 tune(spark)

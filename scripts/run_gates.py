@@ -27,6 +27,12 @@ Gates (names usable with --skip / --only, comma-separated):
              attempts: all 50 canonical + np twins bit-identical, r7)
     fuzz     python scripts/hostile_probe.py --fuzz (seed-pinned random
              hostile content over all oracled queries, r7)
+    aqeoff   driver_sim with spark.sql.adaptive.enabled=false — all 50
+             canonical oracles invariant to AQE re-planning (r7)
+    nobroadcast driver_sim with autoBroadcastJoinThreshold=-1 — all 50
+             canonical oracles invariant to join-strategy choice (r7)
+    tz       driver_sim under TZ=America/New_York — all 50 canonical
+             oracles invariant to the host timezone (r7)
 
 Exit 0 iff every executed gate passed. Each gate runs in its own
 subprocess (its own JVM) so a crashed session can't poison the rest.
@@ -56,12 +62,30 @@ GATES: dict[str, list[str]] = {
     "localcluster": [sys.executable, "scripts/localcluster_probe.py"],
     "retry": [sys.executable, "scripts/retry_probe.py"],
     "fuzz": [sys.executable, "scripts/hostile_probe.py", "--fuzz"],
+    # plan-variance (r7): the oracle targets are plan-independent, so
+    # re-running the full canonical sweep under a different physical-
+    # plan regime certifies result invariance to Spark's strategy
+    # choices — AQE runtime re-planning off; statistics-driven
+    # broadcasts off (explicit fixed-size hints stay, as they should).
+    "aqeoff": [sys.executable, "scripts/driver_sim.py",
+               "/root/testdata/sf0.01", "32",
+               "spark.sql.adaptive.enabled=false"],
+    "nobroadcast": [sys.executable, "scripts/driver_sim.py",
+                    "/root/testdata/sf0.01", "32",
+                    "spark.sql.autoBroadcastJoinThreshold=-1"],
+    # host-timezone invariance (r7): a 100 TB cluster's hosts are often
+    # non-UTC; TZ leaks through the JVM default zone AND the DuckDB
+    # oracle process. tune() pins spark.sql.session.timeZone=UTC — this
+    # certifies the pin actually makes the whole sweep TZ-independent.
+    "tz": [sys.executable, "scripts/driver_sim.py", "/root/testdata/sf0.01"],
 }
 
 #: per-gate env overrides (bench runs the contract scale)
 GATE_ENV: dict[str, dict[str, str]] = {
     "bench": {"SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1"},
     "extbench": {"SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1"},
+    # UTC−4/−5 with DST — maximally hostile to naive-timestamp slips
+    "tz": {"TZ": "America/New_York"},
 }
 
 

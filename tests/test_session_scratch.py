@@ -67,3 +67,38 @@ def test_explicit_scratch_bypasses_free_space_guard(tmp_path, monkeypatch):
         warnings.simplefilter("error")  # any warning -> failure
         root = session.scratch_root()
     assert root == str(tmp_path / "hpss_scratch")
+
+
+def test_conf_overrides_parse(monkeypatch):
+    monkeypatch.setenv(
+        "SPARK_GRAFT_CONF_OVERRIDES",
+        "spark.sql.adaptive.enabled=false; spark.sql.shuffle.partitions=7",
+    )
+    assert session.conf_overrides() == {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": "7",
+    }
+    monkeypatch.delenv("SPARK_GRAFT_CONF_OVERRIDES")
+    assert session.conf_overrides() == {}
+
+
+def test_tune_applies_and_survives_reapplication(spark, monkeypatch):
+    """The plan-variance gates depend on overrides surviving INTERNAL
+    tune() calls (register_tables re-tunes on every invocation — a
+    bare conf.set after session build was silently reset, r7)."""
+    orig_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    orig_shuf = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        monkeypatch.setenv(
+            "SPARK_GRAFT_CONF_OVERRIDES",
+            "spark.sql.adaptive.enabled=false;spark.sql.shuffle.partitions=7",
+        )
+        session.tune(spark)  # what driver_sim's startup does
+        session.tune(spark)  # what register_tables does mid-sweep
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_CONF_OVERRIDES", raising=False)
+        session.tune(spark)
+        assert spark.conf.get("spark.sql.adaptive.enabled") == orig_aqe
+        assert spark.conf.get("spark.sql.shuffle.partitions") == orig_shuf
