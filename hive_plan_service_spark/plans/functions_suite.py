@@ -28,7 +28,12 @@ from hive_plan_service_spark.sources.catalog import register_tables
              -- end) and upper('ß')='SS' — utf8proc does neither
              lower(regexp_replace(p_name,
                '(\\p{L})Σ(\\P{L}|$)', '\\1ς\\2', 'g')) AS name_lc,
-             upper(replace(p_brand, 'ß', 'ss')) AS brand_uc,
+             -- and upper('ΰ' U+03B0) is the FULL mapping Υ+◌̈+◌́
+             -- (U+03A5 0308 0301) where utf8proc is 1:1 (r7 fuzz,
+             -- seed 13) — pre-substitute the expansion, upper() of
+             -- Υ + combining marks is then the identity
+             upper(replace(replace(p_brand, 'ß', 'ss'), 'ΰ', '\u03a5\u0308\u0301'))
+               AS brand_uc,
              substr(p_type, 1, 4) AS type_prefix,
              trim('  ' || p_name || '  ') AS trimmed,
              CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
@@ -161,9 +166,11 @@ def b18_math_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_long_words,
              list_contains(string_split(text, ' '), 'spark') AS has_spark,
              COALESCE(array_to_string(
-               -- Java upper('ß')='SS', utf8proc 'ẞ' (r7 fuzz sweep)
+               -- Java upper('ß')='SS', utf8proc 'ẞ'; Java
+               -- upper('ΰ')=Υ+0308+0301, utf8proc 1:1 (r7 fuzz sweep)
                list_transform(string_split(text, ' ')[1:3],
-                 w -> upper(replace(w, 'ß', 'ss'))), '-'), '')
+                 w -> upper(replace(replace(w, 'ß', 'ss'), 'ΰ', '\u03a5\u0308\u0301'))),
+               '-'), '')
                AS first3_uc,
              CAST(list_sum(list_transform(string_split(text, ' '), w -> len(w))) AS BIGINT)
                AS total_chars

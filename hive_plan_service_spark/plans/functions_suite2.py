@@ -39,12 +39,16 @@ from hive_plan_service_spark.sources.catalog import register_tables
              contains(p_name, 'small') AS has_small,
              -- initcap emulation with JAVA case semantics (r7 fuzz
              -- sweep): title-case of 'ß' is the full mapping 'Ss'
-             -- (utf8proc upper gives 'ẞ'), and the lowered remainder
-             -- needs Greek final-sigma context (Σ→ς at word end) —
-             -- sigma-substitute on the WHOLE word first (1:1, slice
-             -- positions unchanged), then slice
+             -- (utf8proc upper gives 'ẞ'), title of 'ΰ' (U+03B0) is
+             -- the full mapping Υ+0308+0301 (utf8proc 1:1, seed 13),
+             -- and the lowered remainder needs Greek final-sigma
+             -- context (Σ→ς at word end) — sigma-substitute on the
+             -- WHOLE word first (1:1, slice positions unchanged),
+             -- then slice
              array_to_string(list_transform(string_split(p_name, ' '),
-               w -> CASE WHEN w[1] = 'ß' THEN 'Ss' ELSE upper(w[1]) END ||
+               w -> CASE WHEN w[1] = 'ß' THEN 'Ss'
+                         WHEN w[1] = 'ΰ' THEN '\u03a5\u0308\u0301'
+                         ELSE upper(w[1]) END ||
                     lower(regexp_replace(w,
                       '(\\p{L})Σ(\\P{L}|$)', '\\1ς\\2', 'g')[2:])), ' ')
                AS name_title

@@ -78,9 +78,11 @@ def b02_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
       SELECT o_orderkey,
              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS doubled,
-             -- Java full case mapping: upper('ß')='SS' where
-             -- utf8proc gives 'ẞ' (r7 fuzz sweep, seed 7)
-             upper(replace(o_orderstatus, 'ß', 'ss')) AS status_uc,
+             -- Java full case mapping: upper('ß')='SS' where utf8proc
+             -- gives 'ẞ' (r7 fuzz, seed 7); upper('ΰ' U+03B0) expands
+             -- to Υ+0308+0301 where utf8proc is 1:1 (seed 13)
+             upper(replace(replace(o_orderstatus, 'ß', 'ss'), 'ΰ', '\u03a5\u0308\u0301'))
+               AS status_uc,
              (o_orderkey % 7 = 0) AS lucky
       FROM orders
     """,

@@ -93,6 +93,10 @@ POOL = [
     # Java full/contextual case mappings vs utf8proc (r7 fuzz seed 7):
     # upper('ß')='SS' vs 'ẞ'; lower maps FINAL Σ→ς vs always σ
     "straße ÄΣΣ ΛΣ τέλοΣ",
+    # Java upper/title of 'ΰ' (U+03B0) is the FULL mapping Υ+0308+0301
+    # where utf8proc is 1:1 (r7 fuzz seed 13) — word-initial (title
+    # path) and mid-word (upper path) occurrences
+    "ΰβx xΰß ΰ",
 ]
 
 #: Codepoint ranges for the fuzz composer — printable, non-control,
