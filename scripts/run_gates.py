@@ -33,6 +33,8 @@ Gates (names usable with --skip / --only, comma-separated):
              canonical oracles invariant to join-strategy choice (r7)
     tz       driver_sim under TZ=America/New_York — all 50 canonical
              oracles invariant to the host timezone (r7)
+    sf01     driver_sim at sf0.1 — the full oracle sweep at 10× the
+             driver's gate scale (r7)
 
 Exit 0 iff every executed gate passed. Each gate runs in its own
 subprocess (its own JVM) so a crashed session can't poison the rest.
@@ -78,6 +80,10 @@ GATES: dict[str, list[str]] = {
     # oracle process. tune() pins spark.sql.session.timeZone=UTC — this
     # certifies the pin actually makes the whole sweep TZ-independent.
     "tz": [sys.executable, "scripts/driver_sim.py", "/root/testdata/sf0.01"],
+    # scale axis (r7): the same 50 oracles at sf0.1 — 10× the driver's
+    # gate scale (~120 s; first divergence class that only appears with
+    # content volume would surface here).
+    "sf01": [sys.executable, "scripts/driver_sim.py", "/root/testdata/sf0.1"],
 }
 
 #: per-gate env overrides (bench runs the contract scale)
