@@ -95,12 +95,12 @@ GATE_ENV: dict[str, dict[str, str]] = {
 }
 
 
-def tail_line(out: str) -> str:
+def tail_line(out: str, limit: int | None = 400) -> str:
     """Last non-empty, non-progress-bar line of a gate's output."""
     for ln in reversed(out.splitlines()):
         s = ln.strip().replace("\r", "")
         if s and not s.startswith("[Stage"):
-            return s[:400]
+            return s[:limit] if limit else s
     return ""
 
 
@@ -109,7 +109,16 @@ def main() -> None:
     ap.add_argument("--out", default=None, help="write the summary JSON here")
     ap.add_argument("--skip", default="", help="comma-separated gate names")
     ap.add_argument("--only", default="", help="run only these gates")
+    ap.add_argument(
+        "--round", type=int, default=None,
+        help="write the per-round artifacts GATES_r{N}.json and "
+             "EXTBENCH_r{N}.json (full extbench JSON line) to the repo "
+             "root — the artifact discipline of VERDICT r6 #3, automated "
+             "so a future round cannot forget the extbench half",
+    )
     args = ap.parse_args()
+    if args.round is not None and not args.out:
+        args.out = os.path.join(REPO_ROOT, f"GATES_r{args.round:02d}.json")
 
     skip = {s for s in args.skip.split(",") if s}
     only = {s for s in args.only.split(",") if s}
@@ -138,6 +147,13 @@ def main() -> None:
         if not ok:
             # keep the failing gate's full output readable in-band
             print(proc.stdout[-4000:], flush=True)
+        if name == "extbench" and ok and args.round is not None:
+            # the 400-char verdict truncates the extbench JSON; persist
+            # the full line as the round's production-shape artifact
+            path = os.path.join(REPO_ROOT, f"EXTBENCH_r{args.round:02d}.json")
+            with open(path, "w") as f:
+                f.write(tail_line(proc.stdout, limit=None) + "\n")
+            print(f"    wrote {path}", flush=True)
 
     summary = {
         "ok": all(r["ok"] for r in results.values()),
