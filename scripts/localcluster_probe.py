@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import os
 import shutil
 import subprocess
@@ -55,8 +56,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CANON_SF_DIR = os.environ.get("SPARK_GRAFT_CANON_SF_DIR", "/root/testdata/sf0.01")
 DOCS_MULT = int(os.environ.get("SPARK_GRAFT_LC_DOCS_MULT", "2"))
 EMB_MULT = int(os.environ.get("SPARK_GRAFT_LC_EMB_MULT", "10"))
-LC_MASTER = "local-cluster[2,8,4096]"
-TOTAL_CORES = 16  # 2 workers x 8 cores — the plain-local twin matches it
+# topology is env-overridable (r7: a second 4×4 layout run certifies
+# broadcast fan-out / per-executor ratchets beyond the default 2×8)
+LC_MASTER = os.environ.get("SPARK_GRAFT_LC_MASTER", "local-cluster[2,8,4096]")
+_m = re.fullmatch(r"local-cluster\[(\d+),(\d+),(\d+)\]", LC_MASTER)
+assert _m, f"SPARK_GRAFT_LC_MASTER must be local-cluster[w,c,mb]: {LC_MASTER}"
+_WORKERS, _EXEC_CORES, _WORKER_MB = (int(g) for g in _m.groups())
+TOTAL_CORES = _WORKERS * _EXEC_CORES  # the plain-local twin matches it
+#: executor heap: worker memory minus 1 GiB daemon headroom, ≥1 GiB
+_EXEC_MEM_MB = max(1024, _WORKER_MB - 1024)
 
 
 def _scratch() -> str:
@@ -81,10 +89,10 @@ def build_session(mode: str):
     )
     if mode == "localcluster":
         b = (
-            b.config("spark.executor.memory", "3g")
+            b.config("spark.executor.memory", f"{_EXEC_MEM_MB}m")
             # standalone executors take all 8 worker cores; the heap
             # ratchets size per-task buffers from this conf
-            .config("spark.executor.cores", "8")
+            .config("spark.executor.cores", str(_EXEC_CORES))
             # remote python workers must import the engine package
             .config("spark.executorEnv.PYTHONPATH", REPO_ROOT)
         )
