@@ -138,13 +138,36 @@ def main() -> None:
     from hive_plan_service_spark.sources.catalog import register_tables
 
     os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
-    # local[16,4]: 16 cores, FOUR task attempts — the whole point
-    spark = tune(
-        SparkSession.builder.master("local[16,4]")
+    # local[16,4]: 16 cores, FOUR task attempts — the whole point.
+    # SPARK_GRAFT_RETRY_MASTER=local-cluster[w,c,mb] combines the two
+    # certification axes (r7): injected failures re-scheduled across
+    # SEPARATE executor JVMs (cluster default spark.task.maxFailures=4),
+    # the closest sandbox proxy to production failure handling.
+    master = os.environ.get("SPARK_GRAFT_RETRY_MASTER", "local[16,4]")
+    b = (
+        SparkSession.builder.master(master)
         .appName("hpss-retry-probe")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if master.startswith("local-cluster"):
+        import re as _re
+
+        w, c, mb = map(int, _re.fullmatch(
+            r"local-cluster\[(\d+),(\d+),(\d+)\]", master).groups())
+        b = (
+            b.config("spark.executor.memory", f"{max(1024, mb - 1024)}m")
+            .config("spark.executor.cores", str(c))
+            .config("spark.executorEnv.PYTHONPATH", REPO_ROOT)
+        )
+    spark = tune(b.getOrCreate())
+    if master.startswith("local-cluster"):
+        # executor-registration barrier (localcluster_probe's rule)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            spark.sparkContext.parallelize(range(32), 32).count()
+            if spark.sparkContext.defaultParallelism >= w * c:
+                break
+            time.sleep(1)
     acc = spark.sparkContext.accumulator(0)
 
     qs = all_queries()
