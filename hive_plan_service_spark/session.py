@@ -25,6 +25,17 @@ _RUNTIME_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE can only COALESCE reduce partitions, never split them — a
+    # static shuffle.partitions that is right for small stages is a
+    # spill cliff for big ones (r7 measured knee, ROUND7_NOTES §20:
+    # the 2M-doc dedup window sorted 43 GB through 32 partitions at
+    # 2,627 docs/s; 128 partitions restored the 1M rate, 3,740).
+    # Start every exchange high and let AQE coalesce down by bytes:
+    # small stages land on the same few tasks as before (advisory
+    # 64 MB), CPU/byte-heavy stages keep the width they need. Sort
+    # shuffle writes one file per map task regardless, so the high
+    # initial count costs only index entries.
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
     # Arrow for any pandas-UDF / toPandas edge.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Small dims (region/nation/supplier/plans) must broadcast.
