@@ -135,6 +135,11 @@ def main() -> None:
     ap.add_argument("query", nargs="?", default="llm_corpus_clean_pipeline")
     ap.add_argument("--mult", type=int, default=0,
                     help="replicate documents N x as distinct content")
+    ap.add_argument(
+        "--extbench", choices=["pq", "ivf"], default=None,
+        help="attribute an extbench index-build shape instead of a "
+             "registered query (--mult then multiplies EMBEDDINGS; "
+             "default 50, matching bench_extended)")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument(
         "--sf-dir",
@@ -160,7 +165,7 @@ def main() -> None:
     register_tables(spark, args.sf_dir)
 
     docs_path = None
-    if args.mult > 1:
+    if args.mult > 1 and not args.extbench:
         base = spark.table("documents")
         n = base.count()
         reps = spark.range(args.mult).select(F.col("id").alias("_rep"))
@@ -189,13 +194,46 @@ def main() -> None:
         ).parquet(docs_path)
         spark.read.parquet(docs_path).createOrReplaceTempView("documents")
 
-    q = all_queries()[args.query]
+    if args.extbench:
+        # The two extbench index-build shapes are compositions (train +
+        # encode/assign) rather than registered queries; rebuild the same
+        # bodies bench_extended times, over its distinct-jitter embedding
+        # fixture, so the stage table attributes exactly what the
+        # EXTBENCH_rNN artifact measures.
+        from scripts.bench_extended import _mult_embeddings
+
+        from hive_plan_service_spark.operators import vectors as vx
+        from hive_plan_service_spark.operators.kmeans import kmeans_integer_np
+
+        emb_path = _mult_embeddings(spark, args.mult or 50)
+        label = f"extbench_{args.extbench}_index_build"
+
+        def _q_fn(spark, _sf_dir):
+            corpus = spark.read.parquet(emb_path)
+            if args.extbench == "pq":
+                books = vx.pq_train_codebooks_np(
+                    corpus, subspaces=4, codes=16, dim=64, max_iter=5
+                )
+                return vx.pq_encode_np(corpus, books, subspaces=4, dim=64)
+            cents = kmeans_integer_np(
+                corpus, k=16, dim=64, iters=5, vec="embedding",
+                id_col="vec_id",
+            ).select(
+                F.col("code").cast("bigint").alias("centroid_id"),
+                F.col("centroid").cast("array<float>").alias("embedding"),
+            ).localCheckpoint(eager=True)
+            return vx.ivf_assign_np(corpus, cents)
+
+        args.query = label
+        q_fn = _q_fn
+    else:
+        q_fn = all_queries()[args.query].fn
     walls = []
     t_mark = 0
     for _ in range(args.runs):
         t_mark = int(time.time() * 1000)
         t0 = time.perf_counter()
-        rows = q.fn(spark, args.sf_dir).count()
+        rows = q_fn(spark, args.sf_dir).count()
         walls.append(round(time.perf_counter() - t0, 2))
     spark.stop()  # flush the event log
 
