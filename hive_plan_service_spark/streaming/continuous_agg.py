@@ -94,7 +94,11 @@ class ContinuousHourlyRollup:
             (
                 df.repartition(max(n_days, 1), "day_bucket")
                 .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
+                # "DYNAMIC" pre-uppercased: Spark's per-write option path
+                # upper-cases with the JVM DEFAULT locale, so a lowercase
+                # "dynamic" becomes "DYNAMİC" under tr_TR and the enum
+                # lookup throws (found by the r7 locale gate)
+                .option("partitionOverwriteMode", "DYNAMIC")
                 .partitionBy("day_bucket")
                 .parquet(path)
             )
@@ -143,7 +147,7 @@ class ContinuousHourlyRollup:
                 .select(*_PARTIAL_COLS)
                 .withColumn("epoch", F.lit(epoch_id))
                 .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
+                .option("partitionOverwriteMode", "DYNAMIC")
                 .partitionBy("epoch")
                 .parquet(self.seen_raw)
             )
@@ -268,7 +272,7 @@ class ContinuousHourlyRollup:
                 (
                     merged_all.repartition(max(len(days), 1), "day_bucket")
                     .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
+                    .option("partitionOverwriteMode", "DYNAMIC")
                     .partitionBy("day_bucket", "epoch")
                     .parquet(self.seen_base)
                 )

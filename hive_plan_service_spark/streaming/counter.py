@@ -39,7 +39,9 @@ def streaming_counter_value(
         (
             batch_df.withColumn("epoch", F.lit(epoch_id))
             .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
+            # pre-uppercased: Spark default-locale-uppercases this option
+            # value ("dynamic"→"DYNAMİC" under tr_TR; r7 locale gate)
+            .option("partitionOverwriteMode", "DYNAMIC")
             .partitionBy("epoch")
             .parquet(log_dir)
         )

@@ -156,7 +156,9 @@ class StreamingDedupIngest:
         (
             flags.withColumn("epoch", F.lit(epoch_id))
             .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
+            # pre-uppercased: Spark default-locale-uppercases this option
+            # value ("dynamic"→"DYNAMİC" under tr_TR; r7 locale gate)
+            .option("partitionOverwriteMode", "DYNAMIC")
             .partitionBy("epoch")
             .parquet(self.flags)
         )
@@ -165,7 +167,7 @@ class StreamingDedupIngest:
         (
             same_batch.withColumn("epoch", F.lit(epoch_id))
             .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
+            .option("partitionOverwriteMode", "DYNAMIC")
             .partitionBy("epoch")
             .parquet(self.store)
         )
@@ -191,7 +193,7 @@ class StreamingDedupIngest:
             .withColumn("epoch", F.lit(base))
             .repartition("bucket")  # cluster the probe join key
             .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
+            .option("partitionOverwriteMode", "DYNAMIC")
             .partitionBy("epoch")
             .parquet(self.store)
         )

@@ -40,11 +40,33 @@ sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 # Running the same gate at a different parallelism certifies that every
 # canonical result is reproduction-independent of cluster layout.
 cores = sys.argv[2] if len(sys.argv) > 2 else "32"
-if len(sys.argv) > 3:
-    os.environ["SPARK_GRAFT_CONF_OVERRIDES"] = ";".join(sys.argv[3:])
-    print(f"conf overrides (via tune): {sys.argv[3:]}", flush=True)
+# ``builder:k=v`` pairs are STATIC conf (serializer, off-heap memory)
+# that must be set before the JVM-side SparkContext exists; plain
+# ``k=v`` pairs stay runtime overrides routed through tune(). Each
+# run_gates gate is its own subprocess, so builder conf genuinely
+# applies (getOrCreate cannot hand back a pre-existing context here).
+builder_conf: list[tuple[str, str]] = []
+runtime_conf: list[str] = []
+for arg in sys.argv[3:]:
+    if arg.startswith("builder:"):
+        k, _, v = arg[len("builder:"):].partition("=")
+        builder_conf.append((k.strip(), v.strip()))
+    else:
+        runtime_conf.append(arg)
+if runtime_conf:
+    os.environ["SPARK_GRAFT_CONF_OVERRIDES"] = ";".join(runtime_conf)
+    print(f"conf overrides (via tune): {runtime_conf}", flush=True)
 
-spark = SparkSession.builder.master(f"local[{cores}]").getOrCreate()
+builder = SparkSession.builder.master(f"local[{cores}]")
+for k, v in builder_conf:
+    print(f"builder conf: {k}={v}", flush=True)
+    builder = builder.config(k, v)
+spark = builder.getOrCreate()
+for k, v in builder_conf:
+    # getOrCreate silently ignores conf when it reuses a live context —
+    # fail loudly rather than certify an axis that never engaged
+    got = spark.conf.get(k, None)
+    assert got == v, f"builder conf {k} did not take: {got!r} != {v!r}"
 tune(spark)
 
 qs = all_queries()

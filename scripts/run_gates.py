@@ -35,6 +35,16 @@ Gates (names usable with --skip / --only, comma-separated):
              oracles invariant to the host timezone (r7)
     sf01     driver_sim at sf0.1 — the full oracle sweep at 10× the
              driver's gate scale (r7)
+    codegenoff driver_sim with whole-stage codegen off + interpreted
+             expressions — invariance to codegen fallback (r7)
+    arrowbatch driver_sim with arrow.maxRecordsPerBatch=7 — Pandas-UDF
+             kernels invariant to Arrow batch boundaries (r7)
+    kryo     driver_sim under spark.serializer=KryoSerializer (r7)
+    offheap  driver_sim with Tungsten off-heap execution memory (r7)
+    novectorized driver_sim with the vectorized parquet reader off —
+             the per-file fallback decode path must match (r7)
+    locale   driver_sim under a Turkish JVM locale + LC_ALL=C — no
+             default-locale case mapping anywhere in the path (r7)
 
 Exit 0 iff every executed gate passed. Each gate runs in its own
 subprocess (its own JVM) so a crashed session can't poison the rest.
@@ -84,6 +94,47 @@ GATES: dict[str, list[str]] = {
     # gate scale (~120 s; first divergence class that only appears with
     # content volume would surface here).
     "sf01": [sys.executable, "scripts/driver_sim.py", "/root/testdata/sf0.1"],
+    # execution-engine variance (r7 cont.): whole-stage codegen OFF and
+    # expression compilation forced interpreted — at 100 TB codegen
+    # silently FALLS BACK per-stage (64KB bytecode / 100-field limits),
+    # so every result must be identical under the interpreted path.
+    "codegenoff": [sys.executable, "scripts/driver_sim.py",
+                   "/root/testdata/sf0.01", "32",
+                   "spark.sql.codegen.wholeStage=false",
+                   "spark.sql.codegen.factoryMode=NO_CODEGEN"],
+    # Arrow batch-boundary variance: every Pandas-UDF kernel must be
+    # invariant to where Arrow splits its batches (a 10k default hides
+    # partial/empty-batch bugs that a real cluster's memory pressure
+    # exposes). 7 rows per batch forces hundreds of boundaries.
+    "arrowbatch": [sys.executable, "scripts/driver_sim.py",
+                   "/root/testdata/sf0.01", "32",
+                   "spark.sql.execution.arrow.maxRecordsPerBatch=7"],
+    # serializer variance: real clusters near-universally run Kryo for
+    # closures/broadcast transport (static conf — builder-time).
+    "kryo": [sys.executable, "scripts/driver_sim.py",
+             "/root/testdata/sf0.01", "32",
+             "builder:spark.serializer="
+             "org.apache.spark.serializer.KryoSerializer"],
+    # Tungsten off-heap mode: execution memory outside the GC heap — a
+    # genuinely different allocation/comparison code path common on
+    # large deployments (static conf — builder-time).
+    "offheap": [sys.executable, "scripts/driver_sim.py",
+                "/root/testdata/sf0.01", "32",
+                "builder:spark.memory.offHeap.enabled=true",
+                "builder:spark.memory.offHeap.size=2g"],
+    # parquet decode variance: the vectorized ColumnarBatch reader vs
+    # the parquet-mr record reader — Spark silently falls back to the
+    # latter per-file (complex types, some encodings), so both decode
+    # paths must yield identical bytes.
+    "novectorized": [sys.executable, "scripts/driver_sim.py",
+                     "/root/testdata/sf0.01", "32",
+                     "spark.sql.parquet.enableVectorizedReader=false"],
+    # JVM default-locale variance (env below): Turkish locale is the
+    # canonical trap — any code path doing default-locale case mapping
+    # turns 'I'→'ı' and breaks string equality; plus LC_ALL=C on the
+    # Python/DuckDB side. All 50 oracles must not notice.
+    "locale": [sys.executable, "scripts/driver_sim.py",
+               "/root/testdata/sf0.01"],
 }
 
 #: per-gate env overrides (bench runs the contract scale)
@@ -92,6 +143,10 @@ GATE_ENV: dict[str, dict[str, str]] = {
     "extbench": {"SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1"},
     # UTC−4/−5 with DST — maximally hostile to naive-timestamp slips
     "tz": {"TZ": "America/New_York"},
+    # Turkish JVM locale (the i/İ/ı case-mapping trap) + C locale for
+    # the Python/DuckDB half of every oracle comparison
+    "locale": {"JAVA_TOOL_OPTIONS": "-Duser.language=tr -Duser.country=TR",
+               "LC_ALL": "C", "LANG": "C"},
 }
 
 
