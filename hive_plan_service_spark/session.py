@@ -265,6 +265,22 @@ def conf_overrides() -> dict[str, str]:
 
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime conf to a session we did not necessarily build."""
+    # Pin the JVM default locale: Spark's upper/lower/initcap take an
+    # ASCII fast path but fall back to String.toUpperCase(Locale
+    # .getDefault()) the moment a value contains ANY non-ASCII char —
+    # under a tr_TR JVM, upper('combining ȧ') = 'COMBİNİNG Ȧ' (dotted
+    # capital İ; r7 locale gate find #2). Locale.setDefault is
+    # process-global, so this covers the driver (where constant folding
+    # evaluates expressions too) and every local-mode executor thread.
+    # Real-cluster executor JVMs are separate processes py4j cannot
+    # reach: deployments must mirror this with
+    # spark.executor.extraJavaOptions=-Duser.language=en (static conf,
+    # not retrofittable here) — certified by the run_gates `locale` row.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.java.util.Locale.setDefault(jvm.java.util.Locale.ROOT)
+    except Exception:
+        pass  # Spark Connect: no gateway — executor-side pin is deploy conf
     for k, v in {**_RUNTIME_CONF, **conf_overrides()}.items():
         try:
             spark.conf.set(k, v)

@@ -45,6 +45,9 @@ Gates (names usable with --skip / --only, comma-separated):
              the per-file fallback decode path must match (r7)
     locale   driver_sim under a Turkish JVM locale + LC_ALL=C — no
              default-locale case mapping anywhere in the path (r7)
+    localehostile hostile-content sweep (122 oracled queries) under the
+             Turkish JVM — non-ASCII strings through upper/lower's
+             locale-sensitive fallback (r7)
 
 Exit 0 iff every executed gate passed. Each gate runs in its own
 subprocess (its own JVM) so a crashed session can't poison the rest.
@@ -135,6 +138,13 @@ GATES: dict[str, list[str]] = {
     # Python/DuckDB side. All 50 oracles must not notice.
     "locale": [sys.executable, "scripts/driver_sim.py",
                "/root/testdata/sf0.01"],
+    # the locale axis needs NON-ASCII content to bite: Spark's
+    # upper/lower take an ASCII fast path and only hit the (default-
+    # locale!) String.toUpperCase fallback on non-ASCII values, so the
+    # canonical sweep alone can't see it. Full 122-query hostile-
+    # content sweep under the Turkish JVM (this is what found the
+    # 'COMBİNİNG' divergence that tune()'s Locale.ROOT pin now fixes).
+    "localehostile": [sys.executable, "scripts/hostile_probe.py"],
 }
 
 #: per-gate env overrides (bench runs the contract scale)
@@ -147,6 +157,9 @@ GATE_ENV: dict[str, dict[str, str]] = {
     # the Python/DuckDB half of every oracle comparison
     "locale": {"JAVA_TOOL_OPTIONS": "-Duser.language=tr -Duser.country=TR",
                "LC_ALL": "C", "LANG": "C"},
+    "localehostile": {
+        "JAVA_TOOL_OPTIONS": "-Duser.language=tr -Duser.country=TR",
+        "LC_ALL": "C", "LANG": "C"},
 }
 
 
