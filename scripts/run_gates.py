@@ -48,6 +48,9 @@ Gates (names usable with --skip / --only, comma-separated):
     localehostile hostile-content sweep (122 oracled queries) under the
              Turkish JVM — non-ASCII strings through upper/lower's
              locale-sensitive fallback (r7)
+    execloss SIGKILL executor JVMs mid-query (local-cluster) — lost
+             shuffle blocks, stage resubmission, master relaunch;
+             fingerprints must match the clean run (r7)
 
 Exit 0 iff every executed gate passed. Each gate runs in its own
 subprocess (its own JVM) so a crashed session can't poison the rest.
@@ -145,6 +148,11 @@ GATES: dict[str, list[str]] = {
     # content sweep under the Turkish JVM (this is what found the
     # 'COMBİNİNG' divergence that tune()'s Locale.ROOT pin now fixes).
     "localehostile": [sys.executable, "scripts/hostile_probe.py"],
+    # executor-loss determinism (r7 cont.): SIGKILL live executor JVMs
+    # mid-query under local-cluster[3,4,2560] — lost shuffle files,
+    # FetchFailed stage resubmission, master relaunch; all production-
+    # shape fingerprints must match the clean run bit-for-bit.
+    "execloss": [sys.executable, "scripts/executor_loss_probe.py"],
 }
 
 #: per-gate env overrides (bench runs the contract scale)
