@@ -222,12 +222,90 @@ def collect_phase(mode: str, out_path: str, walls: dict[str, float]) -> None:
         json.dump(result, f)
 
 
+def canonical_chaos(kill_every_s: float) -> None:
+    """The driver's full t2 gate under sustained executor attrition:
+    every CANONICAL slot must pass its DuckDB value-hash oracle while
+    an assassin thread SIGKILLs one executor JVM every ``kill_every_s``
+    seconds for the whole sweep. The oracle IS the clean reference
+    here (DuckDB runs outside Spark), so no clean Spark phase is
+    needed; loud failures get one job-level retry (the orchestrator
+    contract for unrecoverable checkpoint blocks, see run_shape)."""
+    from parity import check_query
+
+    from hive_plan_service_spark.plans.registry import CANONICAL, all_queries
+
+    spark = lc.build_session("localcluster")
+    stop = threading.Event()
+    kills: list[dict] = []
+    seen: set[int] = set(executor_pids())
+
+    def assassin() -> None:
+        while not stop.wait(kill_every_s):
+            pids = executor_pids()
+            seen.update(pids)
+            if not pids:
+                continue
+            active = list(
+                spark.sparkContext.statusTracker().getActiveJobsIds()
+            )
+            victim = min(pids)
+            os.kill(victim, signal.SIGKILL)
+            kills.append({"pid": victim, "active_jobs": active})
+            print(f"    assassin: killed {victim} "
+                  f"(active jobs {active})", flush=True)
+
+    threading.Thread(target=assassin, daemon=True).start()
+
+    qs = all_queries()
+    fails: list[dict] = []
+    retries: list[dict] = []
+    t_all = time.time()
+    for name in CANONICAL:
+        try:
+            check_query(spark, qs[name], lc.CANON_SF_DIR)
+        except Exception as e:  # noqa: BLE001 — loud failure: one retry
+            retries.append({"slot": name, "err": str(e)[:200]})
+            print(f"    {name}: loud failure — job-level retry", flush=True)
+            try:
+                check_query(spark, qs[name], lc.CANON_SF_DIR)
+            except Exception as e2:  # noqa: BLE001
+                fails.append({"slot": name, "err": str(e2)[:300]})
+                print(f"{name}: FAIL {str(e2)[:200]}", flush=True)
+    stop.set()
+    seen.update(executor_pids())
+    mid_job = [k for k in kills if k["active_jobs"]]
+    summary = {
+        "ok": not fails and len(mid_job) >= 2,
+        "slots_ok": len(CANONICAL) - len(fails),
+        "slots_total": len(CANONICAL),
+        "failures": fails,
+        "job_retries": retries,
+        "kills": len(kills),
+        "kills_mid_job": len(mid_job),
+        "kill_every_s": kill_every_s,
+        "distinct_executor_pids": len(seen),
+        "workers": lc._WORKERS,
+        "relaunch_observed": len(seen) > lc._WORKERS,
+        "wall_s": round(time.time() - t_all, 1),
+    }
+    print(json.dumps(summary), flush=True)
+    spark.stop()
+    sys.exit(0 if summary["ok"] else 1)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--collect", choices=["clean", "chaos"])
     ap.add_argument("--out")
     ap.add_argument("--walls", default="{}")
+    ap.add_argument("--canonical", action="store_true",
+                    help="all 50 canonical oracle checks under a "
+                         "periodic executor assassin")
+    ap.add_argument("--kill-every", type=float, default=15.0)
     args = ap.parse_args()
+    if args.canonical:
+        canonical_chaos(args.kill_every)
+        return
     if args.collect:
         collect_phase(args.collect, args.out, json.loads(args.walls))
         return

@@ -48,9 +48,13 @@ Gates (names usable with --skip / --only, comma-separated):
     localehostile hostile-content sweep (122 oracled queries) under the
              Turkish JVM — non-ASCII strings through upper/lower's
              locale-sensitive fallback (r7)
+    splitvar driver_sim with 1 MiB scan splits — results invariant to
+             parquet split boundaries and scan parallelism (r7)
     execloss SIGKILL executor JVMs mid-query (local-cluster) — lost
              shuffle blocks, stage resubmission, master relaunch;
              fingerprints must match the clean run (r7)
+    execlosscanon all 50 canonical oracle checks with an executor
+             killed every 15 s for the whole sweep (r7)
 
 Exit 0 iff every executed gate passed. Each gate runs in its own
 subprocess (its own JVM) so a crashed session can't poison the rest.
@@ -148,11 +152,26 @@ GATES: dict[str, list[str]] = {
     # content sweep under the Turkish JVM (this is what found the
     # 'COMBİNİNG' divergence that tune()'s Locale.ROOT pin now fixes).
     "localehostile": [sys.executable, "scripts/hostile_probe.py"],
+    # scan-split variance: 1 MiB max partition bytes + zero file open
+    # cost — every parquet file splits into many scan partitions at
+    # different row boundaries than the 128 MiB default (and small
+    # files pack differently). Row-group alignment, partial-file
+    # scans, and scan-level parallelism must not leak into results.
+    "splitvar": [sys.executable, "scripts/driver_sim.py",
+                 "/root/testdata/sf0.01", "32",
+                 "spark.sql.files.maxPartitionBytes=1048576",
+                 "spark.sql.files.openCostInBytes=0"],
     # executor-loss determinism (r7 cont.): SIGKILL live executor JVMs
     # mid-query under local-cluster[3,4,2560] — lost shuffle files,
     # FetchFailed stage resubmission, master relaunch; all production-
     # shape fingerprints must match the clean run bit-for-bit.
     "execloss": [sys.executable, "scripts/executor_loss_probe.py"],
+    # the same attrition against the driver's full t2 gate: all 50
+    # canonical DuckDB oracle checks while an assassin kills one
+    # executor every 15 s for the whole sweep (the oracle is the clean
+    # reference — DuckDB runs outside Spark).
+    "execlosscanon": [sys.executable, "scripts/executor_loss_probe.py",
+                      "--canonical"],
 }
 
 #: per-gate env overrides (bench runs the contract scale)
