@@ -519,10 +519,12 @@ def b01_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     register_tables(spark, sf_dir)
-    from hive_plan_service_spark.session import scratch_root
+    from hive_plan_service_spark.session import process_scratch_dir
 
-    out = os.path.join(
-        scratch_root(), f"hpss_part_{os.path.basename(sf_dir.rstrip('/'))}"
+    # PID-keyed: scratch_root() is machine-shared and a fixed subdir
+    # under overwrite mode races with concurrent suites (r7 transient).
+    out = process_scratch_dir(
+        f"hpss_part_{os.path.basename(sf_dir.rstrip('/'))}"
     )
     ev = spark.table("events").withColumn(
         "day_bucket", F.expr("unix_timestamp(ts) div 86400")

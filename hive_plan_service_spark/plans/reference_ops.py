@@ -115,9 +115,11 @@ def a04_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a05_materialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
-    from hive_plan_service_spark.session import scratch_root
+    from hive_plan_service_spark.session import process_scratch_dir
 
-    out = os.path.join(scratch_root(), "hpss_materialized")
+    # PID-keyed: scratch_root() is machine-shared and a fixed subdir
+    # under overwrite mode races with concurrent suites (r7 transient).
+    out = process_scratch_dir("hpss_materialized")
     # stage 1: plan entities (processor:29–42)
     plans = spark.table("plans")
     plans.write.mode("overwrite").parquet(f"{out}/plan_entities")

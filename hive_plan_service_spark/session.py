@@ -121,6 +121,30 @@ def scratch_root() -> str:
     return d
 
 
+def process_scratch_dir(name: str) -> str:
+    """A named scratch subdirectory that is STABLE within this process
+    but ISOLATED across processes (``<scratch_root>/<name>_pid<pid>``).
+
+    ``scratch_root()`` itself is machine-shared (``/dev/shm``): two
+    suites running side by side see the same path. Any fixed-name
+    subdir written with ``mode("overwrite")`` therefore races across
+    processes — one run's committer deletes files (or the whole temp
+    dir) while the other's read job has already listed them, yielding
+    FAILED_READ_FILE.FILE_NOT_EXIST / UNABLE_TO_INFER_SCHEMA /
+    TASK_WRITE_FAILED. This was the r7 "transient 49/50" class: a
+    deliberate two-process repro hit 25 failures in 25 iterations on
+    the fixed paths, zero after PID-keying. Within one process the
+    name stays stable, so repeated calls still exercise true
+    overwrite-in-place semantics; concurrent sessions in one JVM are
+    serialized per query name by the registry's one-slot-per-name
+    design. Ephemeral per-call dirs (streaming feeds, API stores)
+    should keep using ``mkdtemp(dir=scratch_root())`` instead.
+    """
+    d = os.path.join(scratch_root(), f"{name}_pid{os.getpid()}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def shuffle_partitions() -> int:
     """Shuffle partition count: ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` if
     set (a real cluster runs 200–2000; the r6 sweep certifies plans and
