@@ -161,6 +161,21 @@ GATES: dict[str, list[str]] = {
                  "/root/testdata/sf0.01", "32",
                  "spark.sql.files.maxPartitionBytes=1048576",
                  "spark.sql.files.openCostInBytes=0"],
+    # row-order invariance (r7 cont.): at 100 TB parquet row order is
+    # not stable (compaction, ingest parallelism, rewrites) — every
+    # canonical result must be a pure function of table CONTENT. Phase
+    # A compares canonical row multisets original-vs-permuted fixtures
+    # in one session (rules out Spark+DuckDB drifting together on a
+    # scan-order tie); phase B re-runs the full driver oracle gate on
+    # the permuted dir.
+    "roworder": [sys.executable, "scripts/roworder_probe.py"],
+    # parallelism axis (r7 cont.): local[7] — odd, non-power-of-two
+    # cores; every stage distributes unevenly and partial-aggregate
+    # merge orders differ from the 32-core gate. (Its historical
+    # transient was the cross-process scratch race, fixed by
+    # session.process_scratch_dir — tests/test_scratch_isolation.py.)
+    "cores7": [sys.executable, "scripts/driver_sim.py",
+               "/root/testdata/sf0.01", "7"],
     # executor-loss determinism (r7 cont.): SIGKILL live executor JVMs
     # mid-query under local-cluster[3,4,2560] — lost shuffle files,
     # FetchFailed stage resubmission, master relaunch; all production-
