@@ -176,6 +176,11 @@ GATES: dict[str, list[str]] = {
     # session.process_scratch_dir — tests/test_scratch_isolation.py.)
     "cores7": [sys.executable, "scripts/driver_sim.py",
                "/root/testdata/sf0.01", "7"],
+    # cross-process concurrency (r7 cont.): two FULL canonical oracle
+    # sweeps in separate concurrent processes sharing the machine (and
+    # its scratch volumes) — the axis the in-process concurrency gate
+    # can't see; live certification of the scratch-isolation fix.
+    "multiproc": [sys.executable, "scripts/multiproc_probe.py"],
     # executor-loss determinism (r7 cont.): SIGKILL live executor JVMs
     # mid-query under local-cluster[3,4,2560] — lost shuffle files,
     # FetchFailed stage resubmission, master relaunch; all production-
