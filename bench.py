@@ -105,20 +105,33 @@ def run(
     # subtract it. Convergence rule: stop once the two best runs agree
     # within 15% (≥3 runs, ≤8) — a quiet box stops at 3, a noisy window
     # gets up to 8 chances to catch one clean slot.
-    timings: dict[str, float] = {}
-    for name in selected:
-        runs: list[float] = []
-        while True:
-            t0 = time.perf_counter()
-            registry[name].fn(spark, sf_dir).count()
-            runs.append(time.perf_counter() - t0)
-            if len(runs) >= 8:
-                break
-            if len(runs) >= 3:
-                best, second = sorted(runs)[:2]
-                if second <= 1.15 * best:
+    def _time_pass() -> dict[str, float]:
+        pass_timings: dict[str, float] = {}
+        for name in selected:
+            runs: list[float] = []
+            while True:
+                t0 = time.perf_counter()
+                registry[name].fn(spark, sf_dir).count()
+                runs.append(time.perf_counter() - t0)
+                if len(runs) >= 8:
                     break
-        timings[name] = round(min(runs), 4)
+                if len(runs) >= 3:
+                    best, second = sorted(runs)[:2]
+                    if second <= 1.15 * best:
+                        break
+            pass_timings[name] = min(runs)
+        return pass_timings
+
+    # Min-of-2 FULL passes (BASELINE.md; VERDICT r7 #6): a first-of-
+    # session invocation once read 13.1 s vs 9.4 s on the immediate
+    # re-run — cold page-cache/JIT state that the pure-CPU calibration
+    # probe cannot see. Per-query convergence can't fix it either: a
+    # uniformly cold window satisfies the 15% agreement rule at an
+    # inflated level. A second full pass runs after every query has
+    # been fully exercised once, so its floor is warm by construction.
+    pass_a = _time_pass()
+    pass_b = _time_pass()
+    timings = {n: round(min(pass_a[n], pass_b[n]), 4) for n in selected}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 4)
@@ -155,6 +168,7 @@ def run(
         "calibration_cpu_sec": calibration,
         "calibration_quiet_ref": CALIBRATION_QUIET_REF,
         "value_normalized": round(total * factor, 4),
+        "timing_passes": 2,
     }
 
 

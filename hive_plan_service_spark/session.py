@@ -9,7 +9,9 @@ driver hands us one), so query results are environment-independent.
 
 from __future__ import annotations
 
+import atexit
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -139,10 +141,69 @@ def process_scratch_dir(name: str) -> str:
     serialized per query name by the registry's one-slot-per-name
     design. Ephemeral per-call dirs (streaming feeds, API stores)
     should keep using ``mkdtemp(dir=scratch_root())`` instead.
+
+    Reclamation (r8, per ADVICE): scratch_root() is RAM-backed tmpfs
+    shared with executor memory, so leaked dirs erode the heap budget
+    across gate runs. Two mechanisms, both bounded: (a) every dir this
+    process creates is registered for atexit rmtree; (b) the FIRST call
+    per process sweeps sibling ``*_pid<N>`` dirs whose owning PID is no
+    longer alive (covers SIGKILLed probes, where atexit never ran).
+    The sweep only matches the exact pid-suffix pattern, never touches
+    live-PID dirs, and ignores races (another sweeper may win).
     """
-    d = os.path.join(scratch_root(), f"{name}_pid{os.getpid()}")
+    root = scratch_root()
+    _sweep_dead_pid_dirs(root)
+    d = os.path.join(root, f"{name}_pid{os.getpid()}")
     os.makedirs(d, exist_ok=True)
+    _PROCESS_SCRATCH_DIRS.add(d)
     return d
+
+
+_PROCESS_SCRATCH_DIRS: set = set()
+_SWEPT_ROOTS: set = set()
+_PID_DIR_RE = re.compile(r"_pid(\d+)$")
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else — leave it alone
+    except OSError:
+        return True  # unknown — err on the side of not deleting
+
+
+def _sweep_dead_pid_dirs(root: str) -> None:
+    """Remove sibling ``<name>_pid<N>`` dirs whose PID is dead. Runs at
+    most once per root per process; rmtree races with a concurrent
+    sweeper are benign (ignore_errors)."""
+    if root in _SWEPT_ROOTS:
+        return
+    _SWEPT_ROOTS.add(root)
+    import shutil
+
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    for entry in entries:
+        m = _PID_DIR_RE.search(entry)
+        if not m or _pid_alive(int(m.group(1))):
+            continue
+        shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+
+
+@atexit.register
+def _cleanup_process_scratch() -> None:
+    """rmtree every process_scratch_dir this process created; tmpfs is
+    a shared RAM budget (see process_scratch_dir docstring)."""
+    import shutil
+
+    for d in _PROCESS_SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def shuffle_partitions() -> int:

@@ -39,7 +39,7 @@ from hive_plan_service_spark.sources.writers import write_parquet_heap_safe  # n
 
 
 def multiplied(spark, mult: int):
-    from hive_plan_service_spark.session import default_parallelism, scratch_root
+    from hive_plan_service_spark.session import default_parallelism, process_scratch_dir
 
     base = spark.table("embeddings")
     n = base.count()
@@ -68,7 +68,7 @@ def multiplied(spark, mult: int):
         )
         .drop("_rep")
     )
-    path = os.path.join(scratch_root(), f"ann_probe_corpus_{mult}")
+    path = os.path.join(process_scratch_dir("ann_probe"), f"corpus_{mult}")
     write_parquet_heap_safe(out.repartition(default_parallelism()), path)
     return spark.read.parquet(path), path
 

@@ -186,9 +186,9 @@ def main() -> None:
             )
             .drop("_rep")
         )
-        from hive_plan_service_spark.session import scratch_root
+        from hive_plan_service_spark.session import process_scratch_dir
 
-        docs_path = os.path.join(scratch_root(), f"attrib_docs_{args.mult}")
+        docs_path = os.path.join(process_scratch_dir("attrib"), f"docs_{args.mult}")
         out.repartition(default_parallelism()).write.mode(
             "overwrite"
         ).parquet(docs_path)

@@ -42,7 +42,7 @@ import bench  # noqa: E402 — reuse calibrate() + the quiet reference
 from hive_plan_service_spark.session import (  # noqa: E402
     default_parallelism,
     get_spark,
-    scratch_root,
+    process_scratch_dir,
 )
 from hive_plan_service_spark.sources.catalog import register_tables  # noqa: E402
 from hive_plan_service_spark.sources.writers import write_parquet_heap_safe  # noqa: E402
@@ -75,7 +75,7 @@ def _mult_docs(spark, mult: int) -> str:
         )
         .drop("_rep")
     )
-    path = os.path.join(scratch_root(), f"bench_ext_docs_{mult}")
+    path = os.path.join(process_scratch_dir("bench_ext"), f"docs_{mult}")
     out.repartition(default_parallelism()).write.mode("overwrite").parquet(path)
     return path
 
@@ -105,7 +105,7 @@ def _mult_embeddings(spark, mult: int) -> str:
         )
         .drop("_rep")
     )
-    path = os.path.join(scratch_root(), f"bench_ext_emb_{mult}")
+    path = os.path.join(process_scratch_dir("bench_ext"), f"emb_{mult}")
     write_parquet_heap_safe(out.repartition(default_parallelism()), path)
     return path
 

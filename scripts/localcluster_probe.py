@@ -68,9 +68,9 @@ _EXEC_MEM_MB = max(1024, _WORKER_MB - 1024)
 
 
 def _scratch() -> str:
-    from hive_plan_service_spark.session import scratch_root
+    from hive_plan_service_spark.session import process_scratch_dir
 
-    d = os.path.join(scratch_root(), "lc_probe")
+    d = process_scratch_dir("lc_probe")
     os.makedirs(d, exist_ok=True)
     return d
 

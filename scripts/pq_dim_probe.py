@@ -43,7 +43,7 @@ from hive_plan_service_spark.operators import vectors as vx  # noqa: E402
 from hive_plan_service_spark.session import (  # noqa: E402
     default_parallelism,
     get_spark,
-    scratch_root,
+    process_scratch_dir,
 )
 from hive_plan_service_spark.sources.catalog import register_tables  # noqa: E402
 from hive_plan_service_spark.sources.writers import write_parquet_heap_safe  # noqa: E402
@@ -118,7 +118,7 @@ def widened_corpus(spark, mult: int):
             "embedding", lambda x: (x / F.col("_nrm")).cast("float")
         ).alias("embedding"),
     )
-    path = os.path.join(scratch_root(), f"pq_dim_probe_{DIM}_{mult}")
+    path = os.path.join(process_scratch_dir("pq_dim_probe"), f"unit_{DIM}_{mult}")
     # heap-safe row groups for the wide 768-dim rows (r6 spill
     # certification: default 128 MiB x 32 writer buffers OOM a 4 GiB
     # heap before the first flush — sources/writers.py)

@@ -25,7 +25,7 @@ if REPO_ROOT not in sys.path:
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from hive_plan_service_spark.session import get_spark, scratch_root  # noqa: E402
+from hive_plan_service_spark.session import get_spark, process_scratch_dir  # noqa: E402
 from hive_plan_service_spark.sources.catalog import register_tables  # noqa: E402
 from hive_plan_service_spark.streaming.continuous_agg import (  # noqa: E402
     ContinuousHourlyRollup,
@@ -38,7 +38,7 @@ sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 spark = get_spark(app_name="rollup-probe")
 register_tables(spark, sf_dir)
 
-workdir = os.path.join(scratch_root(), "rollup_probe")
+workdir = os.path.join(process_scratch_dir("rollup_probe"), "store")
 shutil.rmtree(workdir, ignore_errors=True)
 os.makedirs(workdir)
 roll = ContinuousHourlyRollup(

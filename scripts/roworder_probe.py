@@ -35,6 +35,7 @@ import os
 import shutil
 import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -51,12 +52,14 @@ from hive_plan_service_spark.plans.registry import CANONICAL, all_queries
 from parity import TABLES, canonical_rows
 
 SEED = 20260816
-SCRATCH = "/tmp/spark_graft_roworder"
 
 
-def build_permuted(sf_dir: str) -> str:
-    out_dir = os.path.join(SCRATCH, os.path.basename(sf_dir.rstrip("/")))
-    shutil.rmtree(out_dir, ignore_errors=True)
+def build_permuted(sf_dir: str, scratch: str) -> str:
+    """Write the permuted fixture copy under a per-run mkdtemp dir —
+    never a fixed shared literal (CLAUDE.md invariant 30: concurrent
+    runs on a fixed path would delete each other's fixtures mid-read).
+    The caller removes *scratch* in a finally block."""
+    out_dir = os.path.join(scratch, os.path.basename(sf_dir.rstrip("/")))
     os.makedirs(out_dir)
     rng = np.random.default_rng(SEED)
     for t in TABLES:
@@ -69,7 +72,15 @@ def build_permuted(sf_dir: str) -> str:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    perm_dir = build_permuted(sf_dir)
+    scratch = tempfile.mkdtemp(prefix="spark_graft_roworder_")
+    try:
+        return _run(sf_dir, scratch)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _run(sf_dir: str, scratch: str) -> int:
+    perm_dir = build_permuted(sf_dir, scratch)
 
     spark = SparkSession.builder.master("local[32]").getOrCreate()
     tune(spark)
@@ -78,11 +89,18 @@ def main() -> int:
     fail = 0
     t_all = time.time()
     # Original-dir pass first, then permuted — registration re-keys once
-    # per directory switch instead of per query.
+    # per directory switch instead of per query. Per-slot try/except on
+    # BOTH passes so one failing query can't hide the rest of the report.
     base: dict[str, list[tuple]] = {}
     for name in CANONICAL:
-        base[name] = canonical_rows(qs[name].fn(spark, sf_dir).toPandas())
+        try:
+            base[name] = canonical_rows(qs[name].fn(spark, sf_dir).toPandas())
+        except Exception as e:  # noqa: BLE001 — report every slot, then fail
+            fail += 1
+            print(f"{name}: FAIL (base pass) {str(e)[:500]}", flush=True)
     for name in CANONICAL:
+        if name not in base:
+            continue
         t0 = time.time()
         try:
             permuted = canonical_rows(qs[name].fn(spark, perm_dir).toPandas())

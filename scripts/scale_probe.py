@@ -56,7 +56,7 @@ def multiplied_docs(spark, mult: int, *, identical: bool = False):
     splittable) keeps the synthesis expressions out of the timed
     operator — the probe measures dedup over storage, like production.
     """
-    from hive_plan_service_spark.session import default_parallelism, scratch_root
+    from hive_plan_service_spark.session import default_parallelism, process_scratch_dir
 
     base = spark.table("documents")
     n = base.count()
@@ -85,8 +85,8 @@ def multiplied_docs(spark, mult: int, *, identical: bool = False):
         )
     out = out.drop("_rep")
     path = os.path.join(
-        scratch_root(),
-        f"scale_probe_corpus_{mult}{'_id' if identical else ''}",
+        process_scratch_dir("scale_probe"),
+        f"corpus_{mult}{'_id' if identical else ''}",
     )
     out.repartition(default_parallelism()).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path), path

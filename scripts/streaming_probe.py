@@ -48,7 +48,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from hive_plan_service_spark.session import (  # noqa: E402
     default_parallelism,
     get_spark,
-    scratch_root,
+    process_scratch_dir,
 )
 from hive_plan_service_spark.sources.catalog import (  # noqa: E402
     register_tables,
@@ -75,7 +75,7 @@ def replicated_events(spark, mult: int) -> str:
         "value",
         "props",
     )
-    path = os.path.join(scratch_root(), f"streaming_probe_events_{mult}")
+    path = os.path.join(process_scratch_dir("streaming_probe"), f"events_{mult}")
     feed.repartition(default_parallelism()).write.mode("overwrite").parquet(
         path
     )
@@ -89,7 +89,7 @@ def drive(sdf, mode: str):
     def sink(df, _eid):
         out_rows.append(df.count())
 
-    ckpt = os.path.join(scratch_root(), f"sp_ckpt_{uuid.uuid4().hex[:12]}")
+    ckpt = os.path.join(process_scratch_dir("streaming_probe"), f"ckpt_{uuid.uuid4().hex[:12]}")
     t0 = time.perf_counter()
     q = (
         sdf.writeStream.outputMode(mode)
@@ -160,7 +160,7 @@ def probe_events(spark, mult: int) -> None:
         ContinuousHourlyRollup,
     )
 
-    workdir = os.path.join(scratch_root(), f"sp_rollup_{mult}")
+    workdir = os.path.join(process_scratch_dir("streaming_probe"), f"rollup_{mult}")
     shutil.rmtree(workdir, ignore_errors=True)
     os.makedirs(workdir)
     roll = ContinuousHourlyRollup(spark, feed, workdir, compact_after=8)
@@ -294,7 +294,7 @@ def probe_docs(spark, mult: int) -> None:
 
     corpus, path = multiplied_docs(spark, mult)
     n_docs = corpus.count()
-    workdir = os.path.join(scratch_root(), f"sp_dedup_ingest_{mult}")
+    workdir = os.path.join(process_scratch_dir("streaming_probe"), f"dedup_ingest_{mult}")
     shutil.rmtree(workdir, ignore_errors=True)
     ingest = StreamingDedupIngest(spark, path, workdir)
     t0 = time.perf_counter()
