@@ -55,6 +55,10 @@ Gates (names usable with --skip / --only, comma-separated):
              fingerprints must match the clean run (r7)
     execlosscanon all 50 canonical oracle checks with an executor
              killed every 15 s for the whole sweep (r7)
+    skew     driver_sim on deterministically SKEWED sf0.01 fixtures —
+             hot customer (30% of orders), hot supplier, hot nation,
+             hot user/event-type, hot document domain + over-cap
+             boilerplate LSH bucket, hot embedding cell (r8)
 
 Exit 0 iff every executed gate passed. Each gate runs in its own
 subprocess (its own JVM) so a crashed session can't poison the rest.
@@ -192,6 +196,11 @@ GATES: dict[str, list[str]] = {
     # reference — DuckDB runs outside Spark).
     "execlosscanon": [sys.executable, "scripts/executor_loss_probe.py",
                       "--canonical"],
+    # data-distribution axis (r8, VERDICT #1): every other gate runs on
+    # near-uniform fixtures; a real 100 TB corpus is Zipfian. The probe
+    # builds a deterministic hot-key/hot-domain/hot-bucket copy of the
+    # driver-scale fixtures and re-runs the full 50-slot oracle gate.
+    "skew": [sys.executable, "scripts/skew_probe.py"],
 }
 
 #: per-gate env overrides (bench runs the contract scale)
