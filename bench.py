@@ -75,6 +75,21 @@ def calibrate(spark, n_rows: int = 50_000_000, depth: int = 16) -> float:
     return round(min(runs), 4)
 
 
+def materialize(df) -> None:
+    """Force FULL computation of every output column via the noop sink.
+
+    ``.count()`` is NOT a valid bench sink (r8 find): Catalyst's column
+    pruning removes any operator whose output the count doesn't need —
+    ``b12_window_functions.count()`` drops the Window node entirely
+    (0.21 s counted vs 0.91 s materialized at sf0.1, and the stage
+    table shows no window exchange at all), and a projection suite's
+    count plan collapses to a bare scan-count. The noop datasource
+    consumes every row with all columns computed and writes nothing —
+    the standard Spark benchmarking sink.
+    """
+    df.write.format("noop").mode("overwrite").save()
+
+
 def run(
     spark,
     sf_dir: str,
@@ -94,7 +109,7 @@ def run(
     # mid-tier-compilation for the widest generated plans).
     for _ in range(2):
         for name in selected:
-            registry[name].fn(spark, sf_dir).count()
+            materialize(registry[name].fn(spark, sf_dir))
 
     # Adaptive min-of-N per query. External load on this shared box
     # inflates whole runs by 30-50% (sometimes 3×) for minutes at a time
@@ -111,7 +126,7 @@ def run(
             runs: list[float] = []
             while True:
                 t0 = time.perf_counter()
-                registry[name].fn(spark, sf_dir).count()
+                materialize(registry[name].fn(spark, sf_dir))
                 runs.append(time.perf_counter() - t0)
                 if len(runs) >= 8:
                     break
@@ -169,6 +184,7 @@ def run(
         "calibration_quiet_ref": CALIBRATION_QUIET_REF,
         "value_normalized": round(total * factor, 4),
         "timing_passes": 2,
+        "sink": "noop",
     }
 
 

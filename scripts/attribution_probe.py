@@ -103,10 +103,12 @@ def parse_stages(log_dir: str, t_min_ms: int) -> list[dict]:
                     a = acc.setdefault(ev.get("Stage ID"), {
                         "task_time_s": 0.0, "cpu_s": 0.0, "max_task_s": 0.0,
                         "input_mb": 0.0, "shuf_read_mb": 0.0,
-                        "shuf_write_mb": 0.0,
+                        "shuf_write_mb": 0.0, "_runs": [],
                     })
                     run_s = tm.get("Executor Run Time", 0) / 1e3
                     a["task_time_s"] += run_s
+                    if len(a["_runs"]) < 100_000:  # bound memory
+                        a["_runs"].append(run_s)
                     a["cpu_s"] += tm.get("Executor CPU Time", 0) / 1e9
                     a["max_task_s"] = max(a["max_task_s"], run_s)
                     a["input_mb"] += (
@@ -127,6 +129,15 @@ def parse_stages(log_dir: str, t_min_ms: int) -> list[dict]:
         for k in ("task_time_s", "cpu_s", "max_task_s", "input_mb",
                   "shuf_read_mb", "shuf_write_mb"):
             st[k] = round(a.get(k, 0.0), 2)
+        # straggler evidence (r8 skew attribution): a healthy stage
+        # keeps max/median under ~5x; a hot shuffle key shows up here
+        # long before it shows up in wall-clock
+        runs = sorted(a.get("_runs", []))
+        med = runs[len(runs) // 2] if runs else 0.0
+        st["p50_task_s"] = round(med, 3)
+        st["max_over_median"] = (
+            round(st["max_task_s"] / med, 1) if med > 0.02 else None
+        )
     return sorted(stages.values(), key=lambda s: -s["task_time_s"])
 
 
@@ -135,6 +146,13 @@ def main() -> None:
     ap.add_argument("query", nargs="?", default="llm_corpus_clean_pipeline")
     ap.add_argument("--mult", type=int, default=0,
                     help="replicate documents N x as distinct content")
+    ap.add_argument(
+        "--skew", action="store_true",
+        help="make the multiplied corpus Zipfian (r8 VERDICT #1): 50%% "
+             "of docs remapped to ONE source domain, every 25th doc's "
+             "text replaced by shared boilerplate (one LSH bucket far "
+             "past max_bucket), so hot-key shuffle partitions and the "
+             "over-cap guard are exercised at scale")
     ap.add_argument(
         "--extbench", choices=["pq", "ivf"], default=None,
         help="attribute an extbench index-build shape instead of a "
@@ -186,9 +204,27 @@ def main() -> None:
             )
             .drop("_rep")
         )
+        if args.skew:
+            hot_source = base.select("source").first()[0]
+            boiler = " ".join(
+                f"boilerplate{i} legal footer common all rights reserved"
+                for i in range(12)
+            )
+            out = out.withColumn(
+                "source",
+                F.when(F.col("doc_id") % 2 == 0, F.lit(hot_source))
+                .otherwise(F.col("source")),
+            ).withColumn(
+                "text",
+                F.when(F.col("doc_id") % 25 == 0, F.lit(boiler))
+                .otherwise(F.col("text")),
+            )
         from hive_plan_service_spark.session import process_scratch_dir
 
-        docs_path = os.path.join(process_scratch_dir("attrib"), f"docs_{args.mult}")
+        docs_path = os.path.join(
+            process_scratch_dir("attrib"),
+            f"docs_{args.mult}{'_skew' if args.skew else ''}",
+        )
         out.repartition(default_parallelism()).write.mode(
             "overwrite"
         ).parquet(docs_path)
@@ -228,12 +264,18 @@ def main() -> None:
         q_fn = _q_fn
     else:
         q_fn = all_queries()[args.query].fn
+    from bench import materialize
+
+    # rows reported from ONE untimed count (also a warm run); the timed
+    # runs materialize through the noop sink — .count() lets Catalyst
+    # prune operators the count doesn't need (bench.materialize)
+    rows = q_fn(spark, args.sf_dir).count()
     walls = []
     t_mark = 0
     for _ in range(args.runs):
         t_mark = int(time.time() * 1000)
         t0 = time.perf_counter()
-        rows = q_fn(spark, args.sf_dir).count()
+        materialize(q_fn(spark, args.sf_dir))
         walls.append(round(time.perf_counter() - t0, 2))
     spark.stop()  # flush the event log
 
@@ -242,17 +284,19 @@ def main() -> None:
     print(f"\n{args.query} mult={args.mult} rows={rows} "
           f"walls={walls} (attributed: last run)")
     print(f"{'stage':>6} {'tasks':>5} {'wall':>7} {'tasktime':>9} "
-          f"{'cpu':>7} {'maxtask':>8} {'in MB':>8} {'shR MB':>8} "
-          f"{'shW MB':>8}  name")
+          f"{'cpu':>7} {'maxtask':>8} {'p50':>6} {'mx/med':>6} "
+          f"{'in MB':>8} {'shR MB':>8} {'shW MB':>8}  name")
     for s in stages:
         if s["task_time_s"] < 0.01 and s["wall_s"] < 0.05:
             continue
         print(f"{s['stage']:>6} {s['tasks']:>5} {s['wall_s']:>7} "
               f"{s['task_time_s']:>9} {s['cpu_s']:>7} {s['max_task_s']:>8} "
+              f"{s['p50_task_s']:>6} {str(s['max_over_median']):>6} "
               f"{s['input_mb']:>8} {s['shuf_read_mb']:>8} "
               f"{s['shuf_write_mb']:>8}  {s['name']}")
     print(json.dumps({
-        "query": args.query, "mult": args.mult, "rows": rows,
+        "query": args.query, "mult": args.mult, "skew": args.skew,
+        "rows": rows,
         "walls_s": walls, "total_task_time_s": total_task,
         "stages": stages[:20],
     }), flush=True)

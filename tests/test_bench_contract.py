@@ -26,12 +26,18 @@ def test_bench_payload_shape(spark, sf_dir):
         "calibration_quiet_ref",
         "value_normalized",
         "timing_passes",
+        "sink",
     }
     # min-of-2-full-passes rule (VERDICT r7 #6, BASELINE.md): the
     # artifact declares how many complete timing passes fed each
     # per-query minimum, so a judge can see cold-start robustness is
     # structural, not luck
     assert decoded["timing_passes"] == 2
+    # full-materialization rule (r8, BASELINE.md): .count() is not a
+    # valid sink — Catalyst prunes any operator the count doesn't need
+    # (b12's Window node vanished: 0.21 s counted vs 0.91 s real). The
+    # noop sink computes every output column of every row.
+    assert decoded["sink"] == "noop"
     assert decoded["unit"] == "sec"
     assert isinstance(decoded["value"], (int, float)) and decoded["value"] > 0
     # the box-speed reference must be a real measurement, and must NOT
