@@ -42,3 +42,47 @@ def dsum(c: Column, alias: str) -> Column:
 def davg(c: Column, alias: str) -> Column:
     """Order-independent mean: exact decimal sum / count, as DOUBLE."""
     return (F.sum(c).cast("double") / F.count(c)).alias(alias)
+
+
+def floor_div(c: Column, divisor: int) -> Column:
+    """FLOOR division of a BIGINT column — exact for any sign.
+
+    Spark's ``div`` (and ``CAST(ts AS LONG)``/``unix_timestamp``)
+    truncate toward zero, while the epoch/bucketing definition (and
+    DuckDB's ``//`` and ``epoch()``) FLOOR — they disagree on every
+    negative non-multiple (r8 numfuzz find: 1969-12-31T23:59:59.999999
+    bucketed as 0 by Spark and −1 by the oracle). Computed as
+    subtract-positive-remainder then divide: the final ``/`` is double
+    division of an EXACT multiple of the divisor — exact because the
+    numerator for every in-range input stays under 2^59 with ≥
+    log2(divisor) trailing binary zeros from the factor, and IEEE
+    division of exact operands with a representable quotient is exact.
+    """
+    col = _col(c)
+    rem = ((col % divisor) + divisor) % divisor
+    return ((col - rem) / F.lit(divisor)).cast("long")
+
+
+def epoch_micros(c: Column | str) -> Column:
+    """Exact BIGINT epoch microseconds of a timestamp column.
+
+    The fixture parquet may surface as TIMESTAMP or TIMESTAMP_NTZ
+    depending on the writer's isAdjustedToUTC flag (invariant 3:
+    physical types are not contractual) — ``unix_micros`` rejects NTZ,
+    so cast first; under the session's pinned UTC zone the NTZ→TS cast
+    is instant-preserving and a no-op for TS inputs.
+    """
+    return F.unix_micros(_col(c).cast("timestamp"))
+
+
+def epoch_seconds(c: Column | str) -> Column:
+    """FLOOR epoch seconds of a timestamp (exact integer arithmetic).
+
+    ``F.unix_timestamp`` truncates sub-second parts toward zero, which
+    is wrong (≠ floor) for pre-1970 timestamps; this floors, matching
+    DuckDB ``epoch_us(ts) // 1000000`` and the conventional definition.
+    (The oracle side must use ``epoch_us`` too: DuckDB ``epoch()``
+    returns DOUBLE, and at year-9999 magnitude .999999 µs round past
+    the next second — r8 numfuzz find.)
+    """
+    return floor_div(epoch_micros(c), 1_000_000)

@@ -10,7 +10,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hive_plan_service_spark.functions.exact import money
+from hive_plan_service_spark.functions.exact import epoch_micros, epoch_seconds, floor_div, money
 from hive_plan_service_spark.plans.registry import register
 from hive_plan_service_spark.sources.catalog import register_tables
 
@@ -116,9 +116,9 @@ def b09_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
       WITH s AS (
         SELECT c_nationkey,
                COUNT(*) AS n,
-               CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
-               CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))
-                             * CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxx
+               CAST(CAST(SUM((CASE WHEN abs(c_acctbal) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(c_acctbal AS VARCHAR) AS DECIMAL(19,2)) END)) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM((CASE WHEN abs(c_acctbal) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(c_acctbal AS VARCHAR) AS DECIMAL(19,2)) END)
+                             * (CASE WHEN abs(c_acctbal) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(c_acctbal AS VARCHAR) AS DECIMAL(19,2)) END)) AS VARCHAR) AS DOUBLE) AS sxx
         FROM customer GROUP BY c_nationkey
       )
       SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
@@ -226,8 +226,8 @@ def b19_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b17_interval_arithmetic",
     oracle="""
       SELECT o_orderkey,
-             CAST(FLOOR(epoch(o_orderdate + INTERVAL 3 MONTH)) AS BIGINT) AS plus_3mo_epoch,
-             CAST(FLOOR(epoch(CAST(o_orderdate AS DATE) + 10)) AS BIGINT) AS plus_10d_epoch
+             CAST(((epoch_us(o_orderdate + INTERVAL 3 MONTH) - ((epoch_us(o_orderdate + INTERVAL 3 MONTH) % 1000000 + 1000000) % 1000000)) // 1000000) AS BIGINT) AS plus_3mo_epoch,
+             CAST(((epoch_us(CAST(o_orderdate AS DATE) + 10) - ((epoch_us(CAST(o_orderdate AS DATE) + 10) % 1000000 + 1000000) % 1000000)) // 1000000) AS BIGINT) AS plus_10d_epoch
       FROM orders
     """,
     doc="add_months (end-of-month clamped) and day arithmetic, epoch-compared.",
@@ -238,13 +238,11 @@ def b17_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = spark.table("orders")
     return o.select(
         "o_orderkey",
-        F.unix_timestamp(F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH"))
-        .cast("bigint")
+        epoch_seconds(F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH"))
         .alias("plus_3mo_epoch"),
-        F.unix_timestamp(
+        epoch_seconds(
             F.date_add(F.col("o_orderdate").cast("date"), 10).cast("timestamp")
         )
-        .cast("bigint")
         .alias("plus_10d_epoch"),
     )
 
@@ -345,7 +343,7 @@ _AVALANCHE_SQL = (
       ),
       bins AS (
         SELECT o_orderstatus,
-               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               CAST((CASE WHEN abs(o_totalprice) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(19,2)) END) * 100 AS BIGINT)
                  // {_HIST_BIN_CENTS} AS bin,
                COUNT(*) AS n
         FROM orders GROUP BY 1, 2
@@ -468,8 +466,8 @@ def b11_approx_aggregates_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
       SELECT p_partkey,
              CAST(CASE WHEN p_partkey < 50
-                  THEN CAST(p_retailprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1))
-                  ELSE CAST(p_retailprice AS DECIMAL(18,2)) END AS DOUBLE) AS price,
+                  THEN (CASE WHEN abs(p_retailprice) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(p_retailprice AS VARCHAR) AS DECIMAL(19,2)) END) * CAST(1.1 AS DECIMAL(3,1))
+                  ELSE (CASE WHEN abs(p_retailprice) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(p_retailprice AS VARCHAR) AS DECIMAL(19,2)) END) END AS DOUBLE) AS price,
              (p_partkey < 50) AS updated
       FROM part
     """,
@@ -507,9 +505,9 @@ def b25_batch_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "b01_partitioned_prune",
     oracle="""
-      SELECT event_id, event_type, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day_bucket
+      SELECT event_id, event_type, CAST(((epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)) // 86400000000) AS BIGINT) AS day_bucket
       FROM events
-      WHERE CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)
+      WHERE CAST(((epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)) // 86400000000) AS BIGINT)
             BETWEEN 19725 AND 19729
     """,
     doc="Hive-partitioned parquet write + partition-pruned read (day key).",
@@ -527,7 +525,7 @@ def b01_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"hpss_part_{os.path.basename(sf_dir.rstrip('/'))}"
     )
     ev = spark.table("events").withColumn(
-        "day_bucket", F.expr("unix_timestamp(ts) div 86400")
+        "day_bucket", floor_div(epoch_micros("ts"), 86_400_000_000)
     )
     ev.select("event_id", "event_type", "day_bucket").write.mode(
         "overwrite"
@@ -713,7 +711,7 @@ def b25_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
       SELECT e.event_type,
              COUNT(*) AS n,
-             CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+             CAST(CAST(SUM((CASE WHEN abs(e.value) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(e.value AS VARCHAR) AS DECIMAL(19,2)) END)) AS VARCHAR) AS DOUBLE)
                AS total_value
       FROM events e
       JOIN customer c
@@ -765,8 +763,10 @@ def b02_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'l_quantity' AS col, COUNT(*) AS n,
              COUNT(*) - COUNT(l_quantity) AS n_null,
              COUNT(DISTINCT l_quantity) AS n_distinct,
-             CAST(MIN(l_quantity) AS VARCHAR) AS min_s,
-             CAST(MAX(l_quantity) AS VARCHAR) AS max_s
+             CAST((CASE WHEN abs(MIN(l_quantity)) < 0.0000005 THEN CAST(0 AS DECIMAL(28,6))
+                   ELSE CAST(CAST(MIN(l_quantity) AS VARCHAR) AS DECIMAL(28,6)) END) AS VARCHAR) AS min_s,
+             CAST((CASE WHEN abs(MAX(l_quantity)) < 0.0000005 THEN CAST(0 AS DECIMAL(28,6))
+                   ELSE CAST(CAST(MAX(l_quantity) AS VARCHAR) AS DECIMAL(28,6)) END) AS VARCHAR) AS max_s
       FROM lineitem
       UNION ALL
       SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
@@ -804,8 +804,14 @@ def b09_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             for x in (
                 F.count(c).alias(f"_nn_{c}"),
                 F.countDistinct(c).alias(f"_nd_{c}"),
-                F.min(c).cast("string").alias(f"_min_{c}"),
-                F.max(c).cast("string").alias(f"_max_{c}"),
+                # numeric min/max format through DECIMAL(28,6): Spark's
+                # double->string is Java sci notation ('9.00...E15')
+                # where DuckDB prints plain — µ-precision decimal is the
+                # portable profiler contract (r8 numfuzz find)
+                (F.min(c).cast("decimal(28,6)") if c == "l_quantity"
+                 else F.min(c)).cast("string").alias(f"_min_{c}"),
+                (F.max(c).cast("decimal(28,6)") if c == "l_quantity"
+                 else F.max(c)).cast("string").alias(f"_max_{c}"),
             )
         ],
     )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_plan_service_spark.plans.registry import register
+from hive_plan_service_spark.functions.exact import epoch_micros, epoch_seconds, floor_div
 from hive_plan_service_spark.sources.catalog import register_tables
 
 
@@ -74,13 +75,13 @@ def b16_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b17_datetime_functions",
     oracle="""
       SELECT o_orderkey,
-             CAST(FLOOR(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_start_epoch,
+             CAST(((epoch_us(date_trunc('month', o_orderdate)) - ((epoch_us(date_trunc('month', o_orderdate)) % 1000000 + 1000000) % 1000000)) // 1000000) AS BIGINT) AS month_start_epoch,
              CAST(year(o_orderdate) AS BIGINT) AS yr,
              CAST(month(o_orderdate) AS BIGINT) AS mth,
              CAST(day(o_orderdate) AS BIGINT) AS dom,
              CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
              CAST(DATE '2002-01-01' - CAST(o_orderdate AS DATE) AS BIGINT) AS days_to_2002,
-             CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS day_bucket
+             CAST(((epoch_us(o_orderdate) - ((epoch_us(o_orderdate) % 86400000000 + 86400000000) % 86400000000)) // 86400000000) AS BIGINT) AS day_bucket
       FROM orders
     """,
     doc="date_trunc/extract/datediff/epoch bucketing, timezone-pinned UTC.",
@@ -91,8 +92,7 @@ def b17_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = spark.table("orders")
     return o.select(
         "o_orderkey",
-        F.unix_timestamp(F.date_trunc("month", "o_orderdate"))
-        .cast("bigint")
+        epoch_seconds(F.date_trunc("month", "o_orderdate"))
         .alias("month_start_epoch"),
         F.year("o_orderdate").cast("bigint").alias("yr"),
         F.month("o_orderdate").cast("bigint").alias("mth"),
@@ -101,7 +101,7 @@ def b17_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
         .cast("bigint")
         .alias("days_to_2002"),
-        F.expr("unix_timestamp(o_orderdate) div 86400").alias("day_bucket"),
+        floor_div(epoch_micros("o_orderdate"), 86_400_000_000).alias("day_bucket"),
     )
 
 

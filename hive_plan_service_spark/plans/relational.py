@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from hive_plan_service_spark.functions.exact import davg, dsum, money, rate
+from hive_plan_service_spark.functions.exact import davg, dsum, epoch_seconds, money, rate
 from hive_plan_service_spark.plans.registry import register
 from hive_plan_service_spark.sources.catalog import register_tables
 
@@ -77,7 +77,7 @@ def b02_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b03_computed_projection",
     oracle="""
       SELECT o_orderkey,
-             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS doubled,
+             CAST((CASE WHEN abs(o_totalprice) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(19,2)) END) * 2 AS DOUBLE) AS doubled,
              -- Java full case mapping: upper('ß')='SS' where utf8proc
              -- gives 'ẞ' (r7 fuzz, seed 7); upper('ΰ' U+03B0) expands
              -- to Υ+0308+0301 where utf8proc is 1:1 (seed 13)
@@ -108,7 +108,7 @@ def b03_computed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b04_join_inner_broadcast",
     oracle="""
       SELECT n.n_name AS nation, COUNT(*) AS n_customers,
-             CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+             CAST(CAST(SUM((CASE WHEN abs(c.c_acctbal) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(c.c_acctbal AS VARCHAR) AS DECIMAL(19,2)) END)) AS VARCHAR) AS DOUBLE) AS total_acctbal
       FROM customer c
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       GROUP BY n.n_name
@@ -139,7 +139,7 @@ def b04_join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
       SELECT c.c_custkey,
              COALESCE(CAST(COUNT(o.o_orderkey) AS BIGINT), 0) AS n_orders,
-             CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS spend
+             CAST(CAST(COALESCE(SUM((CASE WHEN abs(o.o_totalprice) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(o.o_totalprice AS VARCHAR) AS DECIMAL(19,2)) END)), 0) AS VARCHAR) AS DOUBLE) AS spend
       FROM customer c
       LEFT JOIN orders o ON o.o_custkey = c.c_custkey
       GROUP BY c.c_custkey
@@ -215,18 +215,18 @@ FLAGSHIP_NAME = "b09_agg_pricing_summary"
     FLAGSHIP_NAME,
     oracle="""
       SELECT l_returnflag, l_linestatus,
-             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
-             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
-             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
-             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * (1 - CAST(l_discount AS DECIMAL(8,4)))
-                      * (1 + CAST(l_tax AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
-             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+             CAST(CAST(SUM((CASE WHEN abs(l_quantity) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(19,2)) END)) AS VARCHAR) AS DOUBLE) AS sum_qty,
+             CAST(CAST(SUM((CASE WHEN abs(l_extendedprice) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(19,2)) END)) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+             CAST(CAST(SUM((CASE WHEN abs(l_extendedprice) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(19,2)) END)
+                      * (1 - (CASE WHEN abs(l_discount) < 0.00005 THEN CAST(0 AS DECIMAL(9,4)) ELSE CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(9,4)) END))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+             CAST(CAST(SUM((CASE WHEN abs(l_extendedprice) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(19,2)) END)
+                      * (1 - (CASE WHEN abs(l_discount) < 0.00005 THEN CAST(0 AS DECIMAL(9,4)) ELSE CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(9,4)) END))
+                      * (1 + (CASE WHEN abs(l_tax) < 0.00005 THEN CAST(0 AS DECIMAL(9,4)) ELSE CAST(CAST(l_tax AS VARCHAR) AS DECIMAL(9,4)) END))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+             CAST(CAST(SUM((CASE WHEN abs(l_quantity) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(19,2)) END)) AS VARCHAR) AS DOUBLE)
                / COUNT(l_quantity) AS avg_qty,
-             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+             CAST(CAST(SUM((CASE WHEN abs(l_extendedprice) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(19,2)) END)) AS VARCHAR) AS DOUBLE)
                / COUNT(l_extendedprice) AS avg_price,
-             CAST(CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE)
+             CAST(CAST(SUM((CASE WHEN abs(l_discount) < 0.00005 THEN CAST(0 AS DECIMAL(9,4)) ELSE CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(9,4)) END)) AS VARCHAR) AS DOUBLE)
                / COUNT(l_discount) AS avg_disc,
              COUNT(*) AS count_order
       FROM lineitem
@@ -295,7 +295,7 @@ def b09_agg_minmax_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                ('premium', 1200.0, 1000000.0)
       )
       SELECT b.band, COUNT(*) AS n_parts,
-             CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+             CAST(CAST(SUM((CASE WHEN abs(p.p_retailprice) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(p.p_retailprice AS VARCHAR) AS DECIMAL(19,2)) END)) AS VARCHAR) AS DOUBLE) AS total_price
       FROM part p
       JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
       GROUP BY b.band
@@ -375,7 +375,7 @@ def b08_asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderstatus, o_orderpriority,
              CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
              COUNT(*) AS n_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             CAST(CAST(SUM((CASE WHEN abs(o_totalprice) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(19,2)) END)) AS VARCHAR) AS DOUBLE) AS total
       FROM orders
       GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
       HAVING COUNT(*) > 0
@@ -459,11 +459,11 @@ def b11_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
              CAST(RANK() OVER (PARTITION BY o_custkey
                                ORDER BY o_totalprice DESC) AS BIGINT) AS price_rank,
-             CAST(LAG(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS prev_price,
-             CAST(LEAD(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS next_price,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             CAST(CAST(LAG((CASE WHEN abs(o_totalprice) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(19,2)) END)) OVER w AS VARCHAR) AS DOUBLE) AS prev_price,
+             CAST(CAST(LEAD((CASE WHEN abs(o_totalprice) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(19,2)) END)) OVER w AS VARCHAR) AS DOUBLE) AS next_price,
+             CAST(CAST(SUM((CASE WHEN abs(o_totalprice) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(19,2)) END))
                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
                AS running_spend
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -614,10 +614,10 @@ def b15_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b04_join_q3_shipping_priority",
     oracle="""
       SELECT l.l_orderkey AS o_orderkey,
-             CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                  * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE)
+             CAST(CAST(SUM((CASE WHEN abs(l.l_extendedprice) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(l.l_extendedprice AS VARCHAR) AS DECIMAL(19,2)) END)
+                  * (1 - (CASE WHEN abs(l.l_discount) < 0.00005 THEN CAST(0 AS DECIMAL(9,4)) ELSE CAST(CAST(l.l_discount AS VARCHAR) AS DECIMAL(9,4)) END))) AS VARCHAR) AS DOUBLE)
                AS revenue,
-             CAST(FLOOR(epoch(o.o_orderdate)) AS BIGINT) AS orderdate_epoch
+             CAST(((epoch_us(o.o_orderdate) - ((epoch_us(o.o_orderdate) % 1000000 + 1000000) % 1000000)) // 1000000) AS BIGINT) AS orderdate_epoch
       FROM customer c
       JOIN orders o ON c.c_custkey = o.o_custkey
       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -650,7 +650,7 @@ def b04_join_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("l_orderkey").alias("o_orderkey"),
-            F.unix_timestamp("o_orderdate").cast("bigint").alias("orderdate_epoch"),
+            epoch_seconds("o_orderdate").alias("orderdate_epoch"),
         )
         .agg(dsum(revenue, "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
@@ -667,8 +667,8 @@ def b04_join_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     "b04_join_q5_local_supplier",
     oracle="""
       SELECT n.n_name AS nation,
-             CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                  * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE)
+             CAST(CAST(SUM((CASE WHEN abs(l.l_extendedprice) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(l.l_extendedprice AS VARCHAR) AS DECIMAL(19,2)) END)
+                  * (1 - (CASE WHEN abs(l.l_discount) < 0.00005 THEN CAST(0 AS DECIMAL(9,4)) ELSE CAST(CAST(l.l_discount AS VARCHAR) AS DECIMAL(9,4)) END))) AS VARCHAR) AS DOUBLE)
                AS revenue,
              COUNT(*) AS n_lineitems
       FROM region r

@@ -49,10 +49,10 @@ def _workdir() -> str:
 @register(
     "b22_stream_tumbling_window",
     oracle="""
-      SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_epoch,
+      SELECT CAST(((epoch_us(ts) - ((epoch_us(ts) % 3600000000 + 3600000000) % 3600000000)) // 3600000000) * 3600 AS BIGINT) AS window_start_epoch,
              event_type,
              COUNT(*) AS n,
-             CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
+             CAST(CAST(SUM((CASE WHEN abs(value) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(value AS VARCHAR) AS DECIMAL(19,2)) END)) AS VARCHAR) AS DOUBLE) AS total_value
       FROM events
       GROUP BY 1, 2
     """,
@@ -77,11 +77,11 @@ def b22_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(u.s AS BIGINT) AS window_start_epoch,
              e.event_type,
              COUNT(*) AS n,
-             CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
+             CAST(CAST(SUM((CASE WHEN abs(e.value) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(e.value AS VARCHAR) AS DECIMAL(19,2)) END)) AS VARCHAR) AS DOUBLE) AS total_value
       FROM events e,
       UNNEST(generate_series(
         (CAST(FLOOR((epoch(e.ts) - 3600) / 900) AS BIGINT) + 1) * 900,
-        CAST(FLOOR(epoch(e.ts) / 900) AS BIGINT) * 900,
+        CAST(((epoch_us(e.ts) - ((epoch_us(e.ts) % 900000000 + 900000000) % 900000000)) // 900000000) AS BIGINT) * 900,
         900)) AS u(s)
       GROUP BY 1, 2
     """,
@@ -115,7 +115,7 @@ def b22_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM o
       )
       SELECT user_id,
-             CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+             CAST(((epoch_us(MIN(ts)) - ((epoch_us(MIN(ts)) % 1000000 + 1000000) % 1000000)) // 1000000) AS BIGINT) AS session_start_epoch,
              COUNT(*) AS n_events
       FROM s GROUP BY user_id, sid
     """,
@@ -250,10 +250,10 @@ def b22_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "b22_continuous_hourly_rollup",
     oracle="""
-      SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+      SELECT CAST(((epoch_us(ts) - ((epoch_us(ts) % 3600000000 + 3600000000) % 3600000000)) // 3600000000) AS BIGINT) AS hour_bucket,
              event_type,
              COUNT(*) AS n,
-             CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
+             CAST(CAST(SUM((CASE WHEN abs(value) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(value AS VARCHAR) AS DECIMAL(19,2)) END)) AS VARCHAR) AS DOUBLE) AS total_value
       FROM events
       GROUP BY 1, 2
     """,
@@ -320,7 +320,7 @@ def b22_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
       SELECT c.c_mktsegment,
              COUNT(*) AS n_purchases,
-             CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+             CAST(CAST(SUM((CASE WHEN abs(e.value) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(e.value AS VARCHAR) AS DECIMAL(19,2)) END)) AS VARCHAR) AS DOUBLE)
                AS total_value
       FROM events e JOIN customer c ON e.user_id = c.c_custkey
       WHERE e.event_type = 'purchase'

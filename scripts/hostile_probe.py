@@ -181,6 +181,128 @@ def fuzz_pool(seed: int, n: int = 24) -> list[str]:
 MUTATED = ("region", "nation", "customer", "supplier", "part",
            "orders", "lineitem")
 
+# --------------------------------------------------------------------------
+# --numfuzz (r8, VERDICT #5): the string fuzz never touched numerics or
+# timestamps — every numeric oracle had only seen fixture-shaped values.
+# Pools are PER-DOMAIN: money columns are decimal(18,2)-accumulated by
+# contract (functions/exact.py), so their pool stays inside that type's
+# range (2^53 = 9.007e15 still fits 16+2 digits — the float-precision
+# edge IS in-domain); rate columns are decimal(8,4) (|x| < 10^4 by the
+# same contract); events.value is a plain double with no declared
+# domain, so it additionally gets huge magnitudes and subnormals. NaN
+# and ±Inf stay excluded this round: they are outside the money/rate
+# domain by the decimal contract, and for plain doubles their grouping/
+# comparison semantics are engine-defined rather than value-defined —
+# a candidate future axis, not an oracle bug probe.
+
+_SUBNORMAL_MIN = 5e-324
+_NORMAL_MIN = 2.2250738585072014e-308
+
+MONEY_POOL = [
+    0.0, -0.0, _SUBNORMAL_MIN, -_SUBNORMAL_MIN, _NORMAL_MIN,
+    0.1, 0.3, 1 / 3, 2.5, -2.5, 3.5, 0.005, -0.005,
+    float(2**53 - 1), float(2**53), -float(2**53 - 1),
+    1e15 + 0.5, 123456789.99, -1e-9,
+]
+RATE_POOL = [
+    0.0, -0.0, _SUBNORMAL_MIN, 0.1, 0.0001, 0.00005, -0.00005,
+    2.5, -2.5, 0.33333333, 9999.9999, -9999.9999, 1 / 3,
+]
+# events.value's documented domain is the strictest consumer's: the
+# stateful-streaming counters quantize to int64 micro-units (invariant
+# 19), so |v| ≤ 9e12 (9e12 × 1e6 < 2^63). A ±1e300 probe (first numfuzz
+# run) correctly blew up BOTH engines' exact-sum paths — that is a
+# domain violation, not a robustness gap: no fixed-precision exact sum
+# can hold doubles near 1e300, and "exact deterministic aggregation"
+# is only definable on a bounded domain. Values here sit at that
+# domain's edges instead.
+VALUE_POOL = [
+    0.0, -0.0, _SUBNORMAL_MIN, -_SUBNORMAL_MIN, _NORMAL_MIN,
+    0.1, 0.3, 1 / 3, 2.5, -2.5, 3.5, 0.005, -0.005, -1e-9, 1e-300,
+    9e12, -9e12, 8.9e12 + 0.5, float(2**43) + 0.25, 123456789.99,
+]
+INT32_POOL = [0, -1, 1, 2**31 - 1, -(2**31)]
+INT64_POOL = [0, -1, 1, 2**31, 2**53 + 1, 2**63 - 1, -(2**63)]
+
+#: hostile timestamps (µs precision): negative epoch, epoch zero, the
+#: US spring-forward/fall-back instants (the TZ gate zone), the 32-bit
+#: rollover, year-9999 — plus 1900 for the pre-epoch-but-sane band.
+#: Pre-Gregorian values are excluded (parquet rebase semantics are a
+#: storage-format concern, not a query-semantics axis).
+import datetime as _dt  # noqa: E402
+
+TS_POOL = [
+    _dt.datetime(1969, 12, 31, 23, 59, 59, 999999),
+    _dt.datetime(1970, 1, 1, 0, 0, 0),
+    _dt.datetime(1900, 1, 1, 0, 0, 0),
+    _dt.datetime(2021, 3, 14, 6, 59, 59, 999999),   # just before US DST
+    _dt.datetime(2021, 3, 14, 7, 0, 0),              # spring-forward instant
+    _dt.datetime(2021, 11, 7, 5, 30, 0),             # ambiguous under ET
+    _dt.datetime(2038, 1, 19, 3, 14, 8),             # 32-bit rollover
+    _dt.datetime(9999, 12, 31, 23, 59, 59, 999999),
+]
+#: nanosecond-physical columns cannot hold year 9999 (ns max ≈ 2262)
+TS_POOL_NS = TS_POOL[:-1] + [_dt.datetime(2200, 1, 1, 0, 0, 0)]
+
+#: (table, column) → pool. Keys/FKs and tie-breaking sort columns stay
+#: untouched: duplicating (l_orderkey, l_linenumber) would make
+#: window/as-of tie-breaks GENUINELY nondeterministic cross-engine —
+#: that is a fixture-contract violation, not a robustness axis.
+NUMFUZZ_COLUMNS: dict[str, dict[str, list]] = {
+    "lineitem": {
+        "l_quantity": MONEY_POOL, "l_extendedprice": MONEY_POOL,
+        "l_discount": RATE_POOL, "l_tax": RATE_POOL,
+        "l_shipdate": TS_POOL,
+    },
+    "orders": {"o_totalprice": MONEY_POOL, "o_orderdate": TS_POOL},
+    "part": {"p_retailprice": MONEY_POOL, "p_size": INT32_POOL},
+    "supplier": {"s_acctbal": MONEY_POOL},
+    "customer": {"c_acctbal": MONEY_POOL},
+    # events.ts is NOT mutated: the streaming oracles' validity rests on
+    # the fixture generator's bounded event-time disorder (watermark
+    # delay ≥ disorder); hostile timestamps would make the engine drop
+    # late rows the batch oracle keeps — late-data SEMANTICS, pinned by
+    # the dedicated streaming pytest nets, not an oracle-parity axis.
+    # Hostile timestamp coverage lives on the batch tables above.
+    "events": {"value": VALUE_POOL},
+    "documents": {"n_chars": INT64_POOL},
+}
+
+
+def numfuzz_dir(sf_dir: str, seed: int) -> str:
+    """Skewed-domain numeric/temporal mutation: every ~3rd value of the
+    columns above replaced by a seed-pinned pool draw; strings and keys
+    untouched so joins, grouping structure and titles still exercise."""
+    import random
+
+    rng = random.Random(seed)
+    out = tempfile.mkdtemp(prefix="hostile_sf_num_")
+    for t in TABLES:
+        src = f"{sf_dir}/{t}.parquet"
+        dst = f"{out}/{t}.parquet"
+        cols_spec = NUMFUZZ_COLUMNS.get(t)
+        if not cols_spec:
+            os.symlink(src, dst)
+            continue
+        tbl = pq.read_table(src)
+        for name, pool in cols_spec.items():
+            idx = tbl.schema.get_field_index(name)
+            if idx < 0:
+                continue
+            field = tbl.schema.field(idx)
+            use_pool = pool
+            if pool is TS_POOL and pa.types.is_timestamp(field.type) and (
+                field.type.unit == "ns"
+            ):
+                use_pool = TS_POOL_NS
+            vals = tbl.column(idx).to_pylist()
+            for i in range(len(vals)):
+                if vals[i] is not None and rng.random() < 1 / 3:
+                    vals[i] = rng.choice(use_pool)
+            tbl = tbl.set_column(idx, field, pa.array(vals, field.type))
+        pq.write_table(tbl, dst)
+    return out
+
 #: --nulls mode: tables whose string columns get every-7th-value NULLed.
 #: nation/region are excluded — their names feed the derived `plans`
 #: titles, and a NULL title RAISES in a08 by documented design
@@ -262,9 +384,19 @@ def main() -> None:
             int(nxt) if nxt.lstrip("-").isdigit()
             else int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "20260815"))
         )
+    numfuzz_seed = None
+    if "--numfuzz" in argv:
+        i = argv.index("--numfuzz")
+        nxt = argv[i + 1] if len(argv) > i + 1 else ""
+        numfuzz_seed = (
+            int(nxt) if nxt.lstrip("-").isdigit()
+            else int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "20260816"))
+        )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     pool = None
-    if empty:
+    if numfuzz_seed is not None:
+        hostile = numfuzz_dir(sf_dir, numfuzz_seed)
+    elif empty:
         hostile = empty_dir(sf_dir)
     elif seed is not None:
         pool = fuzz_pool(seed)
@@ -288,6 +420,8 @@ def main() -> None:
         except Exception as ex:  # noqa: BLE001 — collecting all failures
             failures.append(f"{name}: {str(ex).splitlines()[0][:200]}")
     payload: dict = {"queries": n, "failures": failures}
+    if numfuzz_seed is not None:
+        payload["numfuzz_seed"] = numfuzz_seed
     if seed is not None:
         payload["fuzz_seed"] = seed
         if failures:  # full pool only when needed for reproduction

@@ -59,6 +59,11 @@ Gates (names usable with --skip / --only, comma-separated):
              hot customer (30% of orders), hot supplier, hot nation,
              hot user/event-type, hot document domain + over-cap
              boilerplate LSH bucket, hot embedding cell (r8)
+    numfuzz  hostile_probe --numfuzz: seed-pinned numeric/temporal
+             mutation — ±0, subnormals, 2^53±1, int32/int64 edges,
+             decimal-tie fractions on every money/rate column; negative
+             epochs, DST instants, 32-bit rollover, year-9999 on the
+             batch date columns (r8)
 
 Exit 0 iff every executed gate passed. Each gate runs in its own
 subprocess (its own JVM) so a crashed session can't poison the rest.
@@ -201,6 +206,11 @@ GATES: dict[str, list[str]] = {
     # builds a deterministic hot-key/hot-domain/hot-bucket copy of the
     # driver-scale fixtures and re-runs the full 50-slot oracle gate.
     "skew": [sys.executable, "scripts/skew_probe.py"],
+    # numeric/temporal-domain axis (r8, VERDICT #5): the string fuzz
+    # never touched numerics or timestamps. First run found 26 failures
+    # in 6 real classes (3 of them previously-unknown DuckDB gaps, now
+    # in CLAUDE.md invariant 7); all fixed and pooled.
+    "numfuzz": [sys.executable, "scripts/hostile_probe.py", "--numfuzz"],
 }
 
 #: per-gate env overrides (bench runs the contract scale)
