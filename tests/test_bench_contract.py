@@ -67,3 +67,38 @@ def test_bench_headline_names_are_registered():
 
     missing = [n for n in bench.HEADLINE if n not in all_queries()]
     assert not missing, f"bench names drifted from the registry: {missing}"
+
+
+def test_latest_gates_artifact_covers_every_defined_gate():
+    """VERDICT r7 #3: GATES_r07.json held 25 rows while run_gates.py
+    defined 30 — gates added late had no checked-in artifact. From r8
+    on, the newest GATES_r{N}.json must contain EXACTLY the gate set
+    run_gates.py defines (regenerate it as the round's last act).
+    Artifacts from r7 and earlier are grandfathered."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = glob.glob(os.path.join(repo, "GATES_r*.json"))
+    if not arts:
+        return
+    latest = max(arts, key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+    rnd = int(re.search(r"r(\d+)", latest).group(1))
+    if rnd <= 7:
+        return
+    import sys
+
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    from run_gates import GATES
+
+    with open(latest) as f:
+        artifact = json.load(f)
+    have = set(artifact["gates"])
+    defined = set(GATES)
+    assert have == defined, (
+        f"{os.path.basename(latest)} gate set drifted from run_gates.py: "
+        f"missing {sorted(defined - have)}, extra {sorted(have - defined)}"
+    )
+    assert artifact["ok"], f"{os.path.basename(latest)} is not green"
