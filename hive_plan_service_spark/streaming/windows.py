@@ -117,6 +117,17 @@ def choose_state_store_provider(
     HDFS provider would OOM (100 TB rates with wide watermarks). This
     encodes that rule instead of the cargo-cult "always RocksDB".
 
+    Large-state re-measurement (r8, scripts/largestate_probe.py,
+    streaming dropDuplicates on a bigint key, both providers
+    bit-identical incl. mid-stream restart): HDFS in-heap cost is
+    LINEAR at 239–288 B per state row (1M → 276 MB, 10M → 2.39 GB,
+    30M → 8.65 GB, > half a 16 GiB heap — the OOM cliff this function
+    exists to dodge), while RocksDB stays ~0.3 GB in-memory with state
+    spilled to SST files (30M keys → 370 MB SST) at comparable
+    wall-clock (30M: 40.7 s vs 46.7 s). The default
+    ``avg_row_bytes=256`` sits in the measured band for a narrow key;
+    scale it up for wide state rows (session windows, join buffers).
+
     Decision: per-partition in-heap cost ≈ ``rows × avg_row_bytes × 2 /
     partitions`` (the HDFS provider keeps the current map plus the
     snapshot-in-flight copy); RocksDB iff that exceeds

@@ -64,6 +64,10 @@ Gates (names usable with --skip / --only, comma-separated):
              decimal-tie fractions on every money/rate column; negative
              epochs, DST instants, 32-bit rollover, year-9999 on the
              batch date columns (r8)
+    largestate streaming dropDuplicates at 10M distinct keys ×
+             {HDFS, RocksDB} provider × {uninterrupted, restart-after-
+             2-batches} — four identical fingerprints + measured state
+             memory (r8)
 
 Exit 0 iff every executed gate passed. Each gate runs in its own
 subprocess (its own JVM) so a crashed session can't poison the rest.
@@ -211,6 +215,12 @@ GATES: dict[str, list[str]] = {
     # in 6 real classes (3 of them previously-unknown DuckDB gaps, now
     # in CLAUDE.md invariant 7); all fixed and pooled.
     "numfuzz": [sys.executable, "scripts/hostile_probe.py", "--numfuzz"],
+    # large-state axis (r8, VERDICT #4): streaming dropDuplicates over
+    # 10M distinct keys under BOTH state-store providers, each also
+    # stopped after 2 committed batches and resumed from checkpoint —
+    # fingerprints must be identical across all four runs. Measured
+    # basis for streaming/windows.choose_state_store_provider.
+    "largestate": [sys.executable, "scripts/largestate_probe.py"],
 }
 
 #: per-gate env overrides (bench runs the contract scale)
