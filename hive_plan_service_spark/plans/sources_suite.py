@@ -95,17 +95,53 @@ def b01_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# B9 — exact percentiles: Spark ``percentile`` and DuckDB ``quantile_cont``
-# both use linear interpolation on the sorted values — verified
-# bit-identical (unlike approx_percentile's engine-specific sketches, B11).
+# B9 — exact percentiles: Spark's Percentile collapses duplicates to
+# counts (equal endpoint keys return the key itself) and interpolates
+# as (higher-pos)*lowerKey + (pos-lower)*higherKey with the rank
+# position in DOUBLE; the oracle spells out exactly that expression
+# (DuckDB quantile_cont's a*(1-g)+b*g form and DECIMAL literal rank
+# arithmetic both diverge — r8 numfuzz). approx_percentile stays
+# engine-specific (B11).
 # --------------------------------------------------------------------------
 @register(
     "b09_percentile_exact",
     oracle="""
+      -- Spark Percentile semantics, spelled out exactly (r8 numfuzz):
+      -- NOT quantile_cont — DuckDB interpolates a*(1-g)+b*g (inexact
+      -- even for a == b) and a bare 0.95 literal is DECIMAL, so the
+      -- rank position comes out exact where Spark computes it in
+      -- DOUBLE. Spark: position = p * (n-1) in double; lower/higher =
+      -- floor/ceil ranks; EQUAL-KEY SHORTCUT (duplicates collapse to
+      -- counts, equal endpoint keys return the key itself); else
+      -- (higher - position) * lowerKey + (position - lower) * higherKey.
+      WITH s AS (
+        SELECT o_orderstatus,
+               list(o_totalprice ORDER BY o_totalprice) AS a,
+               COUNT(o_totalprice) AS n
+        FROM orders WHERE o_totalprice IS NOT NULL GROUP BY o_orderstatus
+      ),
+      p AS (
+        SELECT o_orderstatus,
+               a[CAST(floor(CAST(0.5 AS DOUBLE) * (n-1)) AS BIGINT) + 1] AS lo50,
+               a[CAST(ceil(CAST(0.5 AS DOUBLE) * (n-1)) AS BIGINT) + 1] AS hi50,
+               CAST(0.5 AS DOUBLE) * (n-1) AS p50,
+               floor(CAST(0.5 AS DOUBLE) * (n-1)) AS f50,
+               ceil(CAST(0.5 AS DOUBLE) * (n-1)) AS c50,
+               a[CAST(floor(CAST(0.95 AS DOUBLE) * (n-1)) AS BIGINT) + 1] AS lo95,
+               a[CAST(ceil(CAST(0.95 AS DOUBLE) * (n-1)) AS BIGINT) + 1] AS hi95,
+               CAST(0.95 AS DOUBLE) * (n-1) AS p95,
+               floor(CAST(0.95 AS DOUBLE) * (n-1)) AS f95,
+               ceil(CAST(0.95 AS DOUBLE) * (n-1)) AS c95
+        FROM s
+      )
       SELECT o_orderstatus,
-             quantile_cont(o_totalprice, 0.5) AS median_price,
-             quantile_cont(o_totalprice, 0.95) AS p95_price
-      FROM orders GROUP BY o_orderstatus
+             CASE WHEN hi50 = lo50 THEN lo50
+                  ELSE (c50 - p50) * lo50 + (p50 - f50) * hi50
+             END AS median_price,
+             CASE WHEN hi95 = lo95 THEN lo95
+                  ELSE (c95 - p95) * lo95 + (p95 - f95) * hi95
+             END AS p95_price
+      FROM p
     """,
     doc="Exact interpolated percentiles (median / p95) per group.",
     tags=("B9",),
