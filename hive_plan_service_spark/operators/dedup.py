@@ -518,7 +518,7 @@ def embedding_dup_pairs(
     the pair expression each row of a B-row block would re-fold its
     norm B times (the r4 cosine_topk fix, applied family-wide).
     """
-    from hive_plan_service_spark.operators.vectors import dot, norm
+    from hive_plan_service_spark.operators.vectors import cos_div, dot, norm
 
     a = embeddings.select(
         F.col(id_col).alias("vec_a"),
@@ -538,9 +538,8 @@ def embedding_dup_pairs(
         .select(
             "vec_a",
             "vec_b",
-            (
-                dot(F.col("_va"), F.col("_vb"))
-                / (F.col("_na") * F.col("_nb"))
+            cos_div(
+                    dot(F.col("_va"), F.col("_vb")), F.col("_na"), F.col("_nb")
             ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
@@ -573,7 +572,7 @@ def centroid_blocked_dup_pairs(
     """
     from pyspark.sql import Window as W
 
-    from hive_plan_service_spark.operators.vectors import dot, norm
+    from hive_plan_service_spark.operators.vectors import cos_div, dot, norm
 
     # per-side norm precompute (bit-identical scores — see
     # embedding_dup_pairs); `_n` rides along the assignment so the
@@ -591,9 +590,8 @@ def centroid_blocked_dup_pairs(
             F.col(vec_col),
             F.col("_n"),
             F.col("_cid"),
-            (
-                dot(F.col(vec_col), F.col("_centroid"))
-                / (F.col("_n") * F.col("_kn"))
+            cos_div(
+                    dot(F.col(vec_col), F.col("_centroid")), F.col("_n"), F.col("_kn")
             ).alias("_cos"),
         )
     )
@@ -621,9 +619,8 @@ def centroid_blocked_dup_pairs(
         .select(
             "vec_a",
             "vec_b",
-            (
-                dot(F.col("_va"), F.col("_vb"))
-                / (F.col("_na") * F.col("_nb"))
+            cos_div(
+                    dot(F.col("_va"), F.col("_vb")), F.col("_na"), F.col("_nb")
             ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)  # verify BEFORE pair dedup

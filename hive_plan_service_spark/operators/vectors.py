@@ -41,8 +41,24 @@ def norm(a: Column) -> Column:
     )
 
 
+def cos_div(num: Column, n1: Column, n2: Column) -> Column:
+    """Total cosine division: a ZERO-NORM operand yields 0.0.
+
+    ANSI mode makes ``/`` throw on a zero divisor (r8 numfuzz: a
+    zero/subnormal-underflow vector crashed every cosine consumer). A
+    zero vector has no direction; scoring it 0.0 ("orthogonal") keeps
+    every consumer total and deterministic — threshold filters drop
+    it, top-k ranks it behind any positive match with the id
+    tie-break. Oracles mirror with ``CASE WHEN n1*n2 = 0 THEN 0.0``;
+    the np twins mirror with a where-guarded divide. The guarded
+    branch is lazily evaluated (CASE WHEN), so no throw is reachable.
+    """
+    den = n1 * n2
+    return F.when(den == F.lit(0.0), F.lit(0.0)).otherwise(num / den)
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    return cos_div(dot(a, b), norm(a), norm(b))
 
 
 def cosine_topk(
@@ -83,9 +99,8 @@ def cosine_topk(
         pairs.select(
             "query_id",
             "neighbor_id",
-            (
-                dot(F.col("_qvec"), F.col("_cvec"))
-                / (F.col("_qn") * F.col("_cn"))
+            cos_div(
+                    dot(F.col("_qvec"), F.col("_cvec")), F.col("_qn"), F.col("_cn")
             ).alias("cos"),
         )
     )
@@ -132,9 +147,8 @@ def ivf_assign(
         .select(
             *corpus.columns,
             F.col("_cid"),
-            (
-                dot(F.col(vec), F.col("_centroid"))
-                / (F.col("_vn") * F.col("_kn"))
+            cos_div(
+                    dot(F.col(vec), F.col("_centroid")), F.col("_vn"), F.col("_kn")
             ).alias("_cos"),
         )
     )
@@ -172,8 +186,10 @@ def cosine_topk_np(
     cn·qn bitwise), and the selection order (cos desc, neighbor asc) is
     the exact rank order of the Column path — pinned by
     tests/test_llm_ops.py::test_cosine_topk_np_matches_column. A
-    zero-norm vector would score NaN, which Spark's DESC sort places
-    FIRST and numpy's sort places last — rejected loudly instead.
+    zero-norm vector scores 0.0 on both paths (``cos_div`` /
+    where-guarded numpy divide — r8 zero-vector semantics; NaN would
+    sort FIRST in Spark's DESC and last in numpy, so totality is also
+    what keeps the twins identical).
 
     Non-SQL-expressible (a Python stage) ⇒ NOT registered (invariant
     1); the oracle-checked canonical path stays :func:`cosine_topk`.
@@ -211,11 +227,6 @@ def cosine_topk_np(
     for j in range(dim):  # sequential left fold, as norm()
         qn_acc += qmat[:, j] * qmat[:, j]
     qn = np.sqrt(qn_acc)
-    if not np.all(qn > 0):
-        raise ValueError(
-            "cosine_topk_np: zero-norm query vector (its NaN scores "
-            "would sort differently than the Column path)"
-        )
 
     src = corpus.select(F.col(corpus_id).alias("_cid"), F.col(vec).alias("_v"))
     cid_type = src.schema["_cid"].dataType.simpleString()
@@ -236,12 +247,12 @@ def cosine_topk_np(
                 xj = x[:, j]
                 cn_acc += xj * xj
                 dots += xj[:, None] * qmat[None, :, j]
-            cos = dots / (np.sqrt(cn_acc)[:, None] * qn[None, :])
-            if np.isnan(cos).any():
-                raise ValueError(
-                    "cosine_topk_np: zero-norm corpus vector (NaN "
-                    "scores sort differently than the Column path)"
-                )
+            # where-guarded divide: zero-norm operand scores 0.0,
+            # bit-matching cos_div's CASE (r8 zero-vector semantics)
+            den = np.sqrt(cn_acc)[:, None] * qn[None, :]
+            cos = np.divide(
+                dots, den, out=np.zeros_like(dots), where=den != 0
+            )
             out_q, out_n, out_c = [], [], []
             for qi in range(nq):
                 col = cos[:, qi]
@@ -328,11 +339,6 @@ def ivf_assign_np(
     for j in range(dim):  # sequential left fold, as norm()
         kn_acc += cmat[:, j] * cmat[:, j]
     kn = np.sqrt(kn_acc)
-    if not np.all(kn > 0):
-        raise ValueError(
-            "ivf_assign_np: zero-norm centroid (its NaN score would "
-            "tie-break differently than the Column path)"
-        )
 
     src = corpus.select(F.col(id_col).alias("_pid"), F.col(vec).alias("_v"))
     id_type = src.schema["_pid"].dataType.simpleString()
@@ -352,8 +358,13 @@ def ivf_assign_np(
                 xj = x[:, j]
                 vn_acc += xj * xj
                 dots += xj[:, None] * cmat[None, :, j]
-            # same op order as the Column score: (vn · kn) then divide
-            neg = -(dots / (np.sqrt(vn_acc)[:, None] * kn[None, :]))
+            # same op order as the Column score: (vn · kn) then a
+            # where-guarded divide (zero-norm operand scores 0.0,
+            # bit-matching cos_div — r8 zero-vector semantics)
+            den = np.sqrt(vn_acc)[:, None] * kn[None, :]
+            neg = -np.divide(
+                dots, den, out=np.zeros_like(dots), where=den != 0
+            )
             best = np.argmin(neg, axis=1)
             yield pd.DataFrame(
                 {"_pid": pdf["_pid"].to_numpy(), "_cid": cids[best]}
@@ -404,9 +415,8 @@ def ivf_topk(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            (
-                dot(F.col("_qvec"), F.col(vec))
-                / (F.col("_qn") * F.col("_cn"))
+            cos_div(
+                    dot(F.col("_qvec"), F.col(vec)), F.col("_qn"), F.col("_cn")
             ).alias("cos"),
         )
     )
@@ -508,9 +518,8 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                dot(F.col("_qvec"), F.col("_cvec"))
-                / (F.col("_qn") * F.col("_cn"))
+            cos_div(
+                    dot(F.col("_qvec"), F.col("_cvec")), F.col("_qn"), F.col("_cn")
             ).alias("cos"),
         )
     )
@@ -980,9 +989,8 @@ def pq_topk_refined(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                dot(F.col("_qvec"), F.col("_cvec"))
-                / (F.col("_qn") * F.col("_cn"))
+            cos_div(
+                    dot(F.col("_qvec"), F.col("_cvec")), F.col("_qn"), F.col("_cn")
             ).alias("cos"),
         )
     )

@@ -42,13 +42,22 @@ sh AS (
 )
 """
 
-_DUCK_COS = (
-    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64),"
-    " i -> {a}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE)), (x, y) -> x + y)"
-    " / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64),"
+_DUCK_NORM_PROD = (
+    "(sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64),"
     " i -> {a}.embedding[i]::DOUBLE * {a}.embedding[i]::DOUBLE)), (x, y) -> x + y))"
     " * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64),"
     " i -> {b}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE)), (x, y) -> x + y)))"
+)
+
+#: total cosine, mirroring operators.vectors.cos_div: a ZERO-NORM
+#: operand scores 0.0 (DuckDB's double / 0 yields inf/nan silently,
+#: Spark ANSI throws — both replaced by the same guarded 0.0; r8
+#: zero-vector semantics)
+_DUCK_COS = (
+    "(CASE WHEN " + _DUCK_NORM_PROD + " = 0 THEN 0.0 ELSE "
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64),"
+    " i -> {a}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE)), (x, y) -> x + y)"
+    " / " + _DUCK_NORM_PROD + " END)"
 )
 
 
@@ -833,8 +842,15 @@ def b29_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b28_embedding_quantize_int8",
     oracle="""
       WITH s AS (
+        -- scale 0.0 below max|x| = 1e-306: 127/max overflows DOUBLE
+        -- under ~7e-307 (subnormal-noise vectors carry no quantizable
+        -- signal), and the zero vector divides by zero outright —
+        -- both quantize to all-zeros (r8 zero-vector semantics)
         SELECT vec_id,
-               127.0 / list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
+               CASE WHEN list_max(list_transform(embedding, x -> abs(x::DOUBLE))) < 1e-306
+                    THEN 0.0
+                    ELSE 127.0 / list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+               END AS scale
         FROM embeddings
       )
       SELECT e.vec_id,
@@ -855,7 +871,15 @@ def b28_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
     e = spark.table("embeddings")
     absd = F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
-    scale = (F.lit(127.0) / F.array_max(absd)).alias("scale")
+    # scale 0.0 below max|x| = 1e-306 (127/max overflows DOUBLE under
+    # ~7e-307; the zero vector divides by zero under ANSI) — such
+    # vectors quantize to all-zeros; mirrored in the oracle (r8)
+    max_abs = F.array_max(absd)
+    scale = (
+        F.when(max_abs < F.lit(1e-306), F.lit(0.0))
+        .otherwise(F.lit(127.0) / max_abs)
+        .alias("scale")
+    )
     q = F.transform(
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * F.col("scale") + F.lit(0.5)).cast(
@@ -1466,7 +1490,9 @@ def _duck_pq_oracle(*, subspaces: int = 8, codes: int = 64, width: int = 8,
         d = fold(f"list_transform(generate_series(1, 64), j -> {a}[j] * {b}[j])")
         na = fold(f"list_transform(generate_series(1, 64), j -> {a}[j] * {a}[j])")
         nb = fold(f"list_transform(generate_series(1, 64), j -> {b}[j] * {b}[j])")
-        return f"{d} / (sqrt({na}) * sqrt({nb}))"
+        # total cosine: zero-norm operand scores 0.0 (cos_div mirror)
+        den = f"(sqrt({na}) * sqrt({nb}))"
+        return f"(CASE WHEN {den} = 0 THEN 0.0 ELSE {d} / {den} END)"
 
     sq_norm = fold(
         "list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))"
@@ -1474,9 +1500,12 @@ def _duck_pq_oracle(*, subspaces: int = 8, codes: int = 64, width: int = 8,
     sub = "e[t.s * {w} + 1 : t.s * {w} + {w}]".format(w=width)
     return f"""
       WITH un AS (
+        -- zero-norm vectors stay zero (sq_norm of a subnormal-only
+        -- vector underflows to 0 too — the guard catches both; r8)
         SELECT vec_id,
                list_transform(embedding,
-                 x -> CAST(x AS DOUBLE) / sqrt({sq_norm})) AS e
+                 x -> CASE WHEN sqrt({sq_norm}) = 0 THEN 0.0
+                           ELSE CAST(x AS DOUBLE) / sqrt({sq_norm}) END) AS e
         FROM embeddings
       ),
       kpts AS (
@@ -1554,9 +1583,14 @@ def b28_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     unit = emb.select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double") / nrm).alias(
-            "embedding"
-        ),
+        # zero-norm vectors stay zero (ANSI / throws on zero divisor;
+        # mirrored in the oracle CTE — r8 zero-vector semantics)
+        F.transform(
+            "embedding",
+            lambda x: F.when(nrm == F.lit(0.0), F.lit(0.0)).otherwise(
+                x.cast("double") / nrm
+            ),
+        ).alias("embedding"),
     )
     books = vx.pq_train_codebooks(unit, subspaces=8, codes=64)
     codes = vx.pq_encode(unit, books, subspaces=8)

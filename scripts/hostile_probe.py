@@ -269,10 +269,37 @@ NUMFUZZ_COLUMNS: dict[str, dict[str, list]] = {
 }
 
 
+def _hostile_vector(rng, base: list, dim: int) -> list:
+    """One hostile embedding: the vector domain is unit-ish floats
+    (|x| ≤ ~1e3 keeps every integer-quantization consumer exact — same
+    bounded-domain reasoning as events.value), so the edges are
+    DEGENERACY, not magnitude: the zero vector (norm-0 — division
+    guards), subnormal-only elements (norms underflow), exact
+    duplicates and exact negations of another vector (similarity ties
+    at ±1), a one-hot spike, and ±0 mixtures."""
+    kind = rng.randrange(6)
+    if kind == 0:
+        return [0.0] * dim  # zero vector: norm-0 degenerate
+    if kind == 1:
+        return [rng.choice([_SUBNORMAL_MIN, -_SUBNORMAL_MIN, 0.0])
+                for _ in range(dim)]
+    if kind == 2:
+        return list(base)  # exact duplicate: cosine == 1 ties
+    if kind == 3:
+        return [-x for x in base]  # exact negation: cosine == -1
+    if kind == 4:
+        v = [0.0] * dim
+        v[rng.randrange(dim)] = rng.choice([1000.0, -1000.0, 1e-3])
+        return v  # one-hot spike
+    return [rng.choice([0.0, -0.0, 1e-3, -1e-3, 0.5, -0.5])
+            for _ in range(dim)]
+
+
 def numfuzz_dir(sf_dir: str, seed: int) -> str:
     """Skewed-domain numeric/temporal mutation: every ~3rd value of the
     columns above replaced by a seed-pinned pool draw; strings and keys
-    untouched so joins, grouping structure and titles still exercise."""
+    untouched so joins, grouping structure and titles still exercise.
+    Embeddings get ~1-in-5 whole-vector degeneracy (see _hostile_vector)."""
     import random
 
     rng = random.Random(seed)
@@ -280,6 +307,21 @@ def numfuzz_dir(sf_dir: str, seed: int) -> str:
     for t in TABLES:
         src = f"{sf_dir}/{t}.parquet"
         dst = f"{out}/{t}.parquet"
+        if t == "embeddings":
+            tbl = pq.read_table(src)
+            vecs = tbl.column("embedding").to_pylist()
+            base = list(vecs[0])
+            dim = len(base)
+            for i in range(len(vecs)):
+                if rng.random() < 0.2:
+                    vecs[i] = _hostile_vector(rng, base, dim)
+            vi = tbl.schema.get_field_index("embedding")
+            tbl = tbl.set_column(
+                vi, tbl.schema.field(vi),
+                pa.array(vecs, tbl.schema.field(vi).type),
+            )
+            pq.write_table(tbl, dst)
+            continue
         cols_spec = NUMFUZZ_COLUMNS.get(t)
         if not cols_spec:
             os.symlink(src, dst)

@@ -382,10 +382,9 @@ def test_cosine_topk_np_matches_column(spark, sf_dir):
     (query, neighbor, cos, rank) rows of the Column ``cosine_topk`` —
     same sequential folds, same score op order, same (cos DESC, id ASC)
     selection order — for both exclude_self settings. Zero-norm inputs
-    are rejected loudly (NaN sorts first in Spark's DESC, last in
-    numpy)."""
-    import pytest
-
+    score 0.0 on BOTH paths (cos_div / where-guarded numpy divide —
+    r8 zero-vector semantics), so the twins stay identical even on
+    degenerate corpora."""
     from hive_plan_service_spark.operators import vectors as vx
     from hive_plan_service_spark.sources.catalog import register_tables
 
@@ -405,8 +404,20 @@ def test_cosine_topk_np_matches_column(spark, sf_dir):
             F.transform("embedding", lambda _: F.lit(0.0).cast("float")),
         ).otherwise(F.col("embedding")),
     )
-    with pytest.raises(ValueError, match="zero-norm query"):
-        vx.cosine_topk_np(zeroq, emb, k=5)
+    # zero-norm query: both paths must agree, with every pair scored 0.0
+    zero_corpus = emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 5 == 0,
+            F.transform("embedding", lambda _: F.lit(0.0).cast("float")),
+        ).otherwise(F.col("embedding")),
+    )
+    col_z = vx.cosine_topk(zeroq, zero_corpus, k=5)
+    np_z = vx.cosine_topk_np(zeroq, zero_corpus, k=5)
+    assert col_z.exceptAll(np_z).count() == 0
+    assert np_z.exceptAll(col_z).count() == 0
+    zrows = col_z.filter(F.col("query_id") == 0).collect()
+    assert zrows and all(r["cos"] == 0.0 for r in zrows)
 
     # empty query batch mirrors the Column path (r5 ADVICE): an empty
     # typed frame with the identical output schema, not an error
@@ -423,10 +434,9 @@ def test_ivf_assign_np_matches_column(spark, sf_dir):
     (vector → centroid) map of the Column ``ivf_assign``: same
     sequential element-order folds for dot and norm, same score op
     order, argmin over id-sorted centroids = the min-struct smallest-id
-    tie break. A zero-norm centroid is rejected loudly (its NaN score
-    would tie-break differently across the two paths)."""
-    import pytest
-
+    tie break. A zero-norm centroid scores 0.0 against everything on
+    BOTH paths (r8 zero-vector semantics), so assignment stays
+    identical on degenerate inputs."""
     from hive_plan_service_spark.operators import vectors as vx
     from hive_plan_service_spark.sources.catalog import register_tables
 
@@ -447,8 +457,10 @@ def test_ivf_assign_np_matches_column(spark, sf_dir):
             F.transform("embedding", lambda _: F.lit(0.0).cast("float")),
         ).otherwise(F.col("embedding")),
     )
-    with pytest.raises(ValueError, match="zero-norm centroid"):
-        vx.ivf_assign_np(emb, zero)
+    col_z = vx.ivf_assign(emb, zero).select("vec_id", "centroid_id")
+    np_z = vx.ivf_assign_np(emb, zero).select("vec_id", "centroid_id")
+    assert col_z.exceptAll(np_z).count() == 0
+    assert np_z.exceptAll(col_z).count() == 0
 
 
 def test_capped_cluster_composition_cap_safety(spark, sf_dir):
