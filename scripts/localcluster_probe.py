@@ -68,9 +68,21 @@ _EXEC_MEM_MB = max(1024, _WORKER_MB - 1024)
 
 
 def _scratch() -> str:
-    from hive_plan_service_spark.session import process_scratch_dir
+    """Probe-run scratch SHARED between the driver process and its phase
+    SUBPROCESSES (fixtures written by the local phase are read by the
+    localcluster phase): the parent creates a mkdtemp and hands it down
+    via LC_PROBE_SCRATCH; a bare PID-keyed dir would diverge per phase
+    AND be atexit-reclaimed when the writing phase exits (the r8
+    conversion regression this replaces — cross-process isolation still
+    holds because the mkdtemp name is unique per probe run)."""
+    d = os.environ.get("LC_PROBE_SCRATCH")
+    if not d:
+        import tempfile
 
-    d = process_scratch_dir("lc_probe")
+        from hive_plan_service_spark.session import scratch_root
+
+        d = tempfile.mkdtemp(prefix="lc_probe_", dir=scratch_root())
+        os.environ["LC_PROBE_SCRATCH"] = d
     os.makedirs(d, exist_ok=True)
     return d
 
@@ -308,6 +320,7 @@ def main() -> None:
                 [sys.executable, os.path.abspath(__file__),
                  "--collect", mode, "--out", out],
                 cwd=REPO_ROOT,
+                env={**os.environ, "LC_PROBE_SCRATCH": root},
             ).returncode
             print(f"    phase {mode}: rc={rc} in {time.time() - t0:.0f}s",
                   flush=True)
