@@ -184,8 +184,14 @@ def main() -> None:
         if setup is not None:
             setup()
         try:
+            # discarded warm-up + min-of-2 timed (r8, mirroring bench.py's
+            # min-of-2-full-passes rule): when run 1 doubled as the
+            # warm-up, its cold codegen/page-cache cost could still be
+            # the artifact value on a 2-run min — consecutive quiet runs
+            # of the dedup shape measured 13.0 vs 18.1 s under that rule
+            fn()
             runs = []
-            for _ in range(2):  # min-of-2; run 1 is the codegen/JIT warm-up
+            for _ in range(2):
                 t0 = time.perf_counter()
                 rows[name] = fn()
                 runs.append(time.perf_counter() - t0)
