@@ -68,6 +68,10 @@ Gates (names usable with --skip / --only, comma-separated):
              {HDFS, RocksDB} provider × {uninterrupted, restart-after-
              2-batches} — four identical fingerprints + measured state
              memory (r8)
+    maxhostile every conf-hostility axis stacked at once: Kryo +
+             off-heap + interpreted expressions + Arrow batch 7 +
+             1 MiB splits + 7 cores + no broadcasts, under ET timezone
+             and Turkish JVM locale (r8)
 
 Exit 0 iff every executed gate passed. Each gate runs in its own
 subprocess (its own JVM) so a crashed session can't poison the rest.
@@ -221,6 +225,26 @@ GATES: dict[str, list[str]] = {
     # fingerprints must be identical across all four runs. Measured
     # basis for streaming/windows.choose_state_store_provider.
     "largestate": [sys.executable, "scripts/largestate_probe.py"],
+    # stacked-regime axis (r8): every conf-hostility axis AT ONCE —
+    # Kryo + off-heap Tungsten + codegen off/interpreted + Arrow
+    # batch=7 + 1 MiB scan splits + 7 cores + broadcasts off, under
+    # TZ=America/New_York and the Turkish JVM locale. Each axis is
+    # individually certified above; this certifies their INTERACTIONS
+    # (the regime combinations a real heterogeneous cluster mixes
+    # freely).
+    "maxhostile": [sys.executable, "scripts/driver_sim.py",
+                   "/root/testdata/sf0.01", "7",
+                   "builder:spark.serializer="
+                   "org.apache.spark.serializer.KryoSerializer",
+                   "builder:spark.memory.offHeap.enabled=true",
+                   "builder:spark.memory.offHeap.size=2g",
+                   "spark.sql.codegen.wholeStage=false",
+                   "spark.sql.codegen.factoryMode=NO_CODEGEN",
+                   "spark.sql.execution.arrow.maxRecordsPerBatch=7",
+                   "spark.sql.files.maxPartitionBytes=1048576",
+                   "spark.sql.files.openCostInBytes=0",
+                   "spark.sql.parquet.enableVectorizedReader=false",
+                   "spark.sql.autoBroadcastJoinThreshold=-1"],
 }
 
 #: per-gate env overrides (bench runs the contract scale)
@@ -234,6 +258,10 @@ GATE_ENV: dict[str, dict[str, str]] = {
     "locale": {"JAVA_TOOL_OPTIONS": "-Duser.language=tr -Duser.country=TR",
                "LC_ALL": "C", "LANG": "C"},
     "localehostile": {
+        "JAVA_TOOL_OPTIONS": "-Duser.language=tr -Duser.country=TR",
+        "LC_ALL": "C", "LANG": "C"},
+    "maxhostile": {
+        "TZ": "America/New_York",
         "JAVA_TOOL_OPTIONS": "-Duser.language=tr -Duser.country=TR",
         "LC_ALL": "C", "LANG": "C"},
 }
