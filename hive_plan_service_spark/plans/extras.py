@@ -346,7 +346,11 @@ _AVALANCHE_SQL = (
                CAST((CASE WHEN abs(o_totalprice) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(19,2)) END) * 100 AS BIGINT)
                  // {_HIST_BIN_CENTS} AS bin,
                COUNT(*) AS n
-        FROM orders GROUP BY 1, 2
+        -- histogram over NON-NULL prices: a NULL bin sorts FIRST in
+        -- Spark's window ORDER BY and LAST in DuckDB's (NULL-smallest
+        -- vs NULL-greatest conventions), skewing both cumulative sums
+        -- (r8 numeric-NULL sweep)
+        FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
       ),
       cums AS (
         SELECT o_orderstatus, bin,
@@ -396,7 +400,8 @@ def b11_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     binned = (
-        orders.select(
+        orders.filter(F.col("o_totalprice").isNotNull())
+        .select(
             "o_orderstatus",
             (money("o_totalprice") * 100).cast("bigint").alias("cents"),
         )

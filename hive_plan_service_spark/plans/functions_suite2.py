@@ -133,18 +133,18 @@ def b21_try_cast_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderkey,
              first_value(o_orderkey) OVER w AS first_key,
              last_value(o_orderkey)
-               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
                AS last_key,
              nth_value(o_orderkey, 2)
-               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
                AS second_key,
              CAST(ntile(4) OVER w AS BIGINT) AS quartile,
              percent_rank() OVER w AS pct_rank,
              cume_dist() OVER w AS cume
       FROM orders
-      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
     """,
     doc="first/last/nth_value over unbounded frames, ntile, percent_rank, cume_dist.",
     tags=("B12",),
@@ -216,7 +216,10 @@ def b19_array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(p_size AS DOUBLE) AS size,
                p_retailprice AS price
         FROM part
-      ) UNPIVOT (value FOR metric IN (size, price))
+      -- INCLUDE NULLS: Spark's Dataset.unpivot KEEPS null values
+      -- where SQL UNPIVOT (and DuckDB's) drops them by default (r8
+      -- numeric-NULL sweep: 400 vs 379 rows)
+      ) UNPIVOT INCLUDE NULLS (value FOR metric IN (size, price))
     """,
     doc="unpivot(melt): one row per (key, metric, value).",
     tags=("B9",),

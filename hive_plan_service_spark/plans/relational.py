@@ -462,11 +462,11 @@ def b11_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(CAST(LAG((CASE WHEN abs(o_totalprice) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(19,2)) END)) OVER w AS VARCHAR) AS DOUBLE) AS prev_price,
              CAST(CAST(LEAD((CASE WHEN abs(o_totalprice) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(19,2)) END)) OVER w AS VARCHAR) AS DOUBLE) AS next_price,
              CAST(CAST(SUM((CASE WHEN abs(o_totalprice) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(19,2)) END))
-                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
                AS running_spend
       FROM orders
-      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
     """,
     doc="row_number/rank/lag/lead + running sum over an ordered frame.",
     tags=("B12",),

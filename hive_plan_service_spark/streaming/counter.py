@@ -91,8 +91,16 @@ def fold_counter_batch(value: int, batch) -> int:
     set_pos = (ops == "set").nonzero()[0]
     start = 0
     if len(set_pos):
+        import pandas as pd
+
         last = int(set_pos[-1])
-        value = int(batch["set_value"].iloc[last])
+        sv = batch["set_value"].iloc[last]
+        # a SET carrying NULL (the reference's numberVerifier 403s it at
+        # the API edge; in-log it can occur — r8 numeric-NULL sweep) is
+        # defined as SET 0, mirroring the batch fold's
+        # coalesce(set_value, 0) in operators/counter.py — int(NaN)
+        # crashed this kernel before
+        value = 0 if pd.isna(sv) else int(sv)
         start = last + 1
     tail = batch["delta"].iloc[start:]
     if len(tail):  # no SET rows past `start` ⇒ no NaN deltas here

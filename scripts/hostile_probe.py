@@ -340,7 +340,15 @@ def numfuzz_dir(sf_dir: str, seed: int) -> str:
             vals = tbl.column(idx).to_pylist()
             for i in range(len(vals)):
                 if vals[i] is not None and rng.random() < 1 / 3:
-                    vals[i] = rng.choice(use_pool)
+                    # 1-in-8 of the mutated values is NULL: the --nulls
+                    # mode NULLs only STRING columns, so numeric/
+                    # temporal NULL handling (SUM/AVG skipping,
+                    # LAG/LEAD gaps, percentile COUNT(col), counter
+                    # deltas) was otherwise untested cross-engine (r8)
+                    vals[i] = (
+                        None if rng.random() < 1 / 8
+                        else rng.choice(use_pool)
+                    )
             tbl = tbl.set_column(idx, field, pa.array(vals, field.type))
         pq.write_table(tbl, dst)
     return out
