@@ -52,15 +52,16 @@ def floor_div(c: Column, divisor: int) -> Column:
     DuckDB's ``//`` and ``epoch()``) FLOOR — they disagree on every
     negative non-multiple (r8 numfuzz find: 1969-12-31T23:59:59.999999
     bucketed as 0 by Spark and −1 by the oracle). Computed as
-    subtract-positive-remainder then divide: the final ``/`` is double
-    division of an EXACT multiple of the divisor — exact because the
-    numerator for every in-range input stays under 2^59 with ≥
-    log2(divisor) trailing binary zeros from the factor, and IEEE
-    division of exact operands with a representable quotient is exact.
+    subtract-positive-remainder then integer ``div``: ``col - rem`` is
+    an EXACT multiple of the divisor, so truncating int64 division
+    equals floor for any operand magnitude — no float path (r9: the
+    earlier double-division form was exact only while the numerator
+    stayed under 2^53+trailing-zero headroom; pure int64 has no such
+    precondition).
     """
     col = _col(c)
     rem = ((col % divisor) + divisor) % divisor
-    return ((col - rem) / F.lit(divisor)).cast("long")
+    return F.call_function("div", col - rem, F.lit(divisor))
 
 
 def epoch_micros(c: Column | str) -> Column:

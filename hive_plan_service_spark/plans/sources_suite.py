@@ -114,11 +114,17 @@ def b01_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- floor/ceil ranks; EQUAL-KEY SHORTCUT (duplicates collapse to
       -- counts, equal endpoint keys return the key itself); else
       -- (higher - position) * lowerKey + (position - lower) * higherKey.
+      -- Group over ALL orders (r9, ADVICE): a WHERE-filter before the
+      -- GROUP BY dropped groups whose prices are ALL NULL, while Spark
+      -- emits them with NULL percentiles. list() keeps NULLs sorted
+      -- LAST, so 1-based indices 1..COUNT(x) touch only non-NULL
+      -- values; an all-NULL group has n=0 and every index lands on
+      -- a[0]/a[1] = NULL → NULL output, matching Spark.
       WITH s AS (
         SELECT o_orderstatus,
-               list(o_totalprice ORDER BY o_totalprice) AS a,
+               list(o_totalprice ORDER BY o_totalprice NULLS LAST) AS a,
                COUNT(o_totalprice) AS n
-        FROM orders WHERE o_totalprice IS NOT NULL GROUP BY o_orderstatus
+        FROM orders GROUP BY o_orderstatus
       ),
       p AS (
         SELECT o_orderstatus,

@@ -80,7 +80,12 @@ def b22_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(CAST(SUM((CASE WHEN abs(e.value) < 0.005 THEN CAST(0 AS DECIMAL(19,2)) ELSE CAST(CAST(e.value AS VARCHAR) AS DECIMAL(19,2)) END)) AS VARCHAR) AS DOUBLE) AS total_value
       FROM events e,
       UNNEST(generate_series(
-        (CAST(FLOOR((epoch(e.ts) - 3600) / 900) AS BIGINT) + 1) * 900,
+        -- lower bound in exact epoch_us integer arithmetic too (r9,
+        -- ADVICE: epoch() is DOUBLE and rounds at extreme magnitude):
+        -- smallest 900-multiple s with s > ts - 3600 == floor((ts-3600)/900)+1.
+        ((((epoch_us(e.ts) - 3600000000)
+           - (((epoch_us(e.ts) - 3600000000) % 900000000 + 900000000) % 900000000))
+          // 900000000) + 1) * 900,
         CAST(((epoch_us(e.ts) - ((epoch_us(e.ts) % 900000000 + 900000000) % 900000000)) // 900000000) AS BIGINT) * 900,
         900)) AS u(s)
       GROUP BY 1, 2

@@ -155,7 +155,7 @@ def process_scratch_dir(name: str) -> str:
     _sweep_dead_pid_dirs(root)
     d = os.path.join(root, f"{name}_pid{os.getpid()}")
     os.makedirs(d, exist_ok=True)
-    _PROCESS_SCRATCH_DIRS.add(d)
+    _PROCESS_SCRATCH_DIRS.add((os.getpid(), d))
     return d
 
 
@@ -199,11 +199,16 @@ def _sweep_dead_pid_dirs(root: str) -> None:
 @atexit.register
 def _cleanup_process_scratch() -> None:
     """rmtree every process_scratch_dir this process created; tmpfs is
-    a shared RAM budget (see process_scratch_dir docstring)."""
+    a shared RAM budget (see process_scratch_dir docstring). PID-guarded
+    (r9, ADVICE): the registry is inherited across fork(), and a forked
+    child's atexit must not rmtree the still-live parent's dirs — only
+    entries whose creating PID is this process are reclaimed."""
     import shutil
 
-    for d in _PROCESS_SCRATCH_DIRS:
-        shutil.rmtree(d, ignore_errors=True)
+    me = os.getpid()
+    for pid, d in _PROCESS_SCRATCH_DIRS:
+        if pid == me:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def shuffle_partitions() -> int:

@@ -53,13 +53,18 @@ from hive_plan_service_spark.streaming.windows import (  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
-def build_feed(spark, n_keys: int) -> str:
+def build_feed(spark, n_keys: int) -> tuple[str, int]:
+    """Returns (path, exact distinct-key count). The feed carries
+    n_events × ceil(n_keys/n_events) distinct uids — exceeding n_keys
+    whenever the row count doesn't divide it (r9, ADVICE: comparing the
+    ingest fingerprint against the REQUESTED size failed spuriously for
+    sizes like 10_000_001 with all four fingerprints agreeing)."""
     base = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
     n = base.count()
     mult = (n_keys + n - 1) // n
     path = os.path.join(process_scratch_dir("largestate"), f"feed_{n_keys}")
     if os.path.isdir(path):
-        return path
+        return path, n * mult
     reps = spark.range(mult).select(F.col("id").alias("_rep"))
     (
         base.crossJoin(reps)
@@ -71,7 +76,7 @@ def build_feed(spark, n_keys: int) -> str:
         .write.mode("overwrite")
         .parquet(path)
     )
-    return path
+    return path, n * mult
 
 
 def run_once(
@@ -172,7 +177,7 @@ def main() -> int:
     all_runs = {}
     try:
         for n_keys in sizes:
-            feed = build_feed(spark, n_keys)
+            feed, expected_keys = build_feed(spark, n_keys)
             runs = [
                 run_once(spark, feed, HDFS_BACKED_PROVIDER),
                 run_once(spark, feed, ROCKSDB_PROVIDER),
@@ -181,12 +186,12 @@ def main() -> int:
             ]
             fps = {(r["n"], r["xor"]) for r in runs}
             agree = len(fps) == 1
-            ok = ok and agree and runs[0]["n"] == n_keys
+            ok = ok and agree and runs[0]["n"] == expected_keys
             all_runs[n_keys] = runs
             print(
                 f"=== {n_keys} keys: fingerprints "
                 f"{'AGREE' if agree else 'DISAGREE: ' + str(fps)}; "
-                f"n={runs[0]['n']} (expected {n_keys})",
+                f"n={runs[0]['n']} (expected {expected_keys})",
                 flush=True,
             )
             shutil.rmtree(feed, ignore_errors=True)
