@@ -7,7 +7,7 @@ import uuid
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hive_plan_service_spark.functions.exact import money
+from hive_plan_service_spark.functions.exact import epoch_seconds, money
 
 
 def tumbling_window_agg(
@@ -30,7 +30,10 @@ def tumbling_window_agg(
             F.sum(money("value")).cast("double").alias("total_value"),
         )
         .select(
-            F.unix_timestamp("window.start").cast("bigint").alias("window_start_epoch"),
+            # epoch emission must FLOOR (r9 lint): window.start is
+            # hour-aligned so truncate==floor here, but every epoch
+            # emission routes through exact.py so the rule is uniform.
+            epoch_seconds("window.start").alias("window_start_epoch"),
             "event_type",
             "n",
             "total_value",
@@ -56,7 +59,7 @@ def sliding_window_agg(
             F.sum(money("value")).cast("double").alias("total_value"),
         )
         .select(
-            F.unix_timestamp("window.start").cast("bigint").alias("window_start_epoch"),
+            epoch_seconds("window.start").alias("window_start_epoch"),
             "event_type",
             "n",
             "total_value",
@@ -80,9 +83,13 @@ def session_windows(
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
-            F.unix_timestamp("session_window.start")
-            .cast("bigint")
-            .alias("session_start_epoch"),
+            # session_window.start is the FIRST EVENT's timestamp —
+            # sub-second micros survive, so truncating unix_timestamp
+            # is the wrong second for pre-1970 events (r8 numfuzz
+            # class). epoch_seconds floors.
+            epoch_seconds("session_window.start").alias(
+                "session_start_epoch"
+            ),
             "n_events",
         )
     )
