@@ -169,8 +169,52 @@ def run_once(
     return res
 
 
+def _capture_jvm_stderr() -> str:
+    """Redirect fd 2 (inherited by the JVM at launch) to a scratch file
+    so uncaught stream-execution-thread exceptions are inspectable."""
+    path = os.path.join(process_scratch_dir("largestate"), "jvm_stderr.log")
+    fd = os.open(path, os.O_CREAT | os.O_WRONLY | os.O_TRUNC)
+    os.dup2(fd, 2)
+    os.close(fd)
+    return path
+
+
+def _scan_uncaught(path: str) -> tuple[int, list[str]]:
+    """Classify uncaught-exception lines from the captured JVM stderr.
+
+    Tolerated (r8 watch item, root-caused r9): a rare
+    ``java.lang.StackOverflowError`` on the *stream execution thread*
+    when ``q.stop()``'s interrupt lands while the thread is inside the
+    py4j ``PythonProxyHandler`` call running the foreachBatch sink —
+    the interrupt aborts the write job (benign; the replayed batch is
+    idempotent through the epoch-partitioned sink) and the thread dies
+    while py4j/Spark wrap the failure, overflowing during exception
+    construction. Recovery is provably unaffected: every restart-run
+    fingerprint matches the uninterrupted run. ANY other uncaught
+    exception type fails the probe — the tolerance is class-exact so
+    the noise can never mask a real failure.
+    """
+    tolerated = 0
+    other: list[str] = []
+    try:
+        with open(path, errors="replace") as f:
+            for line in f:
+                if line.startswith("Exception in thread"):
+                    if (
+                        "stream execution thread" in line
+                        and "java.lang.StackOverflowError" in line
+                    ):
+                        tolerated += 1
+                    else:
+                        other.append(line.strip())
+    except OSError:
+        pass
+    return tolerated, other
+
+
 def main() -> int:
     sizes = [int(a) for a in sys.argv[1:]] or [10_000_000]
+    err_log = _capture_jvm_stderr()
     spark = get_spark(app_name="hpss-largestate")
     spark.sparkContext.setLogLevel("ERROR")
     ok = True
@@ -197,8 +241,19 @@ def main() -> int:
             shutil.rmtree(feed, ignore_errors=True)
     finally:
         spark.stop()
+        tolerated, other = _scan_uncaught(err_log)
         shutil.rmtree(process_scratch_dir("largestate"), ignore_errors=True)
-    print(json.dumps({"ok": ok, "sizes": {str(k): v for k, v in all_runs.items()}}))
+    ok = ok and not other
+    print(
+        json.dumps(
+            {
+                "ok": ok,
+                "soe_tolerated": tolerated,
+                "uncaught_other": other,
+                "sizes": {str(k): v for k, v in all_runs.items()},
+            }
+        )
+    )
     return 0 if ok else 1
 
 
