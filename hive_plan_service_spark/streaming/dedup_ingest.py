@@ -207,6 +207,11 @@ class StreamingDedupIngest:
         types are not contractual (CLAUDE.md invariant 3).
         """
         tune(self.spark)
+        if max_files_per_trigger is None:
+            # test hook (latefuzz gate, r9) — see streaming/source.py
+            env = os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES")
+            if env:
+                max_files_per_trigger = int(env)
         observed = self.spark.read.parquet(self.docs_path).schema
         reader = self.spark.readStream.schema(observed)
         if max_files_per_trigger is not None:

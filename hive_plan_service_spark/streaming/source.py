@@ -53,6 +53,14 @@ def events_stream(
     from hive_plan_service_spark.sources.catalog import events_ts_is_long
 
     tune(spark)
+    if max_files_per_trigger is None:
+        # test hook (latefuzz gate, r9): pace a multi-file feed into
+        # per-file micro-batches without changing any call site — the
+        # arrival-order certification drives registered queries through
+        # the same cross-batch paths a real paced feed exercises
+        env = os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES")
+        if env:
+            max_files_per_trigger = int(env)
     ts_is_long = events_ts_is_long(path)
     reader = spark.readStream.schema(
         _events_schema(T.LongType() if ts_is_long else T.TimestampType())

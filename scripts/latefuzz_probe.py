@@ -1,0 +1,368 @@
+"""Event-time hostility for the streaming oracles (VERDICT r8 task 3).
+
+numfuzz deliberately never mutates ``events.ts`` (its oracles' validity
+rests on bounded event-time disorder); this probe attacks exactly that
+axis, in three phases:
+
+**Phase A1 — bounded disorder (the watermark-slack contract).** Events
+are sorted by (ts, event_id), sliced into K ts-contiguous files, and
+each file's rows are SHUFFLED (seed-pinned); documents likewise by
+doc_id. With ``SPARK_GRAFT_STREAM_MAX_FILES=1`` every registered
+streaming query replays this as K ordered micro-batches with in-batch
+disorder only — the real-feed shape every streaming operator promises
+to handle. ALL streaming oracled queries must match their unmodified
+oracles bit-for-bit, including the order-DEPENDENT ones (counter folds
+sort per batch by (ts, event_id); dedup-ingest batches arrive in
+doc_id order, matching its smaller-id-is-earlier oracle).
+
+**Phase A2 — arbitrary arrival order.** Events rows are permuted
+globally and dealt into K files; only the content-deterministic queries
+must still match (commutative window/rollup aggregates, set-semantics
+dedup, stream-static join, content-irrelevant refresh trigger). The
+counter (arrival order across batches IS its fold contract — a
+log-structured fold, same as the reference's Redis INCR stream), the
+stream-stream interval join (2 h join watermark < feed span: arbitrary
+order may evict a partner before it is matched), and dedup-ingest
+(earlier-batch-wins flag orientation) are excluded BY DOCUMENTED
+SEMANTICS, not by weakness — their bounded-disorder guarantee is
+phase A1.
+
+**Phase B — beyond-watermark injection (exact drop model).** A feed of
+K ts-sorted base files plus a LAST-arriving tail of rows shifted 90
+days before the fixture minimum, driven through the engine's window
+builders in APPEND mode with watermark = 1 h. Arrival is fully
+controlled (ascending mtimes, one file per micro-batch), so Spark's
+late-drop behavior is deterministic: when the tail arrives the
+watermark has already advanced past it, and every tail row is dropped
+at the stateful operator's input filter (verified: the per-row filter,
+not best-effort state eviction, in this construction). The DuckDB twin
+models the drop EXACTLY: aggregate over base rows only, emit only
+windows/sessions whose END (ms) ≤ final watermark = max(base ts)(ms)
+− delay. Covers tumbling, sliding, and session windows.
+
+Usage: python scripts/latefuzz_probe.py [SEED]
+Prints one JSON line {"seed":..,"phases":{..},"failures":[..]};
+exit 0 iff all phases are clean.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import sys
+import tempfile
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+import duckdb  # noqa: E402
+import pyarrow as pa  # noqa: E402
+import pyarrow.compute as pc  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+
+from hive_plan_service_spark.plans.registry import all_queries  # noqa: E402
+from hive_plan_service_spark.session import get_spark, scratch_root  # noqa: E402
+from tests.parity import TABLES, check_query, compare_frames  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+K_FILES = 5
+
+#: every registered streaming query (reads a stream, has an oracle)
+PHASE_A1 = (
+    "b22_continuous_hourly_rollup",
+    "b22_stream_dedup",
+    "b22_stream_sliding_window",
+    "b22_stream_static_join",
+    "b22_stream_stream_join",
+    "b22_stream_tumbling_window",
+    "b23_stream_session_window",
+    "b24_stateful_counter_applyinpandas",
+    "b24_stream_counter_value",
+    "b25_stream_refresh_sink",
+    "b27_stream_dedup_ingest",
+)
+#: content-deterministic subset (see module docstring for exclusions)
+PHASE_A2 = (
+    "b22_continuous_hourly_rollup",
+    "b22_stream_dedup",
+    "b22_stream_sliding_window",
+    "b22_stream_static_join",
+    "b22_stream_tumbling_window",
+    "b23_stream_session_window",
+    "b25_stream_refresh_sink",
+)
+
+
+def _sorted_table(path: str, keys: list[str]) -> pa.Table:
+    t = pq.read_table(path)
+    idx = pc.sort_indices(t, sort_keys=[(k, "ascending") for k in keys])
+    return t.take(idx)
+
+
+def _write_split(
+    t: pa.Table,
+    out_dir: str,
+    rng: random.Random,
+    *,
+    contiguous: bool,
+    prefix: str = "f",
+    start_mtime: float | None = None,
+) -> float:
+    """Write ``t`` as K files under ``out_dir``; ascending mtimes pin the
+    file-source arrival order. ``contiguous=True`` slices the (sorted)
+    table and shuffles WITHIN each slice (bounded disorder);
+    ``contiguous=False`` deals a global permutation across files
+    (arbitrary order). Returns the last mtime used."""
+    os.makedirs(out_dir, exist_ok=True)
+    n = t.num_rows
+    mtime = start_mtime if start_mtime is not None else 1_700_000_000.0
+    if contiguous:
+        bounds = [n * i // K_FILES for i in range(K_FILES + 1)]
+        slices = [t.slice(a, b - a) for a, b in zip(bounds, bounds[1:])]
+        slices = [
+            s.take(pa.array(rng.sample(range(s.num_rows), s.num_rows)))
+            for s in slices
+        ]
+    else:
+        perm = list(range(n))
+        rng.shuffle(perm)
+        bounds = [n * i // K_FILES for i in range(K_FILES + 1)]
+        slices = [
+            t.take(pa.array(perm[a:b])) for a, b in zip(bounds, bounds[1:])
+        ]
+    for i, s in enumerate(slices):
+        p = os.path.join(out_dir, f"{prefix}_{i:02d}.parquet")
+        pq.write_table(s, p)
+        mtime += 2.0
+        os.utime(p, (mtime, mtime))
+    return mtime
+
+
+def _build_dir(
+    work: str, name: str, rng: random.Random, *, contiguous: bool,
+    split_documents: bool,
+) -> str:
+    """One hostile sf_dir: events (and optionally documents) split into
+    a K-file directory named ``<table>.parquet``; all other tables
+    symlinked. Spark reads the directory; run_oracle globs it."""
+    d = os.path.join(work, name)
+    os.makedirs(d)
+    for t in TABLES:
+        src = os.path.join(SF_DIR, f"{t}.parquet")
+        dst = os.path.join(d, f"{t}.parquet")
+        if t == "events":
+            _write_split(
+                _sorted_table(src, ["ts", "event_id"]), dst, rng,
+                contiguous=contiguous,
+            )
+        elif t == "documents" and split_documents:
+            _write_split(
+                _sorted_table(src, ["doc_id"]), dst, rng, contiguous=True
+            )
+        else:
+            os.symlink(src, dst)
+    return d
+
+
+# --------------------------------------------------------------------------
+# Phase B: exact late-drop model.
+# --------------------------------------------------------------------------
+LATE_SHIFT_US = 90 * 86400 * 1_000_000  # 90 days ≫ every watermark delay
+N_LATE = 64
+WM_DELAY_MS = 3_600_000  # 1 h append-mode watermark for all three shapes
+
+
+def _ts_is_int(t: pa.Table) -> bool:
+    return pa.types.is_integer(t.schema.field("ts").type)
+
+
+def _build_phase_b_dir(work: str, rng: random.Random) -> str:
+    """events = K ts-sorted base files + one LAST-arriving late tail of
+    rows shifted 90 days before the fixture minimum (fresh event_ids)."""
+    d = os.path.join(work, "phase_b")
+    os.makedirs(d)
+    for t in TABLES:
+        src = os.path.join(SF_DIR, f"{t}.parquet")
+        dst = os.path.join(d, f"{t}.parquet")
+        if t != "events":
+            os.symlink(src, dst)
+            continue
+        tbl = _sorted_table(src, ["ts", "event_id"])
+        os.makedirs(dst)
+        last_mtime = _write_split(
+            tbl, dst, rng, contiguous=True, prefix="base"
+        )
+        # late tail: a seeded sample, timestamps shifted back 90 days
+        # (nanos vs µs physical handled by the same integer shift)
+        idx = sorted(rng.sample(range(tbl.num_rows), N_LATE))
+        tail = tbl.take(pa.array(idx))
+        shift = LATE_SHIFT_US * (1000 if _ts_is_int(tbl) else 1)
+        if _ts_is_int(tbl):
+            new_ts = pc.subtract(tail["ts"], pa.scalar(shift, pa.int64()))
+        else:
+            unit = tail.schema.field("ts").type.unit
+            mult = {"us": 1, "ns": 1000}[unit]
+            new_ts = pc.subtract(
+                tail["ts"].cast(pa.int64()),
+                pa.scalar(LATE_SHIFT_US * mult, pa.int64()),
+            ).cast(tail.schema.field("ts").type)
+        max_id = pc.max(tbl["event_id"]).as_py()
+        new_ids = pa.array(
+            [max_id + 1 + i for i in range(tail.num_rows)], pa.int64()
+        )
+        tail = tail.set_column(
+            tail.schema.get_field_index("ts"), "ts", new_ts
+        ).set_column(
+            tail.schema.get_field_index("event_id"), "event_id", new_ids
+        )
+        p = os.path.join(dst, "late_99.parquet")
+        pq.write_table(tail, p)
+        os.utime(p, (last_mtime + 2.0, last_mtime + 2.0))
+    return d
+
+
+def _phase_b_oracle(sql: str, events_dir: str) -> "pd.DataFrame":  # noqa: F821
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE OR REPLACE VIEW events AS SELECT * FROM "
+            f"read_parquet('{events_dir}/events.parquet/base_*.parquet')"
+        )
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+def _phase_b_wm_ms(events_dir: str) -> int:
+    con = duckdb.connect()
+    try:
+        max_ms = con.execute(
+            "SELECT CAST(max(epoch_us(ts)) // 1000 AS BIGINT) FROM "
+            f"read_parquet('{events_dir}/events.parquet/base_*.parquet')"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    return int(max_ms) - WM_DELAY_MS
+
+
+def run_phase_b(spark, d: str) -> list[str]:
+    """Append-mode window builders vs the exact base-only/closed-only
+    DuckDB model. The registered oracles (full replay) are reused with
+    the events view narrowed to base files and a closed-window filter."""
+    from hive_plan_service_spark.streaming.source import events_stream
+    from hive_plan_service_spark.streaming.windows import (
+        run_to_completion,
+        session_windows,
+        sliding_window_agg,
+        tumbling_window_agg,
+    )
+
+    qs = all_queries()
+    wm_ms = _phase_b_wm_ms(d)
+    failures: list[str] = []
+    feed = os.path.join(d, "events.parquet")
+
+    cases = {
+        "tumbling_append": (
+            lambda: tumbling_window_agg(
+                events_stream(spark, feed), "1 hour", watermark="1 hour"
+            ),
+            f"""SELECT * FROM ({qs['b22_stream_tumbling_window'].oracle})
+                WHERE (window_start_epoch + 3600) * 1000 <= {wm_ms}""",
+        ),
+        "sliding_append": (
+            lambda: sliding_window_agg(
+                events_stream(spark, feed),
+                "1 hour", "15 minutes", watermark="1 hour",
+            ),
+            f"""SELECT * FROM ({qs['b22_stream_sliding_window'].oracle})
+                WHERE (window_start_epoch + 3600) * 1000 <= {wm_ms}""",
+        ),
+        "session_append": (
+            lambda: session_windows(
+                events_stream(spark, feed), "30 minutes", watermark="1 hour"
+            ),
+            # the registered b23 oracle keyed on session start; the drop
+            # model additionally needs the session END (last ts + gap)
+            f"""
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+              FROM o
+            ), g AS (
+              SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+                     COUNT(*) AS n_events
+              FROM s GROUP BY user_id, sid
+            )
+            SELECT user_id,
+                   CAST(((epoch_us(first_ts)
+                          - ((epoch_us(first_ts) % 1000000 + 1000000) % 1000000))
+                         // 1000000) AS BIGINT) AS session_start_epoch,
+                   n_events
+            FROM g
+            WHERE CAST(epoch_us(last_ts) // 1000 AS BIGINT)
+                  + 1800000 <= {wm_ms}
+            """,
+        ),
+    }
+    for name, (build, sql) in cases.items():
+        try:
+            got = run_to_completion(build(), output_mode="append").toPandas()
+            want = _phase_b_oracle(sql, d)
+            compare_frames(got, want, name=f"latefuzz_b:{name}")
+        except Exception as ex:  # noqa: BLE001 — collecting all failures
+            failures.append(f"B:{name}: {str(ex).splitlines()[0][:220]}")
+    return failures
+
+
+def main() -> int:
+    seed = int(sys.argv[1]) if len(sys.argv) > 1 else int(
+        os.environ.get("SPARK_GRAFT_FUZZ_SEED", "20260817")
+    )
+    rng = random.Random(seed)
+    work = tempfile.mkdtemp(prefix="latefuzz_", dir=scratch_root())
+    os.environ["SPARK_GRAFT_STREAM_MAX_FILES"] = "1"
+    failures: list[str] = []
+    counts: dict[str, int] = {}
+    try:
+        a1 = _build_dir(work, "a1", rng, contiguous=True, split_documents=True)
+        a2 = _build_dir(work, "a2", rng, contiguous=False, split_documents=False)
+        b = _build_phase_b_dir(work, rng)
+        spark = get_spark(app_name="hpss-latefuzz")
+        spark.sparkContext.setLogLevel("ERROR")
+        qs = all_queries()
+        for phase, names, d in (("A1", PHASE_A1, a1), ("A2", PHASE_A2, a2)):
+            counts[phase] = len(names)
+            for nm in names:
+                try:
+                    check_query(spark, qs[nm], d)
+                except Exception as ex:  # noqa: BLE001
+                    failures.append(
+                        f"{phase}:{nm}: {str(ex).splitlines()[0][:220]}"
+                    )
+        b_failures = run_phase_b(spark, b)
+        counts["B"] = 3
+        failures.extend(b_failures)
+        spark.stop()
+    finally:
+        os.environ.pop("SPARK_GRAFT_STREAM_MAX_FILES", None)
+        shutil.rmtree(work, ignore_errors=True)
+    print(
+        json.dumps({"seed": seed, "phases": counts, "failures": failures}),
+        flush=True,
+    )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

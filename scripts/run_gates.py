@@ -68,6 +68,10 @@ Gates (names usable with --skip / --only, comma-separated):
              {HDFS, RocksDB} provider × {uninterrupted, restart-after-
              2-batches} — four identical fingerprints + measured state
              memory (r8)
+    latefuzz event-time hostility (r9): bounded-disorder and
+             arbitrary-order paced replays of every streaming oracled
+             query, plus beyond-watermark injection against an EXACT
+             append-mode drop model (see scripts/latefuzz_probe.py)
     maxhostile every conf-hostility axis stacked at once: Kryo +
              off-heap + interpreted expressions + Arrow batch 7 +
              1 MiB splits + 7 cores + no broadcasts, under ET timezone
@@ -225,6 +229,11 @@ GATES: dict[str, list[str]] = {
     # fingerprints must be identical across all four runs. Measured
     # basis for streaming/windows.choose_state_store_provider.
     "largestate": [sys.executable, "scripts/largestate_probe.py"],
+    # event-time axis (r8, VERDICT #3): the one data axis numfuzz
+    # skipped. Bounded-disorder + arbitrary-order paced replays of all
+    # streaming oracled queries, and beyond-watermark late injection
+    # checked against an exact append-mode drop model.
+    "latefuzz": [sys.executable, "scripts/latefuzz_probe.py"],
     # stacked-regime axis (r8): every conf-hostility axis AT ONCE —
     # Kryo + off-heap Tungsten + codegen off/interpreted + Arrow
     # batch=7 + 1 MiB scan splits + 7 cores + broadcasts off, under
@@ -291,6 +300,15 @@ def main() -> None:
     args = ap.parse_args()
     if args.round is not None and not args.out:
         args.out = os.path.join(REPO_ROOT, f"GATES_r{args.round:02d}.json")
+    if args.round is not None:
+        # seed rotation (VERDICT r8 #1): every round's artifact stamp
+        # runs the fuzz families on NEVER-USED seeds, so a green gate
+        # certifies the generator, not one lucky draw. Deterministic
+        # per round (reproducible), distinct per axis.
+        base = 9_000_000 + args.round * 1_000
+        GATES["fuzz"] = GATES["fuzz"] + [str(base + 1)]
+        GATES["numfuzz"] = GATES["numfuzz"] + [str(base + 2)]
+        GATES["latefuzz"] = GATES["latefuzz"] + [str(base + 3)]
 
     skip = {s for s in args.skip.split(",") if s}
     only = {s for s in args.only.split(",") if s}

@@ -30,12 +30,20 @@ TABLES = (
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    import os
+
     con = duckdb.connect()
     try:
         for t in TABLES:
+            path = f"{sf_dir}/{t}.parquet"
+            # a fixture table may be a DIRECTORY of part files (the
+            # latefuzz probe splits events into micro-batch files, r9);
+            # DuckDB needs an explicit glob where Spark reads the dir
+            if os.path.isdir(path):
+                path = f"{path}/*.parquet"
             con.execute(
                 f"CREATE OR REPLACE VIEW {t} AS "
-                f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+                f"SELECT * FROM read_parquet('{path}')"
             )
         return con.execute(sql).fetchdf()
     finally:
