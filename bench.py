@@ -25,6 +25,20 @@ if REPO_ROOT not in sys.path:
 #: reference — see the normalization rule below and in BASELINE.md.
 CALIBRATION_QUIET_REF = 0.427
 
+#: Quiet-box reference for the v2 Arrow/py-worker/tmpfs probe
+#: (calibration v2, VERDICT r8 #2 — the r8 extbench drift proved the
+#: pure-JVM probe is blind to Python-worker/Arrow/tmpfs box state; the
+#: UNMODIFIED r7 commit read 34.9 s on the same box reading 26.99 for
+#: the current code, with near-equal CPU calibration). Best
+#: calibration_pyarrow_sec recorded on a quiet box; ratchets DOWN like
+#: CALIBRATION_QUIET_REF when a quieter box is observed.
+#: r9 initial value = best observed in the probe's real context (end of
+#: a full bench run, py workers and JIT hot — a cold standalone session
+#: reads ~0.62). Measured while the CPU probe read 0.47 vs its 0.427
+#: quiet ref, i.e. a mildly loaded box: still conservative-high, and it
+#: ratchets DOWN whenever a quieter box is observed.
+PYARROW_QUIET_REF = 0.475
+
 #: Queries timed by the benchmark — one per heavy engine path.
 HEADLINE: tuple[str, ...] = (
     "b09_agg_pricing_summary",        # scan → filter → 8-agg hash aggregate
@@ -73,6 +87,74 @@ def calibrate(spark, n_rows: int = 50_000_000, depth: int = 16) -> float:
         probe().collect()
         runs.append(time.perf_counter() - t0)
     return round(min(runs), 4)
+
+
+def calibrate_pyarrow(spark) -> float:
+    """Fixed Arrow/py-worker/tmpfs probe (calibration v2, VERDICT r8 #2).
+
+    Two legs, each min-of-5 after a warm pass, summed:
+
+    1. **Arrow/py-worker**: a pandas_udf over 2M generated doubles —
+       Arrow serialization both directions, Python worker dispatch, and
+       a numpy kernel; the exact path the extbench dedup/PQ shapes and
+       every declared Python surface (B24/B26/B30) pay per batch.
+    2. **tmpfs parquet round-trip**: write 1M rows (3 columns) to
+       scratch and read them back — codec, commit protocol, and tmpfs
+       state, which the pure-CPU xxhash probe cannot see.
+
+    Pure-JVM load and Python/IO load move independently on a shared box
+    (r8: extbench drifted 20–45% with the CPU calibration unchanged),
+    so extbench normalizes by the COMPOSITE of both probes.
+    """
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from hive_plan_service_spark.session import process_scratch_dir
+
+    def _probe_impl(v):
+        import numpy as np
+
+        return pd.Series(np.sqrt(v.to_numpy() * 1.5 + 1.0))
+
+    # real annotation objects: the module-wide `from __future__ import
+    # annotations` stringifies inline hints, which pandas_udf's
+    # signature inference rejects
+    _probe_impl.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    _probe_kernel = pandas_udf(_probe_impl, "double")
+
+    def arrow_pass():
+        df = spark.range(0, 2_000_000, 1, 8)
+        (
+            df.select(_probe_kernel(F.col("id").cast("double")).alias("x"))
+            .agg(F.sum("x"))
+            .collect()
+        )
+
+    path = os.path.join(process_scratch_dir("calib_v2"), "probe_parquet")
+
+    def tmpfs_pass():
+        df = spark.range(0, 1_000_000, 1, 8).select(
+            "id", (F.col("id") % 97).alias("k"), F.xxhash64("id").alias("h")
+        )
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path).agg(F.count(F.lit(1))).collect()
+
+    arrow_pass()  # warm: python workers + Arrow codegen
+    tmpfs_pass()  # warm: committer classes + JIT
+    arrow_runs, tmpfs_runs = [], []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        arrow_pass()
+        arrow_runs.append(time.perf_counter() - t0)
+    for _ in range(5):
+        t0 = time.perf_counter()
+        tmpfs_pass()
+        tmpfs_runs.append(time.perf_counter() - t0)
+    shutil.rmtree(path, ignore_errors=True)
+    return round(min(arrow_runs) + min(tmpfs_runs), 4)
 
 
 def materialize(df) -> None:
@@ -174,6 +256,12 @@ def run(
     factor = min(1.0, CALIBRATION_QUIET_REF / calibration) if (
         calibration > 0 and calibration_rows == 50_000_000
     ) else 1.0
+    # v2 probe (VERDICT r8 #2): reported alongside so the judge can see
+    # Arrow/py-worker/tmpfs box state; the CONTRACT normalization stays
+    # CPU-only for round-over-round continuity (the headline set is
+    # JVM-dominated), while extbench — whose shapes are Python/Arrow-
+    # heavy — normalizes by the composite (scripts/bench_extended.py).
+    pyarrow_cal = calibrate_pyarrow(spark)
     return {
         "metric": "headline_query_wall_clock_total",
         "value": total,
@@ -182,6 +270,8 @@ def run(
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration_cpu_sec": calibration,
         "calibration_quiet_ref": CALIBRATION_QUIET_REF,
+        "calibration_pyarrow_sec": pyarrow_cal,
+        "calibration_pyarrow_quiet_ref": PYARROW_QUIET_REF,
         "value_normalized": round(total * factor, 4),
         "timing_passes": 2,
         "sink": "noop",

@@ -201,10 +201,21 @@ def main() -> None:
                 teardown()
 
     calibration = bench.calibrate(spark)
+    pyarrow_cal = bench.calibrate_pyarrow(spark)
     total = round(sum(timings.values()), 4)
-    factor = min(1.0, bench.CALIBRATION_QUIET_REF / calibration) if (
-        calibration > 0
-    ) else 1.0
+    # Calibration v2 (VERDICT r8 #2): the extbench shapes are
+    # Python/Arrow/tmpfs-heavy — the r8 drift (22.59→26.99 s with
+    # near-equal CPU calibration; the unmodified r7 commit at 34.9 s on
+    # the same box) proved pure-JVM normalization is blind to them.
+    # Composite factor = capped geometric mean of both probe ratios;
+    # the CPU-only factor is still emitted for continuity with ≤r8.
+    f_cpu = (
+        bench.CALIBRATION_QUIET_REF / calibration if calibration > 0 else 1.0
+    )
+    f_pa = (
+        bench.PYARROW_QUIET_REF / pyarrow_cal if pyarrow_cal > 0 else 1.0
+    )
+    factor = min(1.0, (f_cpu * f_pa) ** 0.5)
     payload = {
         "metric": "production_shape_wall_clock_total",  # NON-CONTRACT
         "value": total,
@@ -218,7 +229,10 @@ def main() -> None:
         "emb_rows": emb_n,
         "calibration_cpu_sec": calibration,
         "calibration_quiet_ref": bench.CALIBRATION_QUIET_REF,
+        "calibration_pyarrow_sec": pyarrow_cal,
+        "calibration_pyarrow_quiet_ref": bench.PYARROW_QUIET_REF,
         "value_normalized": round(total * factor, 4),
+        "value_normalized_cpu_only": round(total * min(1.0, f_cpu), 4),
     }
     print(json.dumps(payload), flush=True)
     spark.stop()

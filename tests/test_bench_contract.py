@@ -24,10 +24,20 @@ def test_bench_payload_shape(spark, sf_dir):
         "sf",
         "calibration_cpu_sec",
         "calibration_quiet_ref",
+        "calibration_pyarrow_sec",
+        "calibration_pyarrow_quiet_ref",
         "value_normalized",
         "timing_passes",
         "sink",
     }
+    # calibration v2 (VERDICT r8 #2): the Arrow/py-worker/tmpfs probe is
+    # carried in the contract artifact (reported, not normative for the
+    # CPU-only contract normalization; extbench normalizes by the
+    # composite — see scripts/bench_extended.py)
+    assert decoded["calibration_pyarrow_sec"] > 0
+    assert (
+        decoded["calibration_pyarrow_quiet_ref"] == bench.PYARROW_QUIET_REF
+    )
     # min-of-2-full-passes rule (VERDICT r7 #6, BASELINE.md): the
     # artifact declares how many complete timing passes fed each
     # per-query minimum, so a judge can see cold-start robustness is
