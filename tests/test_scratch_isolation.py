@@ -142,3 +142,35 @@ def test_atexit_cleanup_removes_own_dirs():
     )
     d = out.stdout.strip().splitlines()[-1]
     assert not os.path.exists(d), "process_scratch_dir not cleaned at exit"
+
+
+def test_atexit_cleanup_skips_forked_children():
+    """r9 ADVICE: _PROCESS_SCRATCH_DIRS is inherited across fork(); a
+    forked child's atexit must NOT rmtree the parent's live dirs. The
+    registry records the creating PID and the cleanup is a no-op for
+    foreign entries."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os, sys\n"
+        "from hive_plan_service_spark.session import process_scratch_dir\n"
+        "d = process_scratch_dir('fork_guard_probe')\n"
+        "pid = os.fork()\n"
+        "if pid == 0:\n"
+        "    os._exit(0)  # atexit does not run on _exit...\n"
+        "else:\n"
+        "    os.waitpid(pid, 0)\n"
+        "    pid2 = os.fork()\n"
+        "    if pid2 == 0:\n"
+        "        sys.exit(0)  # normal exit: atexit DOES run in this child\n"
+        "    os.waitpid(pid2, 0)\n"
+        "    print('ALIVE' if os.path.isdir(d) else 'GONE')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        check=True, cwd=REPO, capture_output=True, text=True,
+    )
+    assert out.stdout.strip().splitlines()[-1] == "ALIVE", (
+        "a forked child's atexit deleted the parent's live scratch dir"
+    )
