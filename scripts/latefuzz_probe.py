@@ -265,7 +265,31 @@ def run_phase_b(spark, d: str) -> list[str]:
     failures: list[str] = []
     feed = os.path.join(d, "events.parquet")
 
+    def dedup_append():
+        return (
+            events_stream(spark, feed)
+            .withWatermark("ts", "1 hour")
+            # the event-time column MUST be part of the dedup keys for
+            # the watermark to drop late input rows — probe-verified:
+            # dropDuplicates(["event_id"]) emitted all 1064 rows (the
+            # 64-row late tail passed straight through; state lookups
+            # don't consult the watermark), while ["event_id","ts"]
+            # emits exactly the 1000 base rows. This is Spark's
+            # documented dedup-with-watermark contract, now pinned.
+            .dropDuplicates(["event_id", "ts"])
+            .select("event_id", "event_type")
+        )
+
     cases = {
+        # stateful dropDuplicates drop path: append mode emits each
+        # first-seen key immediately; a late row with ts < watermark is
+        # filtered at the dedup operator's INPUT (the tail's fresh
+        # event_ids never reach state), so the emitted set is exactly
+        # the base rows.
+        "dedup_append": (
+            dedup_append,
+            "SELECT event_id, event_type FROM events",
+        ),
         "tumbling_append": (
             lambda: tumbling_window_agg(
                 events_stream(spark, feed), "1 hour", watermark="1 hour"
@@ -351,7 +375,7 @@ def main() -> int:
                         f"{phase}:{nm}: {str(ex).splitlines()[0][:220]}"
                     )
         b_failures = run_phase_b(spark, b)
-        counts["B"] = 3
+        counts["B"] = 4
         failures.extend(b_failures)
         spark.stop()
     finally:
