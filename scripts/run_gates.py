@@ -258,6 +258,10 @@ GATES: dict[str, list[str]] = {
 
 #: per-gate env overrides (bench runs the contract scale)
 GATE_ENV: dict[str, dict[str, str]] = {
+    # the pytest gate runs DURING the stamp that produces the artifact
+    # the gate-set completeness pin checks — exempt it (the pin stays
+    # fully armed for every pytest run outside a stamp)
+    "pytest": {"SPARK_GRAFT_GATES_STAMP": "1"},
     "bench": {"SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1"},
     "extbench": {"SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1"},
     # UTC−4/−5 with DST — maximally hostile to naive-timestamp slips

@@ -90,6 +90,15 @@ def test_latest_gates_artifact_covers_every_defined_gate():
     import os
     import re
 
+    # During a `run_gates --round N` stamp, this pytest run IS one of
+    # the gates producing the artifact it would otherwise check — the
+    # newest on disk is last round's, which legitimately predates gates
+    # added this round (r9: the r8 stamp only passed because r7
+    # artifacts were grandfathered). The stamp sets this env var for
+    # its pytest gate only; outside a stamp the pin is fully armed.
+    if os.environ.get("SPARK_GRAFT_GATES_STAMP"):
+        return
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     arts = glob.glob(os.path.join(repo, "GATES_r*.json"))
     if not arts:
