@@ -32,12 +32,12 @@ CALIBRATION_QUIET_REF = 0.427
 #: the current code, with near-equal CPU calibration). Best
 #: calibration_pyarrow_sec recorded on a quiet box; ratchets DOWN like
 #: CALIBRATION_QUIET_REF when a quieter box is observed.
-#: r9 initial value = best observed in the probe's real context (end of
-#: a full bench run, py workers and JIT hot — a cold standalone session
-#: reads ~0.62). Measured while the CPU probe read 0.47 vs its 0.427
-#: quiet ref, i.e. a mildly loaded box: still conservative-high, and it
-#: ratchets DOWN whenever a quieter box is observed.
-PYARROW_QUIET_REF = 0.475
+#: r9: best observed in the probe's real context (end of a warm bench
+#: run; a cold standalone session reads ~0.62). First set 0.475, then
+#: ratcheted to 0.4405 the same day on a quieter window (CPU probe
+#: 0.454 vs its 0.427 ref) — ratchets DOWN whenever a quieter box is
+#: observed, same discipline as CALIBRATION_QUIET_REF.
+PYARROW_QUIET_REF = 0.4405
 
 #: Queries timed by the benchmark — one per heavy engine path.
 HEADLINE: tuple[str, ...] = (
