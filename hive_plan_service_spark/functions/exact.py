@@ -57,7 +57,10 @@ def floor_div(c: Column, divisor: int) -> Column:
     equals floor for any operand magnitude — no float path (r9: the
     earlier double-division form was exact only while the numerator
     stayed under 2^53+trailing-zero headroom; pure int64 has no such
-    precondition).
+    precondition). Domain: |col| must stay below 2^63 − divisor (the
+    subtract would overflow at Long.MIN_VALUE + rem and ANSI mode
+    throws); every epoch/bucket input is ≤ ~3·10^17 µs, 4 orders of
+    magnitude inside the bound.
     """
     col = _col(c)
     rem = ((col % divisor) + divisor) % divisor

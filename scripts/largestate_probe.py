@@ -169,14 +169,18 @@ def run_once(
     return res
 
 
-def _capture_jvm_stderr() -> str:
+def _capture_jvm_stderr() -> tuple[str, int]:
     """Redirect fd 2 (inherited by the JVM at launch) to a scratch file
-    so uncaught stream-execution-thread exceptions are inspectable."""
+    so uncaught stream-execution-thread exceptions are inspectable.
+    Returns (log path, saved original fd 2) — the failure path must
+    restore fd 2 and dump the log BEFORE the scratch dir is removed, or
+    the probe's own traceback lands on a deleted inode (r9 review)."""
     path = os.path.join(process_scratch_dir("largestate"), "jvm_stderr.log")
+    orig = os.dup(2)
     fd = os.open(path, os.O_CREAT | os.O_WRONLY | os.O_TRUNC)
     os.dup2(fd, 2)
     os.close(fd)
-    return path
+    return path, orig
 
 
 def _scan_uncaught(path: str) -> tuple[int, list[str]]:
@@ -214,7 +218,7 @@ def _scan_uncaught(path: str) -> tuple[int, list[str]]:
 
 def main() -> int:
     sizes = [int(a) for a in sys.argv[1:]] or [10_000_000]
-    err_log = _capture_jvm_stderr()
+    err_log, orig_fd2 = _capture_jvm_stderr()
     spark = get_spark(app_name="hpss-largestate")
     spark.sparkContext.setLogLevel("ERROR")
     ok = True
@@ -242,6 +246,19 @@ def main() -> int:
     finally:
         spark.stop()
         tolerated, other = _scan_uncaught(err_log)
+        # restore fd 2 before deleting the log it pointed at, so a
+        # propagating exception's traceback is visible; on the failure
+        # path also dump the captured JVM stderr to stdout (run_gates
+        # merges streams — without this a crashed probe leaves no
+        # diagnostics anywhere, r9 review find)
+        os.dup2(orig_fd2, 2)
+        os.close(orig_fd2)
+        if sys.exc_info()[0] is not None:
+            try:
+                with open(err_log, errors="replace") as f:
+                    print(f.read()[-8000:], flush=True)
+            except OSError:
+                pass
         shutil.rmtree(process_scratch_dir("largestate"), ignore_errors=True)
     ok = ok and not other
     print(

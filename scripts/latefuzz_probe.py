@@ -199,9 +199,11 @@ def _build_phase_b_dir(work: str, rng: random.Random) -> str:
         # (nanos vs µs physical handled by the same integer shift)
         idx = sorted(rng.sample(range(tbl.num_rows), N_LATE))
         tail = tbl.take(pa.array(idx))
-        shift = LATE_SHIFT_US * (1000 if _ts_is_int(tbl) else 1)
         if _ts_is_int(tbl):
-            new_ts = pc.subtract(tail["ts"], pa.scalar(shift, pa.int64()))
+            # integer physical ts == nanos under the engine's sniff
+            new_ts = pc.subtract(
+                tail["ts"], pa.scalar(LATE_SHIFT_US * 1000, pa.int64())
+            )
         else:
             unit = tail.schema.field("ts").type.unit
             mult = {"us": 1, "ns": 1000}[unit]
@@ -248,7 +250,7 @@ def _phase_b_wm_ms(events_dir: str) -> int:
     return int(max_ms) - WM_DELAY_MS
 
 
-def run_phase_b(spark, d: str) -> list[str]:
+def run_phase_b(spark, d: str) -> tuple[list[str], int]:
     """Append-mode window builders vs the exact base-only/closed-only
     DuckDB model. The registered oracles (full replay) are reused with
     the events view narrowed to base files and a closed-window filter."""
@@ -346,7 +348,7 @@ def run_phase_b(spark, d: str) -> list[str]:
             compare_frames(got, want, name=f"latefuzz_b:{name}")
         except Exception as ex:  # noqa: BLE001 — collecting all failures
             failures.append(f"B:{name}: {str(ex).splitlines()[0][:220]}")
-    return failures
+    return failures, len(cases)
 
 
 def main() -> int:
@@ -374,8 +376,7 @@ def main() -> int:
                     failures.append(
                         f"{phase}:{nm}: {str(ex).splitlines()[0][:220]}"
                     )
-        b_failures = run_phase_b(spark, b)
-        counts["B"] = 4
+        b_failures, counts["B"] = run_phase_b(spark, b)
         failures.extend(b_failures)
         spark.stop()
     finally:
