@@ -83,8 +83,12 @@ def epoch_seconds(c: Column | str) -> Column:
     """FLOOR epoch seconds of a timestamp (exact integer arithmetic).
 
     ``F.unix_timestamp`` truncates sub-second parts toward zero, which
-    is wrong (≠ floor) for pre-1970 timestamps; this floors, matching
-    DuckDB ``epoch_us(ts) // 1000000`` and the conventional definition.
+    is wrong (≠ floor) for pre-1970 timestamps; this floors, the
+    conventional definition. NOTE the DuckDB oracle twin is NOT the
+    bare ``epoch_us(ts) // 1000000`` — DuckDB integer ``//`` ALSO
+    truncates toward zero (invariant 7); oracles must use the
+    subtract-positive-remainder idiom
+    ``(u - ((u % 1000000 + 1000000) % 1000000)) // 1000000``.
     (The oracle side must use ``epoch_us`` too: DuckDB ``epoch()``
     returns DOUBLE, and at year-9999 magnitude .999999 µs round past
     the next second — r8 numfuzz find.)

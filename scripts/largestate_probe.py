@@ -244,7 +244,13 @@ def main() -> int:
             )
             shutil.rmtree(feed, ignore_errors=True)
     finally:
-        spark.stop()
+        # spark.stop() may itself raise (the tolerated-SOE class fires in
+        # the stop path) — never let that skip the fd-2 restore, the
+        # uncaught scan, or the log dump (r9 ADVICE find)
+        try:
+            spark.stop()
+        except Exception as stop_exc:  # noqa: BLE001 - diagnostics path
+            print(f"spark.stop() raised: {stop_exc!r}", flush=True)
         tolerated, other = _scan_uncaught(err_log)
         # restore fd 2 before deleting the log it pointed at, so a
         # propagating exception's traceback is visible; on the failure

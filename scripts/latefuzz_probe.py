@@ -241,9 +241,12 @@ def _phase_b_oracle(sql: str, events_dir: str) -> "pd.DataFrame":  # noqa: F821
 def _phase_b_wm_ms(events_dir: str) -> int:
     con = duckdb.connect()
     try:
+        # floor (not truncate) the µs→ms division so the watermark model
+        # stays exact even for pre-1970 base events (invariant 7)
         max_ms = con.execute(
-            "SELECT CAST(max(epoch_us(ts)) // 1000 AS BIGINT) FROM "
-            f"read_parquet('{events_dir}/events.parquet/base_*.parquet')"
+            "SELECT CAST((u - ((u % 1000 + 1000) % 1000)) // 1000 AS BIGINT)"
+            " FROM (SELECT max(epoch_us(ts)) AS u FROM "
+            f"read_parquet('{events_dir}/events.parquet/base_*.parquet'))"
         ).fetchone()[0]
     finally:
         con.close()
@@ -336,7 +339,9 @@ def run_phase_b(spark, d: str) -> tuple[list[str], int]:
                          // 1000000) AS BIGINT) AS session_start_epoch,
                    n_events
             FROM g
-            WHERE CAST(epoch_us(last_ts) // 1000 AS BIGINT)
+            WHERE CAST((epoch_us(last_ts)
+                        - ((epoch_us(last_ts) % 1000 + 1000) % 1000))
+                       // 1000 AS BIGINT)
                   + 1800000 <= {wm_ms}
             """,
         ),

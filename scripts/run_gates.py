@@ -313,7 +313,13 @@ def main() -> None:
         # artifact the gate-set completeness pin checks — exempt it
         # ONLY under --round (r9 review find: a static GATE_ENV entry
         # disarmed the pin for plain `run_gates --only pytest` too)
-        GATE_ENV.setdefault("pytest", {})["SPARK_GRAFT_GATES_STAMP"] = "1"
+        # Value = the round being stamped, not "1": the pin only honors
+        # the exemption when the value names a round >= the newest
+        # artifact on disk, so a stale exported var in a dev shell can't
+        # silently disarm the pin forever (r9 ADVICE find).
+        GATE_ENV.setdefault("pytest", {})[
+            "SPARK_GRAFT_GATES_STAMP"
+        ] = str(args.round)
 
     skip = {s for s in args.skip.split(",") if s}
     only = {s for s in args.only.split(",") if s}

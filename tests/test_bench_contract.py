@@ -90,15 +90,6 @@ def test_latest_gates_artifact_covers_every_defined_gate():
     import os
     import re
 
-    # During a `run_gates --round N` stamp, this pytest run IS one of
-    # the gates producing the artifact it would otherwise check — the
-    # newest on disk is last round's, which legitimately predates gates
-    # added this round (r9: the r8 stamp only passed because r7
-    # artifacts were grandfathered). The stamp sets this env var for
-    # its pytest gate only; outside a stamp the pin is fully armed.
-    if os.environ.get("SPARK_GRAFT_GATES_STAMP"):
-        return
-
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     arts = glob.glob(os.path.join(repo, "GATES_r*.json"))
     if not arts:
@@ -106,6 +97,18 @@ def test_latest_gates_artifact_covers_every_defined_gate():
     latest = max(arts, key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
     rnd = int(re.search(r"r(\d+)", latest).group(1))
     if rnd <= 7:
+        return
+
+    # During a `run_gates --round N` stamp, this pytest run IS one of
+    # the gates producing the artifact it would otherwise check — the
+    # newest on disk legitimately predates gates added this round. The
+    # stamp sets the env var TO THE ROUND NUMBER for its pytest gate
+    # only; the exemption is honored only when that value names a round
+    # at least as new as the newest artifact on disk, so a stale var
+    # leaked into a dev shell cannot disarm the pin for later rounds
+    # (r9 ADVICE find). Outside a stamp the pin is fully armed.
+    stamp = os.environ.get("SPARK_GRAFT_GATES_STAMP", "")
+    if stamp.isdigit() and int(stamp) >= rnd:
         return
     import sys
 
