@@ -39,6 +39,32 @@ CALIBRATION_QUIET_REF = 0.427
 #: observed, same discipline as CALIBRATION_QUIET_REF.
 PYARROW_QUIET_REF = 0.4405
 
+#: Round-over-round comparability band (VERDICT r9 #1). The capped
+#: normalization factor (min(1, ref/cal)) only *removes* inflation, so
+#: the normalized series is ASYMMETRIC across box states: a loaded-box
+#: round reports a lower normalized total than the same code on a quiet
+#: box (r8 6.51 vs r9 8.32 normalized while raw was flat and a same-box
+#: A/B favored r9). Normalized is a per-round quiet-box-equivalent
+#: LOWER BOUND, not a comparable series. Round-over-round verdicts must
+#: compare RAW totals, and only between artifacts whose
+#: `calibration_cpu_sec` agree within this band; otherwise the
+#: comparison must cite a same-session A/B of the two code versions
+#: (the r8 extbench precedent). `raw_comparable()` implements the test;
+#: the payload carries the band so every artifact states its own rule.
+RAW_COMPARISON_BAND = 0.10
+
+
+def raw_comparable(cal_a: float, cal_b: float,
+                   band: float = RAW_COMPARISON_BAND) -> bool:
+    """True when two artifacts' raw totals are directly comparable:
+    their CPU calibrations agree within ``band`` (symmetric — the
+    larger-over-smaller ratio is at most 1+band)."""
+    if cal_a <= 0 or cal_b <= 0:
+        return False
+    lo, hi = sorted((cal_a, cal_b))
+    return hi <= (1.0 + band) * lo
+
+
 #: Queries timed by the benchmark — one per heavy engine path.
 HEADLINE: tuple[str, ...] = (
     "b09_agg_pricing_summary",        # scan → filter → 8-agg hash aggregate
@@ -273,6 +299,7 @@ def run(
         "calibration_pyarrow_sec": pyarrow_cal,
         "calibration_pyarrow_quiet_ref": PYARROW_QUIET_REF,
         "value_normalized": round(total * factor, 4),
+        "raw_comparison_band": RAW_COMPARISON_BAND,
         "timing_passes": 2,
         "sink": "noop",
     }

@@ -27,9 +27,14 @@ def test_bench_payload_shape(spark, sf_dir):
         "calibration_pyarrow_sec",
         "calibration_pyarrow_quiet_ref",
         "value_normalized",
+        "raw_comparison_band",
         "timing_passes",
         "sink",
     }
+    # round-over-round comparability rule (VERDICT r9 #1, BASELINE.md):
+    # the artifact states the calibration-agreement band under which its
+    # RAW total may be compared with another round's
+    assert decoded["raw_comparison_band"] == bench.RAW_COMPARISON_BAND
     # calibration v2 (VERDICT r8 #2): the Arrow/py-worker/tmpfs probe is
     # carried in the contract artifact (reported, not normative for the
     # CPU-only contract normalization; extbench normalizes by the
@@ -70,6 +75,29 @@ def test_bench_payload_shape(spark, sf_dir):
     }
     assert all(v >= 0 for v in decoded["queries"].values())
     assert abs(sum(decoded["queries"].values()) - decoded["value"]) < 0.01
+
+
+def test_raw_comparable_band_semantics():
+    """BASELINE.md round-10 rule: raw totals are comparable iff the two
+    artifacts' CPU calibrations agree within the pinned band (the capped
+    normalized series is asymmetric across box states — r8 6.51 vs r9
+    8.32 normalized for flat raw — so cross-round verdicts use raw,
+    gated on calibration agreement)."""
+    band = bench.RAW_COMPARISON_BAND
+    assert band == 0.10
+    # symmetric: order of arguments never matters
+    assert bench.raw_comparable(0.427, 0.460)   # 7.7% apart — comparable
+    assert bench.raw_comparable(0.460, 0.427)
+    # the r8/r9 official pair (0.578 vs 0.460, 26% apart) must be
+    # flagged NOT comparable — exactly the misread the rule prevents
+    assert not bench.raw_comparable(0.578, 0.460)
+    assert not bench.raw_comparable(0.460, 0.578)
+    # boundary: exactly 1+band is still comparable, just past is not
+    assert bench.raw_comparable(1.0, 1.0 + band)
+    assert not bench.raw_comparable(1.0, 1.0 + band + 1e-9)
+    # degenerate calibrations are never comparable
+    assert not bench.raw_comparable(0.0, 0.427)
+    assert not bench.raw_comparable(0.427, -1.0)
 
 
 def test_bench_headline_names_are_registered():
