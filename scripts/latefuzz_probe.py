@@ -18,14 +18,39 @@ doc_id order, matching its smaller-id-is-earlier oracle).
 **Phase A2 — arbitrary arrival order.** Events rows are permuted
 globally and dealt into K files; only the content-deterministic queries
 must still match (commutative window/rollup aggregates, set-semantics
-dedup, stream-static join, content-irrelevant refresh trigger). The
-counter (arrival order across batches IS its fold contract — a
-log-structured fold, same as the reference's Redis INCR stream), the
-stream-stream interval join (2 h join watermark < feed span: arbitrary
-order may evict a partner before it is matched), and dedup-ingest
-(earlier-batch-wins flag orientation) are excluded BY DOCUMENTED
-SEMANTICS, not by weakness — their bounded-disorder guarantee is
-phase A1.
+dedup, stream-static join, content-irrelevant refresh trigger, and —
+promoted from the r9 exclusion list once its invariance was proven
+live — the foreachBatch counter LOG, whose replay totally orders the
+log by (ts, event_id) and is therefore arrival-independent by
+construction). The stateful counter (arrival order across batches IS
+its fold contract — a log-structured fold, same as the reference's
+Redis INCR stream), the stream-stream interval join (2 h join
+watermark < feed span: arbitrary order may evict a partner before it
+is matched), and dedup-ingest (earlier-arrival-wins flag orientation)
+are excluded from A2 BY DOCUMENTED SEMANTICS, not by weakness — their
+bounded-disorder guarantee is phase A1 and their arbitrary-order
+POSITIVE contracts are phase A3.
+
+**Phase A3 — positive contracts for the A2 exclusions (VERDICT r9
+task 4).** Each excluded query's documented rationale is executed,
+not argued:
+
+- *stateful counter*: replayed over the A2 permuted feed and checked
+  against an INDEPENDENT per-row arrival-order fold model (batches in
+  file-mtime order, each sorted by (ts, event_id); SET overwrites,
+  deltas accumulate — the reference's Redis loop transliterated). The
+  result is DIFFERENT from the order-free oracle (reported) but must
+  EQUAL the model: the fold contract, pinned under arbitrary order.
+- *stream-stream interval join*: rebuilt with a join watermark ≥ the
+  feed span over the A2 permuted feed — no partner can be evicted
+  before it is matched, so the result must equal the registered batch
+  oracle exactly (arrival-order invariance under sufficient slack,
+  run rather than argued).
+- *dedup-ingest*: replayed over an arbitrary-order documents split and
+  checked against the arrival-PARAMETERIZED oracle — doc_b is flagged
+  iff some colliding doc_a with doc_a < doc_b arrived in an earlier or
+  the same batch (the exact predicate of the per-batch probe join,
+  now with the actual batch assignment joined in on the DuckDB side).
 
 **Phase B — beyond-watermark injection (exact drop model).** A feed of
 K ts-sorted base files plus a LAST-arriving tail of rows shifted 90
@@ -92,6 +117,10 @@ PHASE_A2 = (
     "b22_stream_static_join",
     "b22_stream_tumbling_window",
     "b23_stream_session_window",
+    # r10: the foreachBatch counter log replays via a (ts, event_id)
+    # total order (operators/counter.py) — arrival-invariant by
+    # construction; promoted from the exclusion list (VERDICT r9 #4)
+    "b24_stream_counter_value",
     "b25_stream_refresh_sink",
 )
 
@@ -143,7 +172,7 @@ def _write_split(
 
 def _build_dir(
     work: str, name: str, rng: random.Random, *, contiguous: bool,
-    split_documents: bool,
+    split_documents: bool, documents_contiguous: bool = True,
 ) -> str:
     """One hostile sf_dir: events (and optionally documents) split into
     a K-file directory named ``<table>.parquet``; all other tables
@@ -160,7 +189,8 @@ def _build_dir(
             )
         elif t == "documents" and split_documents:
             _write_split(
-                _sorted_table(src, ["doc_id"]), dst, rng, contiguous=True
+                _sorted_table(src, ["doc_id"]), dst, rng,
+                contiguous=documents_contiguous,
             )
         else:
             os.symlink(src, dst)
@@ -356,6 +386,206 @@ def run_phase_b(spark, d: str) -> tuple[list[str], int]:
     return failures, len(cases)
 
 
+# --------------------------------------------------------------------------
+# Phase A3: positive contracts for the A2 exclusions (VERDICT r9 #4).
+# --------------------------------------------------------------------------
+
+def _counter_fold_model(events_dir: str) -> int:
+    """Independent per-row arrival-order fold: files in mtime (== index)
+    order, each file's rows sorted by (ts, event_id); signup → +1,
+    error → −1, purchase → SET floor(value) (NULL → 0, the in-log NULL
+    rule of sources/catalog.counter_events_from). Transliterates the
+    reference's Redis command loop (src/plan-server.ts:50–83) —
+    deliberately row-at-a-time, sharing no code with the engine's
+    vectorized fold kernel, so agreement certifies the contract."""
+    import glob as _glob
+    import math
+
+    import pandas as pd
+
+    value = 0
+    for p in sorted(_glob.glob(
+        os.path.join(events_dir, "events.parquet", "f_*.parquet")
+    )):
+        b = pq.read_table(
+            p, columns=["ts", "event_id", "event_type", "value"]
+        ).to_pandas()
+        b = b[b["event_type"].isin(["signup", "error", "purchase"])]
+        b = b.sort_values(["ts", "event_id"])
+        for r in b.itertuples(index=False):
+            if r.event_type == "signup":
+                value += 1
+            elif r.event_type == "error":
+                value -= 1
+            else:
+                value = 0 if pd.isna(r.value) else math.floor(r.value)
+    return value
+
+
+def _events_span_us(events_dir: str) -> int:
+    """max(ts) − min(ts) of the split feed, in microseconds (physical
+    INT64 == nanos under the engine's sniff, invariant 3)."""
+    import glob as _glob
+
+    tables = [
+        pq.read_table(p, columns=["ts"])
+        for p in sorted(_glob.glob(
+            os.path.join(events_dir, "events.parquet", "f_*.parquet")
+        ))
+    ]
+    t = pa.concat_tables(tables)
+    col = t["ts"]
+    if pa.types.is_integer(col.type):
+        return (pc.max(col).as_py() - pc.min(col).as_py()) // 1000
+    raw = pc.max(col).value - pc.min(col).value
+    return {"us": raw, "ns": raw // 1000, "ms": raw * 1000,
+            "s": raw * 1_000_000}[col.type.unit]
+
+
+def _wide_wm_join(spark, sf_dir: str, wm_seconds: int):
+    """The b22_stream_stream_join shape with the join watermark widened
+    to ``wm_seconds`` (≥ feed span + interval): no partner can be
+    evicted before it is matched, so the append-mode result must equal
+    the batch interval join regardless of arrival order."""
+    from pyspark.sql import functions as F
+
+    from hive_plan_service_spark.streaming.source import events_stream
+    from hive_plan_service_spark.streaming.windows import run_to_completion
+
+    ev = events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    wm = f"{wm_seconds} seconds"
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id",
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", wm)
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user_id"),
+                F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", wm)
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id")
+    return run_to_completion(joined, output_mode="append")
+
+
+def _dedup_ingest_reorder_oracle(d: str) -> "pd.DataFrame":  # noqa: F821
+    """Arrival-parameterized flags oracle: doc_b is a dup iff some
+    colliding doc_a (full-band bucket match, ≥ 8/16 signature agreement)
+    has doc_a < doc_b AND arrived in an earlier-or-same batch — the
+    exact predicate of StreamingDedupIngest's per-batch probe join
+    (store = previous batches ∪ same batch, then ``doc_a < doc_b``),
+    with the ACTUAL batch assignment joined in."""
+    import glob as _glob
+
+    import pandas as pd
+
+    from hive_plan_service_spark.plans.llm_ops import _DUCK_MINHASH_BANDED
+
+    rows = []
+    for i, p in enumerate(sorted(_glob.glob(
+        os.path.join(d, "documents.parquet", "f_*.parquet")
+    ))):
+        for doc_id in pq.read_table(p, columns=["doc_id"])["doc_id"].to_pylist():
+            rows.append((doc_id, i))
+    arrival = pd.DataFrame(rows, columns=["doc_id", "batch"])
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet/*.parquet')"
+        )
+        con.register("arrival", arrival)
+        sql = f"""
+          WITH {_DUCK_MINHASH_BANDED},
+          dups AS (
+            SELECT DISTINCT b.doc_id
+            FROM banded a
+            JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+            JOIN arrival aa ON aa.doc_id = a.doc_id
+            JOIN arrival ab ON ab.doc_id = b.doc_id
+            WHERE len(list_filter(generate_series(1, 16),
+                                  i -> a.sig[i] = b.sig[i])) >= 8
+              AND aa.batch <= ab.batch
+          )
+          SELECT d.doc_id, (dups.doc_id IS NOT NULL) AS is_dup
+          FROM documents d LEFT JOIN dups USING (doc_id)
+        """
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+def run_phase_a3(
+    spark, work: str, rng: random.Random, a2: str
+) -> tuple[list[str], int, dict]:
+    from tests.parity import run_oracle
+
+    qs = all_queries()
+    failures: list[str] = []
+    extras: dict = {}
+
+    # --- stateful counter: arrival-order fold contract ------------------
+    try:
+        got = qs["b24_stateful_counter_applyinpandas"].fn(spark, a2).toPandas()
+        model = _counter_fold_model(a2)
+        assert len(got) == 1, f"expected 1 row, got {len(got)}"
+        engine = int(got["joined_count"].iloc[0])
+        assert engine == model, (
+            f"arrival-order fold mismatch: engine {engine} != model {model}"
+        )
+        unordered = int(run_oracle(
+            qs["b24_stateful_counter_applyinpandas"].oracle, a2
+        ).iloc[0, 0])
+        # reported, not asserted: a seed COULD permute into coincidence
+        extras["counter_reorder_differs_from_unordered"] = engine != unordered
+    except Exception as ex:  # noqa: BLE001 — collecting all failures
+        failures.append(f"A3:counter_stateful: {str(ex).splitlines()[0][:220]}")
+
+    # --- stream-stream join: wide watermark ⇒ arrival-order invariant ---
+    try:
+        wm_s = _events_span_us(a2) // 1_000_000 + 2 * 3600
+        got = _wide_wm_join(spark, a2, wm_s).toPandas()
+        want = run_oracle(qs["b22_stream_stream_join"].oracle, a2)
+        compare_frames(got, want, name="latefuzz_a3:join_wide_wm")
+    except Exception as ex:  # noqa: BLE001
+        failures.append(f"A3:join_wide_wm: {str(ex).splitlines()[0][:220]}")
+
+    # --- dedup-ingest: arrival-parameterized flags -----------------------
+    try:
+        a3d = _build_dir(
+            work, "a3_docs", rng, contiguous=True,
+            split_documents=True, documents_contiguous=False,
+        )
+        got = qs["b27_stream_dedup_ingest"].fn(spark, a3d).toPandas()
+        want = _dedup_ingest_reorder_oracle(a3d)
+        compare_frames(got, want, name="latefuzz_a3:dedup_ingest_reorder")
+        # reported: the permutation genuinely moved at least one flag vs
+        # the id-monotone oracle (else the axis tested nothing this seed)
+        mono = run_oracle(qs["b27_stream_dedup_ingest"].oracle, a3d)
+        g = got.sort_values("doc_id").reset_index(drop=True)
+        m = mono.sort_values("doc_id").reset_index(drop=True)
+        extras["ingest_reorder_moved_flags"] = int(
+            (g["is_dup"].astype(bool) != m["is_dup"].astype(bool)).sum()
+        )
+    except Exception as ex:  # noqa: BLE001
+        failures.append(
+            f"A3:dedup_ingest_reorder: {str(ex).splitlines()[0][:220]}"
+        )
+
+    return failures, 3, extras
+
+
 def main() -> int:
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else int(
         os.environ.get("SPARK_GRAFT_FUZZ_SEED", "20260817")
@@ -365,6 +595,7 @@ def main() -> int:
     os.environ["SPARK_GRAFT_STREAM_MAX_FILES"] = "1"
     failures: list[str] = []
     counts: dict[str, int] = {}
+    extras: dict = {}
     try:
         a1 = _build_dir(work, "a1", rng, contiguous=True, split_documents=True)
         a2 = _build_dir(work, "a2", rng, contiguous=False, split_documents=False)
@@ -381,6 +612,8 @@ def main() -> int:
                     failures.append(
                         f"{phase}:{nm}: {str(ex).splitlines()[0][:220]}"
                     )
+        a3_failures, counts["A3"], extras = run_phase_a3(spark, work, rng, a2)
+        failures.extend(a3_failures)
         b_failures, counts["B"] = run_phase_b(spark, b)
         failures.extend(b_failures)
         spark.stop()
@@ -388,7 +621,8 @@ def main() -> int:
         os.environ.pop("SPARK_GRAFT_STREAM_MAX_FILES", None)
         shutil.rmtree(work, ignore_errors=True)
     print(
-        json.dumps({"seed": seed, "phases": counts, "failures": failures}),
+        json.dumps({"seed": seed, "phases": counts, "failures": failures,
+                    **extras}),
         flush=True,
     )
     return 1 if failures else 0
