@@ -25,6 +25,18 @@ one). The trick is to move correctness from the *writer* to the *reader*:
 Requires only that the per-row payload is a commutative monoid under the
 store's merge (counts, exact decimal sums, set union) — which is also
 what makes the merge order irrelevant.
+
+Concurrent-reader contract (certified live by scripts/
+epoch_longevity_probe.py's racing reader, the `epochgc` gate): a reader
+in ANOTHER thread/process that races a GC pass must treat a
+vanished-file scan error as "re-list and retry", never enable
+``ignoreMissingFiles``. GC deletes only rows a newer base covers, so a
+retry's fresh listing always sees that base and converges; swallowing
+the error instead is SILENTLY LOSSY — a reader whose listing predates
+the base write but whose scan follows the raw deletes would drop the
+covered epochs with no error raised. (The maintainers themselves never
+race their own GC: refresh → compact → GC is serial within the
+foreachBatch callback.)
 """
 
 from __future__ import annotations

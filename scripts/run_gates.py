@@ -76,6 +76,13 @@ Gates (names usable with --skip / --only, comma-separated):
              off-heap + interpreted expressions + Arrow batch 7 +
              1 MiB splits + 7 cores + no broadcasts, under ET timezone
              and Turkish JVM locale (r8)
+    fuzz2 / numfuzz2 / latefuzz2  second independent seed per fuzz
+             axis — two draws per round certify the generator, not one
+             lucky seed (r10)
+    sf1      scripts/sf1_gate.py — sf1.0-equivalent fixtures (~6M
+             lineitem, deterministic 10× replication), full 50-slot
+             oracle sweep + same-session sf0.1-vs-sf1.0 headline
+             linearity with a knee assertion (r10)
 
 Exit 0 iff every executed gate passed. Each gate runs in its own
 subprocess (its own JVM) so a crashed session can't poison the rest.
@@ -223,6 +230,16 @@ GATES: dict[str, list[str]] = {
     # in 6 real classes (3 of them previously-unknown DuckDB gaps, now
     # in CLAUDE.md invariant 7); all fixed and pooled.
     "numfuzz": [sys.executable, "scripts/hostile_probe.py", "--numfuzz"],
+    # second seed per fuzz axis (r10, VERDICT r9 #5): one rotated seed
+    # certifies one draw; two independent draws per round certify the
+    # GENERATOR. Static defaults here keep the plain (non-stamp) matrix
+    # self-contained; `--round N` replaces the trailing seed on both
+    # members of each pair with never-used round-rotated values.
+    "fuzz2": [sys.executable, "scripts/hostile_probe.py", "--fuzz",
+              "777101"],
+    "numfuzz2": [sys.executable, "scripts/hostile_probe.py", "--numfuzz",
+                 "777102"],
+    "latefuzz2": [sys.executable, "scripts/latefuzz_probe.py", "777103"],
     # large-state axis (r8, VERDICT #4): streaming dropDuplicates over
     # 10M distinct keys under BOTH state-store providers, each also
     # stopped after 2 committed batches and resumed from checkpoint —
@@ -234,6 +251,13 @@ GATES: dict[str, list[str]] = {
     # streaming oracled queries, and beyond-watermark late injection
     # checked against an exact append-mode drop model.
     "latefuzz": [sys.executable, "scripts/latefuzz_probe.py"],
+    # 10× driver-scale axis (r10, VERDICT r9 #2): manufacture a
+    # deterministic sf1.0-equivalent fixture set (~6M lineitem; 10×
+    # replication with per-copy key shifts / disjoint text / rotated
+    # embeddings — invariant 23), run the FULL 50-slot canonical oracle
+    # sweep on it, and time the bench headline set at sf0.1 and sf1.0
+    # in one session (same-box linearity; knee = wall ratio > mult×2).
+    "sf1": [sys.executable, "scripts/sf1_gate.py"],
     # stacked-regime axis (r8): every conf-hostility axis AT ONCE —
     # Kryo + off-heap Tungsten + codegen off/interpreted + Arrow
     # batch=7 + 1 MiB scan splits + 7 cores + broadcasts off, under
@@ -309,6 +333,11 @@ def main() -> None:
         GATES["fuzz"] = GATES["fuzz"] + [str(base + 1)]
         GATES["numfuzz"] = GATES["numfuzz"] + [str(base + 2)]
         GATES["latefuzz"] = GATES["latefuzz"] + [str(base + 3)]
+        # second independent draw per axis (VERDICT r9 #5): replace the
+        # static default seed with a round-rotated one
+        GATES["fuzz2"] = GATES["fuzz2"][:-1] + [str(base + 4)]
+        GATES["numfuzz2"] = GATES["numfuzz2"][:-1] + [str(base + 5)]
+        GATES["latefuzz2"] = GATES["latefuzz2"][:-1] + [str(base + 6)]
         # the pytest gate runs DURING the stamp that produces the
         # artifact the gate-set completeness pin checks — exempt it
         # ONLY under --round (r9 review find: a static GATE_ENV entry

@@ -1,0 +1,260 @@
+"""sf1.0 full-canonical gate (VERDICT r9 #2).
+
+The checked-in one-command matrix previously topped out at the `sf01`
+sweep (sf0.1, ~600k lineitem); scale evidence above that lived in
+ad-hoc probes. This gate manufactures a seed-free DETERMINISTIC
+sf1.0-equivalent fixture set (~6M lineitem) by 10× replication of the
+driver's sf0.1 fixtures with distinct content per copy (invariant 23),
+then:
+
+  O. runs the full 50-slot canonical oracle sweep on it
+     (scripts/driver_sim.py — Spark vs DuckDB value-hash parity), and
+  L. times the bench headline set at BOTH sf0.1 and the sf1.0 dir in
+     one session (same box window — the honest linearity measure,
+     immune to the cross-round calibration caveat in BASELINE.md) and
+     asserts no knee: wall ratio ≤ mult × KNEE_SLACK per query.
+
+Replication semantics (all copy-index-keyed, no RNG — reruns are
+bit-identical):
+- customer/orders/lineitem/supplier/part: per-copy key shifts by
+  copy × (max_key + 1) on every FK pair, so joins only match within a
+  copy and per-copy group structure is preserved
+  (scripts/relational_scale_probe.py precedent, widened to all FKs).
+- events: event_id/user_id shifted — 10× users over the same time
+  span, the realistic stream scale-up (window/session/state ops get
+  10× keys, not 10× span).
+- documents: doc_id shifted, every word suffixed "_<copy>" (textually
+  disjoint copies: near-dup pair structure preserved per copy,
+  cross-copy collisions impossible — scripts/scale_probe.py
+  precedent); n_chars recomputed to stay consistent with the text.
+- embeddings: vec_id shifted, vector cyclically rotated by
+  copy % dim positions — a permutation is orthogonal, so ALL
+  intra-copy dot products/norms are preserved exactly while
+  cross-copy cosine decorrelates (identical copies would make
+  cosine-dedup pair output grow ∝ mult², invariant 23).
+- nation/region: symlinked (fixed-size dims; broadcast assumptions at
+  scale stay honest).
+
+Usage: python scripts/sf1_gate.py [mult] [--keep DIR]
+Prints phase logs plus one summary JSON line; exit 0 iff the oracle
+sweep is 50/50 and no headline query knees.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hive_plan_service_spark.session import (  # noqa: E402
+    default_parallelism,
+    get_spark,
+    scratch_root,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline queries timed for the linearity check — the bench set.
+#: Streaming entries keep their ~1 s invocation floors, which only
+#: makes their ratios SMALLER than mult; no special-casing needed.
+from bench import HEADLINE, materialize  # noqa: E402
+
+#: a query has "kneed" when its sf1 wall exceeds mult × slack × its
+#: sf0.1 wall — superlinear growth beyond plan/shuffle noise. Slack 2
+#: is deliberately loose: this is a cliff detector (the invariant
+#: 17/28 class), not a throughput regression test (bench owns that).
+KNEE_SLACK = 2.0
+
+#: tables replicated with key shifts; the rest are symlinked.
+SHIFTED = ("customer", "orders", "lineitem", "supplier", "part",
+           "events", "documents", "embeddings")
+
+
+def build_sf1(spark, sf_dir: str, out_dir: str, mult: int) -> dict:
+    """Materialize the replicated fixture set; returns row counts."""
+    from tests.parity import TABLES
+
+    base = {
+        t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        for t in SHIFTED
+    }
+    # one bounded collect per key domain (control flow, invariant 5)
+    maxes = {
+        "ok": base["orders"].agg(F.max("o_orderkey")).collect()[0][0] + 1,
+        "ck": base["customer"].agg(F.max("c_custkey")).collect()[0][0] + 1,
+        "sk": base["supplier"].agg(F.max("s_suppkey")).collect()[0][0] + 1,
+        "pk": base["part"].agg(F.max("p_partkey")).collect()[0][0] + 1,
+        "ek": base["events"].agg(F.max("event_id")).collect()[0][0] + 1,
+        "uk": base["events"].agg(F.max("user_id")).collect()[0][0] + 1,
+        "dk": base["documents"].agg(F.max("doc_id")).collect()[0][0] + 1,
+        "vk": base["embeddings"].agg(F.max("vec_id")).collect()[0][0] + 1,
+    }
+    dim = len(base["embeddings"].select("embedding").first()[0])
+    reps = spark.range(mult).select(F.col("id").alias("_rep"))
+
+    def shift(col: str, key: str):
+        return F.col(col) + F.col("_rep") * F.lit(maxes[key])
+
+    shifted = {
+        "customer": base["customer"].crossJoin(reps).withColumn(
+            "c_custkey", shift("c_custkey", "ck")),
+        "supplier": base["supplier"].crossJoin(reps).withColumn(
+            "s_suppkey", shift("s_suppkey", "sk")),
+        "part": base["part"].crossJoin(reps).withColumn(
+            "p_partkey", shift("p_partkey", "pk")),
+        "orders": base["orders"].crossJoin(reps).withColumns({
+            "o_orderkey": shift("o_orderkey", "ok"),
+            "o_custkey": shift("o_custkey", "ck"),
+        }),
+        "lineitem": base["lineitem"].crossJoin(reps).withColumns({
+            "l_orderkey": shift("l_orderkey", "ok"),
+            "l_partkey": shift("l_partkey", "pk"),
+            "l_suppkey": shift("l_suppkey", "sk"),
+        }),
+        "events": base["events"].crossJoin(reps).withColumns({
+            "event_id": shift("event_id", "ek"),
+            "user_id": shift("user_id", "uk"),
+        }),
+        "documents": base["documents"].crossJoin(reps).withColumns({
+            "doc_id": shift("doc_id", "dk"),
+            # "_<copy>" on every word (separator matters: a bare digit
+            # suffix collides for digit-ending tokens past mult 10)
+            "text": F.concat_ws(" ", F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.concat(
+                    w, F.lit("_"), F.col("_rep").cast("string")),
+            )),
+        }).withColumn("n_chars", F.length("text").cast("long")),
+        "embeddings": base["embeddings"].crossJoin(reps).withColumns({
+            "vec_id": shift("vec_id", "vk"),
+            # cyclic rotation by copy%dim: orthogonal, intra-copy
+            # geometry exact, cross-copy cosine decorrelated
+            "embedding": F.when(F.col("_rep") % dim == 0, F.col("embedding"))
+            .otherwise(F.concat(
+                F.slice(F.col("embedding"),
+                        (F.col("_rep") % dim + 1).cast("int"),
+                        (F.lit(dim) - F.col("_rep") % dim).cast("int")),
+                F.slice(F.col("embedding"), 1,
+                        (F.col("_rep") % dim).cast("int")),
+            )),
+        }),
+    }
+    counts: dict[str, int] = {}
+    for t in TABLES:
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if t in shifted:
+            cols = list(base[t].columns)
+            shifted[t].select(*cols).repartition(
+                default_parallelism()
+            ).write.mode("overwrite").parquet(dst)
+            counts[t] = spark.read.parquet(dst).count()
+        else:
+            os.symlink(os.path.join(sf_dir, f"{t}.parquet"), dst)
+    return counts
+
+
+def time_headlines(spark, sf_dir: str) -> dict[str, float]:
+    """Warm once, min-of-2 timed noop materializations per query."""
+    from hive_plan_service_spark.plans.registry import all_queries
+
+    registry = all_queries()
+    walls: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name].fn
+        materialize(fn(spark, sf_dir))  # warm: codegen + JIT
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        walls[name] = round(min(runs), 3)
+        print(f"    {name}: {walls[name]:.2f}s", flush=True)
+    return walls
+
+
+def main() -> int:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # parent-owned scratch handed to subprocesses (invariant 32:
+    # process_scratch_dir is pid-keyed + atexit-reclaimed — a child
+    # would see a different dir, and the parent's exit would delete it
+    # under a still-running child)
+    out_dir = tempfile.mkdtemp(prefix="sf1_fixtures_", dir=scratch_root())
+    ok = True
+    summary: dict = {"mult": mult}
+    try:
+        # --- phase G: generate ------------------------------------------
+        t0 = time.time()
+        spark = get_spark(app_name="hpss-sf1-gen")
+        counts = build_sf1(spark, SF_DIR, out_dir, mult)
+        spark.stop()
+        gen_s = round(time.time() - t0, 1)
+        print(f"=== sf1 fixtures in {gen_s}s: {counts}", flush=True)
+        summary["gen_s"] = gen_s
+        summary["lineitem_rows"] = counts["lineitem"]
+
+        # --- phase O: full canonical oracle sweep -----------------------
+        # Size the sweep JVM like a real executor: driver_sim's PLAIN
+        # session defaults to a 1 GiB heap — ~30 MB per task thread at
+        # local[32], below any real deployment — and at 10× scale the
+        # uncapped llm_dedup_clusters (64-hash LSH + verify over 50k
+        # docs, exact-oracle shape per invariant 11) OOMs its sort/join
+        # stages there (found by this gate's first run; the capped
+        # production composition is unaffected). 16g matches the
+        # engine's own get_spark default (SPARK_DRIVER_MEMORY).
+        t0 = time.time()
+        mem = os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+        proc = subprocess.run(
+            [sys.executable, "scripts/driver_sim.py", out_dir, "32",
+             f"builder:spark.driver.memory={mem}"],
+            cwd=REPO_ROOT, text=True,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        sweep_s = round(time.time() - t0, 1)
+        tail = [ln for ln in proc.stdout.strip().splitlines() if ln][-8:]
+        print("\n".join(tail), flush=True)
+        summary["sweep_ok"] = proc.returncode == 0
+        summary["sweep_s"] = sweep_s
+        if proc.returncode != 0:
+            ok = False
+            fails = [ln for ln in proc.stdout.splitlines() if "FAIL" in ln]
+            print("\n".join(fails[:20]), flush=True)
+
+        # --- phase L: same-session linearity ----------------------------
+        spark = get_spark(app_name="hpss-sf1-linearity")
+        print(f"--- headline walls at sf0.1 ({SF_DIR})", flush=True)
+        base_walls = time_headlines(spark, SF_DIR)
+        print(f"--- headline walls at sf1.0 ({out_dir})", flush=True)
+        big_walls = time_headlines(spark, out_dir)
+        spark.stop()
+        knees = {}
+        ratios = {}
+        for name, base_w in base_walls.items():
+            ratio = round(big_walls[name] / max(base_w, 1e-6), 2)
+            ratios[name] = ratio
+            if big_walls[name] > mult * KNEE_SLACK * base_w:
+                knees[name] = ratio
+        summary["base_total_s"] = round(sum(base_walls.values()), 2)
+        summary["sf1_total_s"] = round(sum(big_walls.values()), 2)
+        summary["ratios"] = ratios
+        summary["knees"] = knees
+        if knees:
+            ok = False
+            print(f"KNEED (> {mult}x{KNEE_SLACK}): {knees}", flush=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    summary["ok"] = ok
+    print(json.dumps(summary))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
