@@ -22,6 +22,20 @@ with:
   the last 20 epochs, and the live raw-directory count staying bounded
   by compact_after+1.
 
+r10 extensions (VERDICT r9 #3 — the `epochgc` gate):
+
+* the census is ASSERTED, not reported: raw epoch dirs never exceed
+  compact_after+1, a compaction leaves ZERO raw dirs and exactly ONE
+  base epoch child per rewritten day (GC reclaims, not just supersedes);
+* a RACING READER thread continuously resolves the live store through
+  the epoch-store read rule while the maintainer refreshes, compacts,
+  and GCs. Every per-day state it observes must be one the maintainer
+  actually produced; vanished-file errors mid-scan are retried with a
+  fresh listing (the documented concurrent-reader contract — see
+  streaming/epoch_store.py; ignoreMissingFiles would be silently
+  lossy), and the summary proves ≥1 read genuinely overlapped a
+  compaction+GC window.
+
 Usage: python scripts/epoch_longevity_probe.py [n_epochs]
 Prints JSON progress rows and one final summary row; exit 1 on any
 divergence.
@@ -97,6 +111,114 @@ def truth_snapshot(spark, events_dir: str) -> dict:
     }
 
 
+def store_day_states(spark, m) -> dict[int, str]:
+    """Canonical per-day MERGED store state: md5 of the sorted
+    (hour, type, Σn, Σsv) totals the epoch-store read rule resolves
+    for each day (exact Decimal sums — the store's monoid merge,
+    folded in Python). The main loop records these after every epoch;
+    the racing reader's observations must each land in some day's
+    recorded set.
+
+    Merged totals, NOT raw partial multisets: the read rule's output
+    is only defined up to the monoid merge — a compaction replaces N
+    per-epoch partial rows with one base row of identical totals, and
+    a reader between the current epoch's raw commit and the same
+    refresh's compaction legitimately sees partials the post-refresh
+    snapshot never shows (first landing compared multisets and flagged
+    exactly those valid intermediate states)."""
+    import hashlib
+    from decimal import Decimal
+
+    live = _read_live(spark, m)
+    if live is None:
+        return {}
+    rows = live.collect()
+    per_day: dict[int, dict] = {}
+    for r in rows:
+        day = per_day.setdefault(r["day_bucket"], {})
+        key = (r["hour_bucket"], r["event_type"])
+        n, sv = day.get(key, (0, Decimal(0)))
+        day[key] = (n + r["n"], sv + Decimal(str(r["sv"])))
+    return {
+        d: hashlib.md5(repr(sorted(
+            (h, t, n, str(sv)) for (h, t), (n, sv) in day.items()
+        )).encode()).hexdigest()
+        for d, day in per_day.items()
+    }
+
+
+def _read_live(spark, m):
+    """The epoch-store read rule over the WHOLE store (all days).
+
+    Right after a compaction seen_raw legitimately holds ZERO files
+    (keep_epoch=None GC) until the next epoch lands — a bare
+    read.parquet on a file-less dir throws UNABLE_TO_INFER_SCHEMA
+    (the invariant-7 write-then-read-back class), so each half is
+    read only when it has parquet (a racing delete between the glob
+    and the scan surfaces as the missing-file retry contract)."""
+    from hive_plan_service_spark.streaming.counter import _has_parquet
+
+    cols = ["hour_bucket", "event_type", "n", "sv", "day_bucket", "epoch"]
+    parts = [
+        spark.read.parquet(p).select(*cols)
+        for p in (m.seen_raw, m.seen_base)
+        if _has_parquet(p)
+    ]
+    if not parts:
+        return None
+    df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    return epoch_store.valid_partials(df, group_cols=("day_bucket",))
+
+
+class RacingReader:
+    """Continuously resolves the live store through the read rule from a
+    second thread while the maintainer refreshes/compacts/GCs.
+
+    Contract being certified (invariant 16 + VERDICT r9 #3): a reader
+    racing a GC pass resolves correctly PROVIDED it re-lists on a
+    vanished-file error. GC deletes only rows a newer base covers, so a
+    retry (fresh listing → sees that base) always converges; swallowing
+    the error with ignoreMissingFiles instead would be SILENTLY WRONG —
+    a reader that listed before the base landed but scanned after the
+    raw deletes would lose the covered epochs with no error. Retries
+    are counted, not failed; any non-missing-file error fails the probe.
+    """
+
+    _MISSING = ("FileNotFoundException", "FILE_NOT_EXIST",
+                "does not exist", "FileDeletionException")
+
+    def __init__(self, spark, m):
+        self.spark = spark
+        self.m = m
+        self.stop = False
+        self.reads = 0
+        self.retries = 0
+        self.errors: list[str] = []
+        self.observed: list[dict[int, str]] = []
+        self.windows: list[tuple[float, float]] = []
+
+    def run(self) -> None:
+        while not self.stop:
+            attempts = 0
+            while True:
+                t0 = time.perf_counter()
+                try:
+                    state = store_day_states(self.spark, self.m)
+                    self.windows.append((t0, time.perf_counter()))
+                    self.observed.append(state)
+                    self.reads += 1
+                    break
+                except Exception as ex:  # noqa: BLE001
+                    msg = str(ex)
+                    if any(s in msg for s in self._MISSING) and attempts < 5:
+                        attempts += 1
+                        self.retries += 1
+                        continue
+                    self.errors.append(msg.splitlines()[0][:300])
+                    break
+            time.sleep(0.01)
+
+
 def main() -> None:
     n_epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     spark = get_spark(app_name="hpss-epoch-longevity")
@@ -109,6 +231,14 @@ def main() -> None:
     walls: list[tuple[int, float, bool]] = []  # (epoch, sec, compacted?)
     max_raw_dirs = 0
     failures: list[str] = []
+    day_states: dict[int, set] = {}
+    compact_windows: list[tuple[float, float]] = []
+    replay_windows: list[tuple[float, float]] = []
+
+    import threading
+
+    reader = RacingReader(spark, m)
+    reader_thread = threading.Thread(target=reader.run, daemon=True)
 
     for e in range(n_epochs):
         batch = make_batch(spark, e)
@@ -122,11 +252,55 @@ def main() -> None:
         compacted = len(raw_after) < len(raw_before)
         walls.append((e, wall, compacted))
         max_raw_dirs = max(max_raw_dirs, len(raw_after))
+        if compacted:
+            compact_windows.append((t0, t0 + wall))
+
+        if e == 1:
+            reader_thread.start()  # store exists from here on
+
+        # census assertions (VERDICT r9 #3) — the directory listing must
+        # stay BOUNDED, live, not merely filtered-out:
+        # (a) raw epoch dirs never exceed compact_after + 1;
+        if len(raw_after) > m.compact_after + 1:
+            failures.append(
+                f"epoch {e}: {len(raw_after)} raw dirs > bound "
+                f"{m.compact_after + 1}"
+            )
+        # (b) a compaction returns the census to O(1): zero raw dirs
+        # (keep_epoch=None) and exactly ONE base epoch child per day
+        # whose days it rewrote (stale bases GC'd, not just superseded).
+        if compacted:
+            if raw_after:
+                failures.append(
+                    f"epoch {e}: compaction left raw dirs {sorted(raw_after)}"
+                )
+            for day_dir in os.listdir(m.seen_base):
+                if not day_dir.startswith("day_bucket="):
+                    continue
+                kids = epoch_store.scan_epoch_dirs(
+                    os.path.join(m.seen_base, day_dir)
+                )
+                if len(kids) != 1:
+                    failures.append(
+                        f"epoch {e}: {day_dir} holds {len(kids)} base "
+                        f"epochs after GC: {sorted(kids)}"
+                    )
+        # record the authoritative per-day state for reader validation
+        for d, h in store_day_states(spark, m).items():
+            day_states.setdefault(d, set()).add(h)
 
         if e in replays:
             old = replays[e]
             before = rollup_snapshot(spark, m.out)
+            r0 = time.perf_counter()
             m._refresh_buckets(make_batch(spark, old), epoch_id=old)
+            # a replay dynamic-OVERWRITES an existing epoch partition;
+            # the commit's delete-then-move swap has a gap where that
+            # epoch's rows are absent — a legitimate torn read no
+            # recorded state matches. Reader observations overlapping a
+            # replay window are excluded from state validation (counted
+            # in the summary); missing-file retries there still count.
+            replay_windows.append((r0, time.perf_counter()))
             after = rollup_snapshot(spark, m.out)
             if before != after:
                 failures.append(
@@ -167,9 +341,49 @@ def main() -> None:
                 flush=True,
             )
 
+    # stop the racing reader and validate every observation (invariant
+    # 16 proven live): each per-day state the reader resolved — however
+    # it interleaved with refresh/compaction/GC — must be one the
+    # maintainer actually produced. Retries (vanished stale files
+    # mid-scan) are the documented re-list contract, counted not failed.
+    reader.stop = True
+    if reader_thread.is_alive():
+        reader_thread.join(timeout=60)
+    failures.extend(f"reader: {e}" for e in reader.errors[:5])
+    bad_obs = 0
+    replay_skipped = 0
+    for (r0, r1), obs in zip(reader.windows, reader.observed):
+        if any(r0 < w1 and w0 < r1 for (w0, w1) in replay_windows):
+            replay_skipped += 1
+            continue
+        for d, h in obs.items():
+            if h not in day_states.get(d, set()):
+                bad_obs += 1
+                break
+    if bad_obs:
+        failures.append(
+            f"reader observed {bad_obs}/{len(reader.observed)} snapshots "
+            "with a per-day state the maintainer never produced"
+        )
+    gc_overlaps = sum(
+        1 for (r0, r1) in reader.windows
+        for (c0, c1) in compact_windows
+        if r0 < c1 and c0 < r1
+    )
+    if reader.reads == 0 or (compact_windows and gc_overlaps == 0):
+        failures.append(
+            f"reader race never engaged: reads={reader.reads}, "
+            f"gc_overlaps={gc_overlaps}"
+        )
+
     first = [w for (_, w, c) in walls[:20] if not c]
     last = [w for (_, w, c) in walls[-20:] if not c]
     compactions = sum(1 for (_, _, c) in walls if c)
+    # census bound is an assertion now, not just a report
+    if max_raw_dirs > m.compact_after + 1:
+        failures.append(
+            f"max live raw dirs {max_raw_dirs} > bound {m.compact_after + 1}"
+        )
     summary = {
         "event": "summary",
         "epochs": n_epochs,
@@ -180,6 +394,10 @@ def main() -> None:
         "mean_epoch_sec_last20": round(sum(last) / max(1, len(last)), 3),
         "max_live_raw_dirs": max_raw_dirs,
         "bound_raw_dirs": m.compact_after + 1,
+        "reader_reads": reader.reads,
+        "reader_gc_overlap_reads": gc_overlaps,
+        "reader_missing_file_retries": reader.retries,
+        "reader_replay_window_skipped": replay_skipped,
     }
     print(json.dumps(summary), flush=True)
     spark.stop()

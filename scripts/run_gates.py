@@ -79,6 +79,9 @@ Gates (names usable with --skip / --only, comma-separated):
     fuzz2 / numfuzz2 / latefuzz2  second independent seed per fuzz
              axis — two draws per round certify the generator, not one
              lucky seed (r10)
+    epochgc  scripts/epoch_longevity_probe.py 120 — epoch-store GC
+             census asserted bounded over 120 epochs + a racing reader
+             certifying the concurrent-read rule live (r10)
     sf1      scripts/sf1_gate.py — sf1.0-equivalent fixtures (~6M
              lineitem, deterministic 10× replication), full 50-slot
              oracle sweep + same-session sf0.1-vs-sf1.0 headline
@@ -251,6 +254,16 @@ GATES: dict[str, list[str]] = {
     # streaming oracled queries, and beyond-watermark late injection
     # checked against an exact append-mode drop model.
     "latefuzz": [sys.executable, "scripts/latefuzz_probe.py"],
+    # epoch-store GC longevity (r10, VERDICT r9 #3): 120 foreachBatch
+    # epochs with compaction+GC every 8 — the directory census is
+    # ASSERTED bounded (zero raw dirs + one base epoch per day after
+    # each compaction), per-epoch wall flat, and a RACING READER thread
+    # resolves the live store through the read rule throughout: every
+    # observed per-day merged state must be one the maintainer
+    # produced, vanished-file scans retry per the documented
+    # concurrent-reader contract, and ≥1 read must genuinely overlap a
+    # compaction+GC window.
+    "epochgc": [sys.executable, "scripts/epoch_longevity_probe.py", "120"],
     # 10× driver-scale axis (r10, VERDICT r9 #2): manufacture a
     # deterministic sf1.0-equivalent fixture set (~6M lineitem; 10×
     # replication with per-copy key shifts / disjoint text / rotated
