@@ -378,6 +378,19 @@ def main() -> None:
 
     first = [w for (_, w, c) in walls[:20] if not c]
     last = [w for (_, w, c) in walls[-20:] if not c]
+    # flat-cost is an assertion now (VERDICT r9 #3): a store whose
+    # listing/read grows with history shows up as per-epoch wall climbing
+    # over the horizon. Loose 2.5× bound — box noise moves means ~30-50%
+    # (bench.py's measured band), an unbounded census grows ~10× by
+    # epoch 120 (the pre-compaction failure mode this gate exists for).
+    if first and last:
+        m_first = sum(first) / len(first)
+        m_last = sum(last) / len(last)
+        if m_last > 2.5 * m_first:
+            failures.append(
+                f"per-epoch wall climbed: first20 mean {m_first:.2f}s -> "
+                f"last20 mean {m_last:.2f}s"
+            )
     compactions = sum(1 for (_, _, c) in walls if c)
     # census bound is an assertion now, not just a report
     if max_raw_dirs > m.compact_after + 1:
