@@ -211,6 +211,17 @@ def run(
     registry = all_queries()
     selected = [n for n in names if n in registry]
 
+    # Ratchet provenance (VERDICT r10 #6): the quiet refs are
+    # ratchet-down constants, so every artifact logs the QUIETEST
+    # calibration observed in its own session next to them — a future
+    # quieter box updates the refs from the artifact, not from notes.
+    # One extra CPU draw here at session start widens the observation
+    # window beyond the single post-timing draw (the pyarrow probe gets
+    # a second END draw instead: a cold-session draw is structurally
+    # inflated ~0.62 vs ~0.45 warm — see PYARROW_QUIET_REF — and would
+    # never be the min).
+    cal_cpu_pre = calibrate(spark, n_rows=calibration_rows)
+
     # Warm up each query twice: whole-stage codegen compilation and JVM
     # JIT tiering are one-time costs a long-lived cluster amortizes;
     # steady-state is what a 100 TB run sees (run 2 is often still
@@ -288,6 +299,7 @@ def run(
     # JVM-dominated), while extbench — whose shapes are Python/Arrow-
     # heavy — normalizes by the composite (scripts/bench_extended.py).
     pyarrow_cal = calibrate_pyarrow(spark)
+    pyarrow_cal_2 = calibrate_pyarrow(spark)
     return {
         "metric": "headline_query_wall_clock_total",
         "value": total,
@@ -298,6 +310,11 @@ def run(
         "calibration_quiet_ref": CALIBRATION_QUIET_REF,
         "calibration_pyarrow_sec": pyarrow_cal,
         "calibration_pyarrow_quiet_ref": PYARROW_QUIET_REF,
+        # quietest draw observed in THIS session (ratchet provenance,
+        # VERDICT r10 #6); normalization continuity still keys on the
+        # single post-timing calibration_cpu_sec above
+        "calibration_cpu_session_min": min(cal_cpu_pre, calibration),
+        "calibration_pyarrow_session_min": min(pyarrow_cal, pyarrow_cal_2),
         "value_normalized": round(total * factor, 4),
         "raw_comparison_band": RAW_COMPARISON_BAND,
         "timing_passes": 2,

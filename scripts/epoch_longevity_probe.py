@@ -370,7 +370,12 @@ def main() -> None:
         for (c0, c1) in compact_windows
         if r0 < c1 and c0 < r1
     )
-    if reader.reads == 0 or (compact_windows and gc_overlaps == 0):
+    # the reader thread only starts at epoch 1 (the store must exist),
+    # so a single-epoch invocation can never engage the race — don't
+    # report a correct store as a divergence there (r10 ADVICE find)
+    if n_epochs >= 2 and (
+        reader.reads == 0 or (compact_windows and gc_overlaps == 0)
+    ):
         failures.append(
             f"reader race never engaged: reads={reader.reads}, "
             f"gc_overlaps={gc_overlaps}"

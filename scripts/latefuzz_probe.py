@@ -39,8 +39,11 @@ not argued:
   against an INDEPENDENT per-row arrival-order fold model (batches in
   file-mtime order, each sorted by (ts, event_id); SET overwrites,
   deltas accumulate — the reference's Redis loop transliterated). The
-  result is DIFFERENT from the order-free oracle (reported) but must
-  EQUAL the model: the fold contract, pinned under arbitrary order.
+  result is DIFFERENT from the order-free oracle (ASSERTED, not
+  reported: the A2 permutation is re-drawn from the seeded rng stream
+  until the layout provably distinguishes the two folds, so the
+  contract can never pass vacuously — VERDICT r10 #2) and must EQUAL
+  the model: the fold contract, pinned under arbitrary order.
 - *stream-stream interval join*: rebuilt with a join watermark ≥ the
   feed span over the A2 permuted feed — no partner can be evicted
   before it is matched, so the result must equal the registered batch
@@ -526,6 +529,41 @@ def _dedup_ingest_reorder_oracle(d: str) -> "pd.DataFrame":  # noqa: F821
         con.close()
 
 
+def _build_a2_distinguishing(
+    work: str, rng: random.Random, max_tries: int = 8
+) -> tuple[str, int]:
+    """Build the phase-A2 arbitrary-order dir, re-drawing the global
+    permutation from the same seeded rng stream until the arrival-order
+    counter fold PROVABLY differs from the order-free oracle on the
+    resulting layout, so the A3a contract is asserted non-vacuous
+    instead of reported (VERDICT r10 #2). A draw fails to distinguish
+    only when the permutation happens to leave the value-determining
+    SET suffix equivalent (~P 0.2 per seed, measured across the r9/r10
+    stamps); 8 independent draws bound the all-coincide case at ~3e-6,
+    and if every draw coincides the probe FAILS loudly — a rejected
+    seed, never a vacuously-green assertion. Deterministic: the rng
+    stream is seed-pinned, so the accepted layout (and the number of
+    draws) is a pure function of the seed. Both the fold model and the
+    order-free oracle are engine-independent (pandas loop / DuckDB), so
+    selection never peeks at the system under test."""
+    from tests.parity import run_oracle
+
+    oracle_sql = all_queries()["b24_stateful_counter_applyinpandas"].oracle
+    for i in range(max_tries):
+        d = _build_dir(
+            work, "a2" if i == 0 else f"a2_try{i}", rng,
+            contiguous=False, split_documents=False,
+        )
+        if _counter_fold_model(d) != int(run_oracle(oracle_sql, d).iloc[0, 0]):
+            return d, i + 1
+    raise AssertionError(
+        f"A3a seed rejected: {max_tries} independent permutation draws "
+        "all left the arrival-order fold equal to the order-free oracle "
+        "(probability ~3e-6 per seed) — the distinguishing contract "
+        "cannot be certified on this seed"
+    )
+
+
 def run_phase_a3(
     spark, work: str, rng: random.Random, a2: str
 ) -> tuple[list[str], int, dict]:
@@ -547,8 +585,15 @@ def run_phase_a3(
         unordered = int(run_oracle(
             qs["b24_stateful_counter_applyinpandas"].oracle, a2
         ).iloc[0, 0])
-        # reported, not asserted: a seed COULD permute into coincidence
-        extras["counter_reorder_differs_from_unordered"] = engine != unordered
+        # ASSERTED (VERDICT r10 #2): the A2 layout was selected by
+        # _build_a2_distinguishing to make the fold model differ from
+        # the order-free oracle, so a coincidence here means the engine
+        # did not follow the fold contract — never a vacuous pass
+        assert engine != unordered, (
+            f"A3a vacuous: engine fold {engine} equals the order-free "
+            "oracle on a layout selected to distinguish them"
+        )
+        extras["counter_reorder_differs_from_unordered"] = True
     except Exception as ex:  # noqa: BLE001 — collecting all failures
         failures.append(f"A3:counter_stateful: {str(ex).splitlines()[0][:220]}")
 
@@ -598,7 +643,7 @@ def main() -> int:
     extras: dict = {}
     try:
         a1 = _build_dir(work, "a1", rng, contiguous=True, split_documents=True)
-        a2 = _build_dir(work, "a2", rng, contiguous=False, split_documents=False)
+        a2, extras["a2_draws"] = _build_a2_distinguishing(work, rng)
         b = _build_phase_b_dir(work, rng)
         spark = get_spark(app_name="hpss-latefuzz")
         spark.sparkContext.setLogLevel("ERROR")
@@ -612,7 +657,8 @@ def main() -> int:
                     failures.append(
                         f"{phase}:{nm}: {str(ex).splitlines()[0][:220]}"
                     )
-        a3_failures, counts["A3"], extras = run_phase_a3(spark, work, rng, a2)
+        a3_failures, counts["A3"], a3_extras = run_phase_a3(spark, work, rng, a2)
+        extras.update(a3_extras)
         failures.extend(a3_failures)
         b_failures, counts["B"] = run_phase_b(spark, b)
         failures.extend(b_failures)

@@ -101,6 +101,15 @@ import time
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+#: Soft wall budget for the full matrix (VERDICT r10 #3). The stamp has
+#: grown every round (r8 34 gates, r9 35 ≈ 4,900 s, r10 40 = 5,778 s);
+#: per-gate walls are carried in the artifact (`wall_s`) so growth is
+#: attributable, and the newest artifact's total is pinned under this
+#: budget by tests/test_bench_contract.py — adding a gate that pushes
+#: the matrix past 2 h requires consciously raising this constant (a
+#: visible diff), never silent creep.
+STAMP_WALL_BUDGET_S = 7200
+
 GATES: dict[str, list[str]] = {
     "pytest": [sys.executable, "-m", "pytest", "tests/", "-q"],
     "driver": [sys.executable, "scripts/driver_sim.py"],
@@ -398,10 +407,19 @@ def main() -> None:
                 f.write(tail_line(proc.stdout, limit=None) + "\n")
             print(f"    wrote {path}", flush=True)
 
+    total_wall = round(sum(r["wall_s"] for r in results.values()), 1)
+    if total_wall > STAMP_WALL_BUDGET_S:
+        print(
+            f"WARNING: matrix wall {total_wall}s exceeds the "
+            f"{STAMP_WALL_BUDGET_S}s budget — raise STAMP_WALL_BUDGET_S "
+            "consciously or trim gates (VERDICT r10 #3)",
+            flush=True,
+        )
     summary = {
         "ok": all(r["ok"] for r in results.values()),
         "gates": results,
-        "total_wall_s": round(sum(r["wall_s"] for r in results.values()), 1),
+        "total_wall_s": total_wall,
+        "wall_budget_s": STAMP_WALL_BUDGET_S,
     }
     line = json.dumps(summary)
     print(line, flush=True)

@@ -9,10 +9,17 @@ then:
 
   O. runs the full 50-slot canonical oracle sweep on it
      (scripts/driver_sim.py — Spark vs DuckDB value-hash parity), and
-  L. times the bench headline set at BOTH sf0.1 and the sf1.0 dir in
-     one session (same box window — the honest linearity measure,
-     immune to the cross-round calibration caveat in BASELINE.md) and
-     asserts no knee: wall ratio ≤ mult × KNEE_SLACK per query.
+  L. times the bench headline set PLUS the capped-dedup production
+     composition (`llm_dedup_clusters_capped`, VERDICT r10 #5) at BOTH
+     sf0.1 and the sf1.0 dir in one session (same box window — the
+     honest linearity measure, immune to the cross-round calibration
+     caveat in BASELINE.md) and asserts no knee: wall ratio ≤
+     mult × KNEE_SLACK per query.
+
+The replicated fixture set is CACHED under a content-addressed scratch
+dir (generator source + mult + input file identities; atomic-rename
+publish per invariant 30), so repeat stamps on unchanged fixtures skip
+phase G entirely (VERDICT r10 #3).
 
 Replication semantics (all copy-index-keyed, no RNG — reruns are
 bit-identical):
@@ -35,7 +42,7 @@ bit-identical):
 - nation/region: symlinked (fixed-size dims; broadcast assumptions at
   scale stay honest).
 
-Usage: python scripts/sf1_gate.py [mult] [--keep DIR]
+Usage: python scripts/sf1_gate.py [mult]
 Prints phase logs plus one summary JSON line; exit 0 iff the oracle
 sweep is 50/50 and no headline query knees.
 """
@@ -63,10 +70,15 @@ from hive_plan_service_spark.session import (  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: headline queries timed for the linearity check — the bench set.
+#: headline queries timed for the linearity check — the bench set PLUS
+#: the extbench production composition (VERDICT r10 #5: the capped
+#: dedup pipeline had 8×-multiplier evidence but no same-session
+#: sf0.1-vs-sf1.0 ratio; the knee assertion now covers it too).
 #: Streaming entries keep their ~1 s invocation floors, which only
 #: makes their ratios SMALLER than mult; no special-casing needed.
 from bench import HEADLINE, materialize  # noqa: E402
+
+LINEARITY: tuple[str, ...] = HEADLINE + ("llm_dedup_clusters_capped",)
 
 #: a query has "kneed" when its sf1 wall exceeds mult × slack × its
 #: sf0.1 wall — superlinear growth beyond plan/shuffle noise. Slack 2
@@ -99,6 +111,17 @@ def build_sf1(spark, sf_dir: str, out_dir: str, mult: int) -> dict:
         "vk": base["embeddings"].agg(F.max("vec_id")).collect()[0][0] + 1,
     }
     dim = len(base["embeddings"].select("embedding").first()[0])
+    # rotation by _rep % dim collides for copies whose indices differ by
+    # a multiple of dim: identical cross-copy vectors (cosine 1.0) would
+    # reintroduce the invariant-23 pair blowup this rotation prevents.
+    # mult is a positional CLI arg, so refuse loudly instead of silently
+    # producing identical-copy embeddings (r10 ADVICE find).
+    if mult > dim:
+        raise SystemExit(
+            f"mult={mult} exceeds embedding dim={dim}: cyclic rotation "
+            "would repeat and produce identical cross-copy vectors "
+            "(invariant 23); pick mult <= dim"
+        )
     reps = spark.range(mult).select(F.col("id").alias("_rep"))
 
     def shift(col: str, key: str):
@@ -162,13 +185,106 @@ def build_sf1(spark, sf_dir: str, out_dir: str, mult: int) -> dict:
     return counts
 
 
+def _fixture_cache_key(mult: int) -> str:
+    """Content address of the replicated fixture set: the generator's
+    own source (auto-invalidates on any build_sf1 change — the safe
+    direction), mult, and the identity of every input fixture file
+    (name, size, mtime). The driver regenerates the sf0.1 parquet every
+    round, so mtimes key the round's actual bits (invariant 3: physical
+    types are not contractual, and neither is file identity)."""
+    import hashlib
+    import inspect
+
+    from tests.parity import TABLES
+
+    h = hashlib.sha256()
+    h.update(inspect.getsource(build_sf1).encode())
+    h.update(f"|mult={mult}|".encode())
+    for t in sorted(TABLES):
+        st = os.stat(os.path.join(SF_DIR, f"{t}.parquet"))
+        h.update(f"{t}:{st.st_size}:{st.st_mtime_ns}|".encode())
+    return h.hexdigest()[:16]
+
+
+def _reap_stale_cache(keep: str, max_age_s: float = 6 * 3600) -> None:
+    """Best-effort removal of superseded cache entries and crashed
+    build tmps. The age floor (≫ any full stamp's wall) guarantees a
+    CONCURRENT suite's live entry — which necessarily started within
+    the window — is never reaped mid-read."""
+    now = time.time()
+    for name in os.listdir(scratch_root()):
+        if not (name.startswith("sf1_cache_") or name.startswith("sf1_build_")):
+            continue
+        # scratch-ok: reaping stale atomic-rename cache entries/tmps
+        p = os.path.join(scratch_root(), name)
+        if p == keep:
+            continue
+        try:
+            if now - os.stat(p).st_mtime > max_age_s:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+
+
+def cached_sf1_dir(mult: int, summary: dict) -> str:
+    """Get-or-build the replicated fixtures under a content-addressed
+    scratch dir (VERDICT r10 #3: the stamp rebuilt bit-identical
+    fixtures every invocation, ~1 min each). Protocol per invariant 30
+    (scratch_root is MACHINE-shared): build into a private mkdtemp,
+    then ONE atomic os.rename onto the content-addressed name — a
+    reader can only ever list a complete dir; a concurrent builder that
+    loses the rename race discards its own tmp and reuses the winner's
+    (identical content by construction, the benign race)."""
+    key = _fixture_cache_key(mult)
+    # scratch-ok: content-addressed atomic-rename publish (inv. 30)
+    final = os.path.join(scratch_root(), f"sf1_cache_{key}")
+    _reap_stale_cache(keep=final)
+    meta_name = "_sf1_meta.json"
+    if os.path.isdir(final):
+        with open(os.path.join(final, meta_name)) as f:
+            counts = json.load(f)["counts"]
+        os.utime(final)  # refresh the reap clock for this live entry
+        summary.update(
+            {"gen_s": 0.0, "fixture_cache": "hit",
+             "lineitem_rows": counts["lineitem"]}
+        )
+        print(f"=== sf1 fixtures cached at {final}: {counts}", flush=True)
+        return final
+    t0 = time.time()
+    tmp = tempfile.mkdtemp(prefix="sf1_build_", dir=scratch_root())
+    try:
+        spark = get_spark(app_name="hpss-sf1-gen")
+        try:
+            counts = build_sf1(spark, SF_DIR, tmp, mult)
+        finally:
+            spark.stop()
+        with open(os.path.join(tmp, meta_name), "w") as f:
+            json.dump({"key": key, "mult": mult, "counts": counts}, f)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            # a concurrent builder renamed first; its content is
+            # identical by construction — use it, drop ours
+            shutil.rmtree(tmp, ignore_errors=True)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    gen_s = round(time.time() - t0, 1)
+    summary.update(
+        {"gen_s": gen_s, "fixture_cache": "miss",
+         "lineitem_rows": counts["lineitem"]}
+    )
+    print(f"=== sf1 fixtures in {gen_s}s: {counts}", flush=True)
+    return final
+
+
 def time_headlines(spark, sf_dir: str) -> dict[str, float]:
     """Warm once, min-of-2 timed noop materializations per query."""
     from hive_plan_service_spark.plans.registry import all_queries
 
     registry = all_queries()
     walls: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in LINEARITY:
         fn = registry[name].fn
         materialize(fn(spark, sf_dir))  # warm: codegen + JIT
         runs = []
@@ -183,74 +299,62 @@ def time_headlines(spark, sf_dir: str) -> dict[str, float]:
 
 def main() -> int:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    # parent-owned scratch handed to subprocesses (invariant 32:
-    # process_scratch_dir is pid-keyed + atexit-reclaimed — a child
-    # would see a different dir, and the parent's exit would delete it
-    # under a still-running child)
-    out_dir = tempfile.mkdtemp(prefix="sf1_fixtures_", dir=scratch_root())
     ok = True
     summary: dict = {"mult": mult}
-    try:
-        # --- phase G: generate ------------------------------------------
-        t0 = time.time()
-        spark = get_spark(app_name="hpss-sf1-gen")
-        counts = build_sf1(spark, SF_DIR, out_dir, mult)
-        spark.stop()
-        gen_s = round(time.time() - t0, 1)
-        print(f"=== sf1 fixtures in {gen_s}s: {counts}", flush=True)
-        summary["gen_s"] = gen_s
-        summary["lineitem_rows"] = counts["lineitem"]
+    # --- phase G: generate (content-addressed cache; the dir is a
+    # plain machine-shared scratch path, so invariant 32's
+    # pid-keyed-dir trap for the subprocess phases below does not
+    # apply — subprocesses see the same atomic-renamed dir) -------
+    out_dir = cached_sf1_dir(mult, summary)
 
-        # --- phase O: full canonical oracle sweep -----------------------
-        # Size the sweep JVM like a real executor: driver_sim's PLAIN
-        # session defaults to a 1 GiB heap — ~30 MB per task thread at
-        # local[32], below any real deployment — and at 10× scale the
-        # uncapped llm_dedup_clusters (64-hash LSH + verify over 50k
-        # docs, exact-oracle shape per invariant 11) OOMs its sort/join
-        # stages there (found by this gate's first run; the capped
-        # production composition is unaffected). 16g matches the
-        # engine's own get_spark default (SPARK_DRIVER_MEMORY).
-        t0 = time.time()
-        mem = os.environ.get("SPARK_DRIVER_MEMORY", "16g")
-        proc = subprocess.run(
-            [sys.executable, "scripts/driver_sim.py", out_dir, "32",
-             f"builder:spark.driver.memory={mem}"],
-            cwd=REPO_ROOT, text=True,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        )
-        sweep_s = round(time.time() - t0, 1)
-        tail = [ln for ln in proc.stdout.strip().splitlines() if ln][-8:]
-        print("\n".join(tail), flush=True)
-        summary["sweep_ok"] = proc.returncode == 0
-        summary["sweep_s"] = sweep_s
-        if proc.returncode != 0:
-            ok = False
-            fails = [ln for ln in proc.stdout.splitlines() if "FAIL" in ln]
-            print("\n".join(fails[:20]), flush=True)
+    # --- phase O: full canonical oracle sweep -----------------------
+    # Size the sweep JVM like a real executor: driver_sim's PLAIN
+    # session defaults to a 1 GiB heap — ~30 MB per task thread at
+    # local[32], below any real deployment — and at 10× scale the
+    # uncapped llm_dedup_clusters (64-hash LSH + verify over 50k
+    # docs, exact-oracle shape per invariant 11) OOMs its sort/join
+    # stages there (found by this gate's first run; the capped
+    # production composition is unaffected). 16g matches the
+    # engine's own get_spark default (SPARK_DRIVER_MEMORY).
+    t0 = time.time()
+    mem = os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+    proc = subprocess.run(
+        [sys.executable, "scripts/driver_sim.py", out_dir, "32",
+         f"builder:spark.driver.memory={mem}"],
+        cwd=REPO_ROOT, text=True,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    sweep_s = round(time.time() - t0, 1)
+    tail = [ln for ln in proc.stdout.strip().splitlines() if ln][-8:]
+    print("\n".join(tail), flush=True)
+    summary["sweep_ok"] = proc.returncode == 0
+    summary["sweep_s"] = sweep_s
+    if proc.returncode != 0:
+        ok = False
+        fails = [ln for ln in proc.stdout.splitlines() if "FAIL" in ln]
+        print("\n".join(fails[:20]), flush=True)
 
-        # --- phase L: same-session linearity ----------------------------
-        spark = get_spark(app_name="hpss-sf1-linearity")
-        print(f"--- headline walls at sf0.1 ({SF_DIR})", flush=True)
-        base_walls = time_headlines(spark, SF_DIR)
-        print(f"--- headline walls at sf1.0 ({out_dir})", flush=True)
-        big_walls = time_headlines(spark, out_dir)
-        spark.stop()
-        knees = {}
-        ratios = {}
-        for name, base_w in base_walls.items():
-            ratio = round(big_walls[name] / max(base_w, 1e-6), 2)
-            ratios[name] = ratio
-            if big_walls[name] > mult * KNEE_SLACK * base_w:
-                knees[name] = ratio
-        summary["base_total_s"] = round(sum(base_walls.values()), 2)
-        summary["sf1_total_s"] = round(sum(big_walls.values()), 2)
-        summary["ratios"] = ratios
-        summary["knees"] = knees
-        if knees:
-            ok = False
-            print(f"KNEED (> {mult}x{KNEE_SLACK}): {knees}", flush=True)
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+    # --- phase L: same-session linearity ----------------------------
+    spark = get_spark(app_name="hpss-sf1-linearity")
+    print(f"--- headline walls at sf0.1 ({SF_DIR})", flush=True)
+    base_walls = time_headlines(spark, SF_DIR)
+    print(f"--- headline walls at sf1.0 ({out_dir})", flush=True)
+    big_walls = time_headlines(spark, out_dir)
+    spark.stop()
+    knees = {}
+    ratios = {}
+    for name, base_w in base_walls.items():
+        ratio = round(big_walls[name] / max(base_w, 1e-6), 2)
+        ratios[name] = ratio
+        if big_walls[name] > mult * KNEE_SLACK * base_w:
+            knees[name] = ratio
+    summary["base_total_s"] = round(sum(base_walls.values()), 2)
+    summary["sf1_total_s"] = round(sum(big_walls.values()), 2)
+    summary["ratios"] = ratios
+    summary["knees"] = knees
+    if knees:
+        ok = False
+        print(f"KNEED (> {mult}x{KNEE_SLACK}): {knees}", flush=True)
     summary["ok"] = ok
     print(json.dumps(summary))
     return 0 if ok else 1

@@ -26,6 +26,8 @@ def test_bench_payload_shape(spark, sf_dir):
         "calibration_quiet_ref",
         "calibration_pyarrow_sec",
         "calibration_pyarrow_quiet_ref",
+        "calibration_cpu_session_min",
+        "calibration_pyarrow_session_min",
         "value_normalized",
         "raw_comparison_band",
         "timing_passes",
@@ -42,6 +44,16 @@ def test_bench_payload_shape(spark, sf_dir):
     assert decoded["calibration_pyarrow_sec"] > 0
     assert (
         decoded["calibration_pyarrow_quiet_ref"] == bench.PYARROW_QUIET_REF
+    )
+    # ratchet provenance (VERDICT r10 #6): every artifact logs the
+    # quietest calibration drawn in its own session next to the
+    # ratchet-down refs; the session min can never exceed the single
+    # post-timing draw that normalization keys on
+    assert 0 < decoded["calibration_cpu_session_min"] <= (
+        decoded["calibration_cpu_sec"]
+    )
+    assert 0 < decoded["calibration_pyarrow_session_min"] <= (
+        decoded["calibration_pyarrow_sec"]
     )
     # min-of-2-full-passes rule (VERDICT r7 #6, BASELINE.md): the
     # artifact declares how many complete timing passes fed each
@@ -132,11 +144,16 @@ def test_latest_gates_artifact_covers_every_defined_gate():
     # newest on disk legitimately predates gates added this round. The
     # stamp sets the env var TO THE ROUND NUMBER for its pytest gate
     # only; the exemption is honored only when that value names a round
-    # at least as new as the newest artifact on disk, so a stale var
-    # leaked into a dev shell cannot disarm the pin for later rounds
-    # (r9 ADVICE find). Outside a stamp the pin is fully armed.
+    # STRICTLY newer than the newest artifact on disk (a normal stamp
+    # of round N sees r{N-1} as newest: N > N-1 passes). Strict `>`
+    # (r10 ADVICE find): under `>=`, a stale SPARK_GRAFT_GATES_STAMP=N
+    # exported in a dev shell kept the pin disarmed throughout round
+    # N+1 development, exactly the window the pin protects. The cost:
+    # RE-stamping a round whose GATES_rN.json already landed requires
+    # deleting that stale artifact first (N > N is false) — the right
+    # friction, since a re-stamp supersedes it anyway.
     stamp = os.environ.get("SPARK_GRAFT_GATES_STAMP", "")
-    if stamp.isdigit() and int(stamp) >= rnd:
+    if stamp.isdigit() and int(stamp) > rnd:
         return
     import sys
 
@@ -152,3 +169,20 @@ def test_latest_gates_artifact_covers_every_defined_gate():
         f"missing {sorted(defined - have)}, extra {sorted(have - defined)}"
     )
     assert artifact["ok"], f"{os.path.basename(latest)} is not green"
+    # stamp wall budget (VERDICT r10 #3): the matrix has grown every
+    # round — per-gate walls live in the artifact (wall_s), and the
+    # total is pinned under run_gates.STAMP_WALL_BUDGET_S so gate
+    # growth past ~2 h is a conscious constant-raise, not silent creep.
+    # Artifacts from r10 and earlier predate the field.
+    if rnd >= 11:
+        from run_gates import STAMP_WALL_BUDGET_S
+
+        assert artifact["wall_budget_s"] == STAMP_WALL_BUDGET_S
+        total = artifact["total_wall_s"]
+        assert total <= STAMP_WALL_BUDGET_S, (
+            f"{os.path.basename(latest)} matrix wall {total}s exceeds "
+            f"the {STAMP_WALL_BUDGET_S}s budget — raise it consciously "
+            "or trim gates"
+        )
+        walls = {g: r["wall_s"] for g, r in artifact["gates"].items()}
+        assert all(isinstance(w, (int, float)) for w in walls.values())

@@ -16,6 +16,12 @@ concurrently with suites on this box and had eight fixed-literal join
 sites), and catches the evasion forms — ``scratch_root()`` bound to a
 variable then joined with a literal, string concatenation, and
 pathlib division.
+
+r11: a third sanctioned form exists — a content-addressed dir
+published by one atomic ``os.rename`` from a private mkdtemp (the sf1
+fixture cache) — marked inline with ``# scratch-ok: <why>``. The
+marker documents THAT protocol only; it is never a license for
+overwrite-mode writes to shared paths.
 """
 
 from __future__ import annotations
@@ -48,6 +54,17 @@ def _scan_file(path: str) -> list[str]:
         lines = f.readlines()
     aliases: set[str] = set()
     for i, line in enumerate(lines, 1):
+        if "scratch-ok:" in line or (
+            i >= 2 and "scratch-ok:" in lines[i - 2]
+        ):
+            # r11 third sanctioned form: a CONTENT-ADDRESSED dir
+            # published by ONE atomic os.rename from a private mkdtemp
+            # (readers can only list a complete dir; two builders of
+            # the same key produce identical bytes, so the publish
+            # race is benign — sf1_gate's fixture cache). The marker
+            # must carry its justification inline and is for this
+            # protocol only — never for overwrite-mode writes.
+            continue
         m = _ASSIGN_RE.match(line)
         if m:
             aliases.add(m.group(1))
