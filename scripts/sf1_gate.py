@@ -19,7 +19,12 @@ then:
 The replicated fixture set is CACHED under a content-addressed scratch
 dir (generator source + mult + input file identities; atomic-rename
 publish per invariant 30), so repeat stamps on unchanged fixtures skip
-phase G entirely (VERDICT r10 #3).
+phase G entirely (VERDICT r10 #3). A cache hit VERIFIES content, not
+just the key: the builder writes per-table fingerprints (xor of
+full-row xxhash64 + row count) into ``_sf1_meta.json`` and every hit
+re-scans and asserts them before the sweep (VERDICT r11 #1; the
+corrupted-cache injection test lives in
+tests/test_sf1_cache_verify.py).
 
 Replication semantics (all copy-index-keyed, no RNG — reruns are
 bit-identical):
@@ -89,6 +94,67 @@ KNEE_SLACK = 2.0
 #: tables replicated with key shifts; the rest are symlinked.
 SHIFTED = ("customer", "orders", "lineitem", "supplier", "part",
            "events", "documents", "embeddings")
+
+#: cache meta format. v2 (VERDICT r11 #1): the meta carries per-table
+#: content fingerprints computed at build time, and a HIT re-scans and
+#: asserts them before any sweep runs — a hit VERIFIES content instead
+#: of trusting the rename protocol. Bumping the version (it feeds the
+#: cache key) orphans pre-fingerprint entries, which age out via
+#: _reap_stale_cache.
+CACHE_FORMAT = 2
+
+
+def table_fingerprints(spark, fix_dir: str) -> dict:
+    """Order-independent content fingerprint per fixture table: xor of
+    full-row xxhash64 plus the row count (xor alone is blind to a
+    duplicated+dropped row pair), one cheap scan per table. Used twice:
+    at build time (written into ``_sf1_meta.json``) and on every cache
+    hit (recomputed and asserted) — parquet row order across files is
+    not contractual, hence the commutative fold."""
+    from tests.parity import TABLES
+
+    fps: dict[str, dict[str, int]] = {}
+    for t in sorted(TABLES):
+        df = spark.read.parquet(os.path.join(fix_dir, f"{t}.parquet"))
+        row = (
+            df.select(F.xxhash64(*df.columns).alias("h"))
+            .agg(F.expr("bit_xor(h)").alias("x"),
+                 F.count(F.lit(1)).alias("n"))
+            .collect()[0]  # bounded: one row per table (invariant 5)
+        )
+        fps[t] = {"xor": int(row["x"]) if row["x"] is not None else 0,
+                  "count": int(row["n"])}
+    return fps
+
+
+def verify_cached_fixtures(spark, fix_dir: str, meta: dict) -> None:
+    """Assert the cached fixture set's content matches the fingerprints
+    recorded at build time (VERDICT r11 #1: a hit must verify, not
+    trust). Any divergence — a corrupted file, a truncated write that
+    somehow survived the atomic-rename protocol, an unreadable table —
+    fails LOUDLY so the operator deletes the entry; silent rebuild
+    would mask whatever corrupted machine-shared scratch."""
+    expected = meta.get("fingerprints")
+    if not expected:
+        raise SystemExit(
+            f"sf1 fixture cache at {fix_dir} has no content fingerprints "
+            "in _sf1_meta.json — pre-v2 or mangled entry; delete it"
+        )
+    try:
+        got = table_fingerprints(spark, fix_dir)
+    except Exception as exc:  # unreadable parquet IS a verify failure
+        raise SystemExit(
+            f"sf1 fixture cache at {fix_dir} failed content verification "
+            f"(unreadable table): {exc}"
+        ) from exc
+    if got != expected:
+        bad = sorted(t for t in set(got) | set(expected)
+                     if got.get(t) != expected.get(t))
+        raise SystemExit(
+            f"sf1 fixture cache at {fix_dir} failed content verification: "
+            f"fingerprint mismatch on {bad} — cached bytes differ from "
+            "what the builder wrote; delete the entry and rerun"
+        )
 
 
 def build_sf1(spark, sf_dir: str, out_dir: str, mult: int) -> dict:
@@ -199,7 +265,10 @@ def _fixture_cache_key(mult: int) -> str:
 
     h = hashlib.sha256()
     h.update(inspect.getsource(build_sf1).encode())
-    h.update(f"|mult={mult}|".encode())
+    # the fingerprint algorithm is part of the format: changing it must
+    # orphan entries whose stored fingerprints it could no longer match
+    h.update(inspect.getsource(table_fingerprints).encode())
+    h.update(f"|cachefmt={CACHE_FORMAT}|mult={mult}|".encode())
     for t in sorted(TABLES):
         st = os.stat(os.path.join(SF_DIR, f"{t}.parquet"))
         h.update(f"{t}:{st.st_size}:{st.st_mtime_ns}|".encode())
@@ -240,15 +309,39 @@ def cached_sf1_dir(mult: int, summary: dict) -> str:
     final = os.path.join(scratch_root(), f"sf1_cache_{key}")
     _reap_stale_cache(keep=final)
     meta_name = "_sf1_meta.json"
-    if os.path.isdir(final):
+    hit = os.path.isdir(final)
+    if hit:
+        # r11 ADVICE: refresh the reap clock BEFORE any read — a
+        # concurrent process's _reap_stale_cache could stat the stale
+        # mtime and rmtree this entry while we read it. utime-first
+        # closes the window; if we still lost the race (ENOENT, or the
+        # dir vanished after the touch), fall through to a rebuild.
+        try:
+            os.utime(final)
+            hit = os.path.isdir(final)
+        except OSError:
+            hit = False
+    if hit:
         with open(os.path.join(final, meta_name)) as f:
-            counts = json.load(f)["counts"]
-        os.utime(final)  # refresh the reap clock for this live entry
+            meta = json.load(f)
+        counts = meta["counts"]
+        # VERDICT r11 #1: a hit VERIFIES content against the build-time
+        # fingerprints (one cheap scan per table) instead of trusting
+        # the rename protocol; mismatch/unreadable = loud SystemExit.
+        tv = time.time()
+        spark = get_spark(app_name="hpss-sf1-verify")
+        try:
+            verify_cached_fixtures(spark, final, meta)
+        finally:
+            spark.stop()
+        verify_s = round(time.time() - tv, 1)
         summary.update(
             {"gen_s": 0.0, "fixture_cache": "hit",
+             "fixture_verify": "ok", "verify_s": verify_s,
              "lineitem_rows": counts["lineitem"]}
         )
-        print(f"=== sf1 fixtures cached at {final}: {counts}", flush=True)
+        print(f"=== sf1 fixtures cached at {final} "
+              f"(content verified in {verify_s}s): {counts}", flush=True)
         return final
     t0 = time.time()
     tmp = tempfile.mkdtemp(prefix="sf1_build_", dir=scratch_root())
@@ -256,10 +349,13 @@ def cached_sf1_dir(mult: int, summary: dict) -> str:
         spark = get_spark(app_name="hpss-sf1-gen")
         try:
             counts = build_sf1(spark, SF_DIR, tmp, mult)
+            # build-time fingerprints: what every future hit verifies
+            fps = table_fingerprints(spark, tmp)
         finally:
             spark.stop()
         with open(os.path.join(tmp, meta_name), "w") as f:
-            json.dump({"key": key, "mult": mult, "counts": counts}, f)
+            json.dump({"key": key, "mult": mult, "counts": counts,
+                       "fingerprints": fps}, f)
         try:
             os.rename(tmp, final)
         except OSError:
@@ -272,6 +368,7 @@ def cached_sf1_dir(mult: int, summary: dict) -> str:
     gen_s = round(time.time() - t0, 1)
     summary.update(
         {"gen_s": gen_s, "fixture_cache": "miss",
+         "fixture_verify": "built",
          "lineitem_rows": counts["lineitem"]}
     )
     print(f"=== sf1 fixtures in {gen_s}s: {counts}", flush=True)
