@@ -1,11 +1,17 @@
-"""Same-box-window A/B of one headline query between HEAD and a past
-commit (VERDICT r10 #1; the r8 extbench precedent).
+"""Same-box-window A/B of ANY registered query between HEAD and a past
+commit — the standing drift-attribution tool (VERDICT r11 #3,
+generalized from the r11 corpus-clean probe; the r8 extbench
+precedent).
 
-The r10 artifacts read `llm_corpus_clean_pipeline` ~+11% over r9
-(1.956 → 2.17–2.20 s) while the engine diff on that query's path was
-docstring-only — so the delta must be box state, and the honest way to
-prove that is to time BOTH code versions back-to-back in one box
-window, removing the cross-round calibration caveat entirely.
+Use it the same day any per-query bench/extbench read moves beyond the
+comparability band on an unchanged code path, instead of carrying a
+watch item across rounds. The motivating case: r10 read
+`llm_corpus_clean_pipeline` ~+11% over r9 (1.956 → 2.17–2.20 s) while
+the engine diff on that query's path was docstring-only — the delta
+had to be box state, and the honest way to prove that is to time BOTH
+code versions back-to-back in one box window, removing the cross-round
+calibration caveat entirely (settled as box: +0.3%, ROUND11_NOTES §2;
+reproduced through this generic path in r12).
 
 Method: `git worktree add --detach` the reference commit into scratch,
 then run four interleaved subprocess measurements in A/B/B/A order
@@ -19,7 +25,14 @@ same 10% raw-comparability band the bench contract uses —
 agreeing calibrations ⇒ a real code regression (and the worktree makes
 bisecting it immediate).
 
-Usage: python scripts/ab_corpus_clean.py [REF_COMMIT] [QUERY]
+Verdict semantics (r11 ADVICE: `box` is gated on calibration
+agreement): `box` = calibrations comparable AND |delta| within the
+band; `code_regression` = comparable but beyond the band (bisect from
+the worktree); `window_not_comparable` = the two versions' own
+calibrations disagree by more than the band — the window was shifting,
+rerun on a quieter box before attributing anything.
+
+Usage: python scripts/ab_query.py [REF_COMMIT] [QUERY]
 Defaults: 85d1e4b (the r9 stamp commit), llm_corpus_clean_pipeline.
 Prints one JSON line; exit 0 iff all four measurements completed.
 """
@@ -125,10 +138,15 @@ def main() -> int:
                   if m["version"] == ref)
     delta_pct = round(100.0 * (head_min - ref_min) / ref_min, 1)
     comparable = raw_comparable(cal_head, cal_ref)
-    verdict = (
-        "box" if abs(delta_pct) <= 100 * RAW_COMPARISON_BAND
-        else ("code_regression" if comparable else "window_not_comparable")
-    )
+    # r11 ADVICE: a within-band delta under DISAGREEING calibrations is
+    # a shifting window, not proof of box attribution — `box` requires
+    # comparable calibrations too.
+    if not comparable:
+        verdict = "window_not_comparable"
+    elif abs(delta_pct) <= 100 * RAW_COMPARISON_BAND:
+        verdict = "box"
+    else:
+        verdict = "code_regression"
     print(json.dumps({
         "query": query, "ref": ref, "sf_dir": SF_DIR,
         "head_min": head_min, "ref_min": ref_min,

@@ -85,7 +85,12 @@ Gates (names usable with --skip / --only, comma-separated):
     sf1      scripts/sf1_gate.py — sf1.0-equivalent fixtures (~6M
              lineitem, deterministic 10× replication), full 50-slot
              oracle sweep + same-session sf0.1-vs-sf1.0 headline
-             linearity with a knee assertion (r10)
+             linearity with a knee assertion (r10); cache hits verify
+             per-table content fingerprints (r12)
+    scalespot scripts/scale_spot_probe.py — mult=40 cross-scale spot
+             probe of the capped dedup composition + flagship
+             aggregate, layout-matched 1× vs 40× in one session, knee
+             assertion (r12)
 
 Exit 0 iff every executed gate passed. Each gate runs in its own
 subprocess (its own JVM) so a crashed session can't poison the rest.
@@ -280,6 +285,13 @@ GATES: dict[str, list[str]] = {
     # sweep on it, and time the bench headline set at sf0.1 and sf1.0
     # in one session (same-box linearity; knee = wall ratio > mult×2).
     "sf1": [sys.executable, "scripts/sf1_gate.py"],
+    # cross-scale spot axis (r12, VERDICT r11 #2): mult=40 replicas of
+    # ONLY the tables the two heaviest standing compositions read
+    # (documents / lineitem, distinct content per invariant 23), both
+    # queries timed at a layout-matched 1x and 40x in one session with
+    # the sf1 knee assertion — 4x past the sf1 gate's linearity ceiling
+    # without the cost of a full sweep.
+    "scalespot": [sys.executable, "scripts/scale_spot_probe.py"],
     # stacked-regime axis (r8): every conf-hostility axis AT ONCE —
     # Kryo + off-heap Tungsten + codegen off/interpreted + Arrow
     # batch=7 + 1 MiB scan splits + 7 cores + broadcasts off, under
@@ -300,6 +312,14 @@ GATES: dict[str, list[str]] = {
                    "spark.sql.files.openCostInBytes=0",
                    "spark.sql.parquet.enableVectorizedReader=false",
                    "spark.sql.autoBroadcastJoinThreshold=-1"],
+}
+
+#: gates whose full JSON line is persisted as a per-round artifact
+#: under --round (the 400-char verdict field truncates them): extbench
+#: since r6, the cross-scale spot probe since r12.
+ARTIFACT_GATES: dict[str, str] = {
+    "extbench": "EXTBENCH",
+    "scalespot": "SCALESPOT",
 }
 
 #: per-gate env overrides (bench runs the contract scale)
@@ -399,10 +419,11 @@ def main() -> None:
         if not ok:
             # keep the failing gate's full output readable in-band
             print(proc.stdout[-4000:], flush=True)
-        if name == "extbench" and ok and args.round is not None:
-            # the 400-char verdict truncates the extbench JSON; persist
-            # the full line as the round's production-shape artifact
-            path = os.path.join(REPO_ROOT, f"EXTBENCH_r{args.round:02d}.json")
+        if (name in ARTIFACT_GATES and ok and args.round is not None):
+            # the 400-char verdict truncates these gates' JSON; persist
+            # the full line as a per-round artifact
+            path = os.path.join(
+                REPO_ROOT, f"{ARTIFACT_GATES[name]}_r{args.round:02d}.json")
             with open(path, "w") as f:
                 f.write(tail_line(proc.stdout, limit=None) + "\n")
             print(f"    wrote {path}", flush=True)

@@ -89,6 +89,51 @@ def test_bench_payload_shape(spark, sf_dir):
     assert abs(sum(decoded["queries"].values()) - decoded["value"]) < 0.01
 
 
+def test_quiet_ref_ratchet_not_stale():
+    """VERDICT r11 #4: the ratchet rule — a quiet-ref constant must be
+    updated in the same round a quieter session minimum is observed —
+    was remembered, not enforced. Every bench/extbench artifact (r11+)
+    carries `calibration_*_session_min` provenance; this test fails BY
+    NAME if any checked-in artifact recorded a session minimum quieter
+    than the CURRENT constant, naming the artifact to cite when
+    ratcheting down. The first artifact recording a quieter window
+    lands at stamp / round close, so a stale ref surfaces at the next
+    pytest run — enforcement lags the evidence by at most one gate run.
+    (Refs unbeaten since r5/r9: cpu 0.427, pyarrow 0.4405.)"""
+    import glob
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    stale: list[str] = []
+    for path in sorted(
+        glob.glob(os.path.join(repo, "BENCH_r*.json"))
+        + glob.glob(os.path.join(repo, "EXTBENCH_r*.json"))
+    ):
+        with open(path) as f:
+            doc = json.load(f)
+        # the driver wraps bench.py's payload under "parsed"
+        payload = doc.get("parsed", doc) if isinstance(doc, dict) else {}
+        if not isinstance(payload, dict):
+            continue
+        for field, ref, const in (
+            ("calibration_cpu_session_min", bench.CALIBRATION_QUIET_REF,
+             "bench.CALIBRATION_QUIET_REF"),
+            ("calibration_pyarrow_session_min", bench.PYARROW_QUIET_REF,
+             "bench.PYARROW_QUIET_REF"),
+        ):
+            got = payload.get(field)
+            if isinstance(got, (int, float)) and 0 < got < ref:
+                stale.append(
+                    f"{os.path.basename(path)}: {field}={got} beats "
+                    f"{const}={ref}"
+                )
+    assert not stale, (
+        "quiet-ref ratchet is stale — a checked-in artifact observed a "
+        "quieter window than the constant; ratchet the constant down in "
+        "bench.py citing the artifact:\n" + "\n".join(stale)
+    )
+
+
 def test_raw_comparable_band_semantics():
     """BASELINE.md round-10 rule: raw totals are comparable iff the two
     artifacts' CPU calibrations agree within the pinned band (the capped

@@ -48,12 +48,21 @@ _DIRECT_PATTERNS = [
 _ASSIGN_RE = re.compile(r"^\s*(\w+)\s*(?::[^=]+)?=\s*scratch_root\(\)\s*(?:#.*)?$")
 
 
-def _scan_file(path: str) -> list[str]:
+def _scan_file(
+    path: str, markers: list[tuple[str, int, str]] | None = None
+) -> list[str]:
     bad: list[str] = []
     with open(path, encoding="utf-8") as f:
         lines = f.readlines()
     aliases: set[str] = set()
     for i, line in enumerate(lines, 1):
+        if "scratch-ok:" in line:
+            if markers is not None:
+                # record the marker AND the line it suppresses, so the
+                # pin test can both count sites and reject overwrite-
+                # mode writes hiding behind a marker (r11 ADVICE)
+                suppressed = lines[i] if i < len(lines) else ""
+                markers.append((path, i, line + suppressed))
         if "scratch-ok:" in line or (
             i >= 2 and "scratch-ok:" in lines[i - 2]
         ):
@@ -101,6 +110,42 @@ def test_no_fixed_paths_joined_onto_shared_scratch_root():
         "fixed paths joined onto the machine-shared scratch_root() race "
         "across processes — use session.process_scratch_dir(name) or "
         "mkdtemp(dir=scratch_root()):\n" + "\n".join(bad)
+    )
+
+
+#: Every honored `# scratch-ok:` site, pinned per file (r11 ADVICE: the
+#: marker suppressed the lint UNCONDITIONALLY, so any future
+#: fixed-literal scratch join could silence itself without following
+#: the atomic-rename protocol). Adding a site now requires updating
+#: this pin — a visible, reviewable diff — and the suppressed line must
+#: never be an overwrite-mode write (checked below). Current sites are
+#: both in the sf1 fixture cache: the stale-entry reap walk and the
+#: content-addressed publish target.
+SCRATCH_OK_PIN: dict[str, int] = {"scripts/sf1_gate.py": 2}
+
+
+def test_scratch_ok_markers_are_pinned_and_not_writes():
+    markers: list[tuple[str, int, str]] = []
+    for base in (PKG, SCRIPTS):
+        for root, _dirs, files in os.walk(base):
+            for fn in files:
+                if not fn.endswith(".py") or fn == "session.py":
+                    continue
+                _scan_file(os.path.join(root, fn), markers)
+    counts: dict[str, int] = {}
+    for path, _ln, text in markers:
+        rel = os.path.relpath(path, REPO)
+        counts[rel] = counts.get(rel, 0) + 1
+        # the marker documents the atomic-rename protocol only — a
+        # suppressed overwrite-mode write is exactly the r7 race class
+        # the lint exists for, marker or not
+        assert ".mode(" not in text and ".write" not in text, (
+            f"{rel}: scratch-ok marker suppresses a write:\n{text}"
+        )
+    assert counts == SCRATCH_OK_PIN, (
+        "scratch-ok marker sites drifted from the pin — every new site "
+        "must follow the content-addressed atomic-rename protocol and "
+        f"update SCRATCH_OK_PIN consciously: {counts} != {SCRATCH_OK_PIN}"
     )
 
 
