@@ -54,6 +54,18 @@ _RUNTIME_CONF: dict[str, str] = {
     # trivial memory); it never removes one. Plan-pinned by
     # tests/test_plans.py::test_pq_topk_wide_shortlist_keeps_window_group_limit.
     "spark.sql.optimizer.windowGroupLimitThreshold": "8192",
+    # PySpark 4's DataFrame debugging decorates EVERY Python DataFrame/
+    # Column API call with call-site capture: ≥4 extra py4j round trips
+    # per call (getattr PySparkCurrentOrigin + conf.get + set + clear).
+    # Driver-side query CONSTRUCTION is a real per-invocation cost the
+    # wide sketch plans pay heavily — measured r12 (interleaved A/B,
+    # same session): b27_dedup_minhash_lsh builds in 0.513 s vs 0.817 s,
+    # llm_corpus_clean_pipeline 0.746 vs 0.955 — for error messages
+    # that merely gain a Python line number. Data-scale-independent
+    # (pure driver latency), so it holds on any cluster; overridable
+    # via SPARK_GRAFT_CONF_OVERRIDES like all runtime conf. tune()
+    # below re-resolves PySpark's process-global cache of this flag.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 
@@ -383,6 +395,17 @@ def tune(spark: SparkSession) -> SparkSession:
                 "spark.sql.shuffle.partitions", str(shuffle_partitions())
             ),
         )
+    except Exception:
+        pass
+    # PySpark caches dataFrameDebugging.enabled in a process-global on
+    # the FIRST wrapped API call — any Column built before tune() ran
+    # (imports, an earlier session) would lock the default in. Reset the
+    # cache so the next call re-reads the conf just set above; purely a
+    # Python-side cache clear, honors overrides either way.
+    try:
+        import pyspark.errors.utils as _eu
+
+        _eu._enable_debugging_cache = None
     except Exception:
         pass
     return spark
