@@ -24,9 +24,11 @@ from pyspark.sql import functions as F
 
 from hive_plan_service_spark.operators.textops import (
     FNV_MOD,
-    rolling_fingerprint,
+    rolling_fingerprint_sql,
     shingles,
+    shingles_sql,
     tokens,
+    tokens_sql,
 )
 
 # Affine-rehash constants for the PORTABLE MinHash family: the i-th hash
@@ -47,6 +49,22 @@ def _portable_rehash(h, i: int):
     return (h * F.lit(_MINHASH_A + 2 * i) + F.lit(_MINHASH_B + 97 * i)) % F.lit(
         FNV_MOD
     )
+
+
+def _portable_rehash_sql(h: str, i: int) -> str:
+    """SQL twin of :func:`_portable_rehash` (same integer literals —
+    they parse as INT exactly as the Python ints ``lit`` to)."""
+    return f"({h} * {_MINHASH_A + 2 * i} + {_MINHASH_B + 97 * i}) % {FNV_MOD}"
+
+
+#: SQL twin of :func:`_portable_avalanche` as a finish-lambda body
+#: template over ``{acc}`` — like the Column form, the accumulator
+#: variable is referenced (re-read), the fold never re-evaluated.
+_AVALANCHE_SQL = (
+    f"(((({{acc}} + {_AVA_C}) * ({{acc}} + {_AVA_C})) % {FNV_MOD}"
+    f" + {_AVA_C}) * (((({{acc}} + {_AVA_C}) * ({{acc}} + {_AVA_C}))"
+    f" % {FNV_MOD}) + {_AVA_C})) % {FNV_MOD}"
+)
 
 
 def _portable_avalanche(h):
@@ -174,9 +192,9 @@ def jaccard_verify_pairs(
     sh = (
         docs.join(cand_ids, id_col, "left_semi")
         .repartition(default_parallelism(), id_col)
-        .select(
-            F.col(id_col),
-            shingles(tokens(F.col(text_col)), n).alias("_sh"),
+        .selectExpr(
+            id_col,
+            f"{shingles_sql(tokens_sql(text_col), n)} AS `_sh`",
         )
     )
     # merge hints: BOTH relations here are SF-proportional (invariant
@@ -238,26 +256,30 @@ def minhash_signatures(
       the canonical driver query uses this so the WHOLE sketch (not just
       its recall) is oracle-checked against DuckDB.
     """
-    sh = _spread(docs, id_col).select(
-        F.col(id_col).alias("doc_id_"),
-        F.explode(shingles(tokens(text_col), n)).alias("sh"),
+    # Assembled as SQL text, not F.* Columns (r12): the per-hash
+    # expression family is the construction hot spot — every F.* call
+    # is py4j round trips and the HOF lambdas cost several each; one
+    # selectExpr/expr string parses JVM-side in a single trip to the
+    # same Catalyst expressions (see textops.py's _sql-twin note).
+    sh = _spread(docs, id_col).selectExpr(
+        f"{id_col} AS doc_id_",
+        f"explode({shingles_sql(tokens_sql(text_col), n)}) AS sh",
     )
     if hash_fn == "portable":
-        base = rolling_fingerprint(F.col("sh"))
-        rehash = _portable_rehash
+        base_sql = rolling_fingerprint_sql("sh")
+        rehash_sql = _portable_rehash_sql
     else:
-        base = F.xxhash64("sh")
-        rehash = lambda h, i: F.xxhash64(h, F.lit(i))  # noqa: E731
-    hashed = sh.select("doc_id_", base.alias("h"))
+        base_sql = "xxhash64(sh)"
+        rehash_sql = lambda h, i: f"xxhash64({h}, {i})"  # noqa: E731
+    hashed = sh.selectExpr("doc_id_", f"{base_sql} AS h")
     mins = hashed.groupBy("doc_id_").agg(
         *[
-            F.min(rehash(F.col("h"), i)).alias(f"_m{i}")
+            F.expr(f"min({rehash_sql('h', i)}) AS `_m{i}`")
             for i in range(num_hashes)
         ]
     )
-    return mins.select(
-        "doc_id_", F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    arr = ", ".join(f"`_m{i}`" for i in range(num_hashes))
+    return mins.selectExpr("doc_id_", f"array({arr}) AS sig")
 
 
 def banded_signatures(
@@ -274,35 +296,26 @@ def banded_signatures(
     """
     rows = num_hashes // bands
 
-    def _bucket(band):
-        if hash_fn == "portable":
-            return F.aggregate(
-                F.slice(F.col("sig"), band * rows + 1, rows),
-                F.lit(0).cast("bigint"),
-                lambda acc, m: (acc * F.lit(_BUCKET_MULT) + m) % F.lit(FNV_MOD),
-            )
-        return F.xxhash64(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice(F.col("sig"), band * rows + 1, rows),
-                    lambda v: v.cast("string"),
-                ),
-            )
+    # SQL-text construction (r12, see minhash_signatures): the bucket
+    # fold is a function of the `band` lambda variable — one transform
+    # over sequence(0, bands−1), exactly as the Column form built it.
+    if hash_fn == "portable":
+        bucket_sql = (
+            f"aggregate(slice(sig, band * {rows} + 1, {rows}),"
+            " CAST(0 AS BIGINT),"
+            f" (acc, m) -> (acc * {_BUCKET_MULT} + m) % {FNV_MOD})"
         )
-
-    return sigs.select(
+    else:
+        bucket_sql = (
+            f"xxhash64(concat_ws(',', transform(slice(sig, band * {rows}"
+            f" + 1, {rows}), v -> CAST(v AS STRING))))"
+        )
+    return sigs.selectExpr(
         "doc_id_",
         "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda band: F.struct(
-                    band.alias("band"),
-                    _bucket(band).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
+        f"explode(transform(sequence(0, {bands - 1}),"
+        f" band -> named_struct('band', band, 'bucket', {bucket_sql})))"
+        " AS bb",
     ).select(
         "doc_id_",
         "sig",
@@ -372,12 +385,12 @@ def minhash_lsh_pairs(
     r = banded.select(
         F.col("doc_id_").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bucket"
     )
-    est = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    ) / F.lit(float(num_hashes))
+    # SQL text (r12): `D` suffix = DOUBLE literal, matching
+    # F.lit(float(num_hashes)) — a bare SQL float would parse DECIMAL
+    est = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y),"
+        f" eq -> eq)) / {float(num_hashes)}D"
+    )
     # estimate + threshold BEFORE the pair dedup: est is a pure function
     # of the pair (identical across its ≤``bands`` bucket collisions), so
     # filter-then-dedup ≡ dedup-then-filter — but the dedup shuffle now
@@ -414,44 +427,42 @@ def simhash_sketches(
     for a discriminative Hamming≤3 sketch) so the canonical driver query
     is hash-checked end-to-end against the DuckDB oracle.
     """
-    ex = _spread(docs, id_col).select(
-        F.col(id_col).alias("doc_id_"), F.explode(tokens(text_col)).alias("w")
+    # SQL-text construction (r12, see minhash_signatures): the per-bit
+    # vote aggregates and the bit-recombine chain are the heaviest
+    # expression families in the engine (62 aggregates + a 62-term sum).
+    ex = _spread(docs, id_col).selectExpr(
+        f"{id_col} AS doc_id_", f"explode({tokens_sql(text_col)}) AS w"
     )
     if hash_fn == "portable":
         # one projection computes both halves; aggregates reference the
         # named columns (never inline the fold per bit — invariant 4),
         # and the avalanche runs in the fold's FINISH lambda so its 4
         # references re-read the accumulator variable, not the fold
-        h = ex.select(
+        h = ex.selectExpr(
             "doc_id_",
-            rolling_fingerprint(
-                F.col("w"), base=31, finish=_portable_avalanche
-            ).alias("ha"),
-            rolling_fingerprint(
-                F.col("w"), base=131, finish=_portable_avalanche
-            ).alias("hb"),
+            f"{rolling_fingerprint_sql('w', 31, _AVALANCHE_SQL)} AS ha",
+            f"{rolling_fingerprint_sql('w', 131, _AVALANCHE_SQL)} AS hb",
         )
         halves = [("ha", 31, 0), ("hb", 31, 31)]
     else:
-        h = ex.select("doc_id_", F.xxhash64("w").alias("ha"))
+        h = ex.selectExpr("doc_id_", "xxhash64(w) AS ha")
         halves = [("ha", 64, 0)]
     votes = h.groupBy("doc_id_").agg(
-        F.count(F.lit(1)).alias("_n"),
+        F.expr("count(1) AS `_n`"),
         *[
-            F.sum(F.expr(f"shiftright({col}, {b}) & 1")).alias(f"_o{off + b}")
+            F.expr(f"sum(shiftright({col}, {b}) & 1) AS `_o{off + b}`")
             for col, nbits, off in halves
             for b in range(nbits)
         ],
     )
-    simhash = None
-    for _, nbits, off in halves:
-        for b in range(nbits):
-            bit = F.when(
-                2 * F.col(f"_o{off + b}") > F.col("_n"),
-                F.expr(f"shiftleft(CAST(1 AS BIGINT), {off + b})"),
-            ).otherwise(F.lit(0).cast("bigint"))
-            simhash = bit if simhash is None else simhash + bit
-    return votes.select("doc_id_", simhash.alias("simhash"))
+    bits = " + ".join(
+        f"(CASE WHEN 2 * `_o{off + b}` > `_n`"
+        f" THEN shiftleft(CAST(1 AS BIGINT), {off + b})"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for _, nbits, off in halves
+        for b in range(nbits)
+    )
+    return votes.selectExpr("doc_id_", f"({bits}) AS simhash")
 
 
 def simhash_pairs(

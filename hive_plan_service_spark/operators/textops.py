@@ -32,6 +32,61 @@ def tokens(text: Column | str) -> Column:
     return F.split(c, " ")
 
 
+# --------------------------------------------------------------------------
+# SQL-text twins of the Column builders below (r12 optimization round).
+#
+# Driver-side query CONSTRUCTION is a real per-invocation cost: every
+# F.* call is one or more py4j round trips, and higher-order lambdas
+# cost several each — profiling b27_dedup_minhash_lsh showed 950 py4j
+# commands (~0.5 s of socket wait) per construction, dominated by the
+# sketch expression builders. A single ``F.expr``/``selectExpr`` string
+# is ONE round trip and parses to the same Catalyst expressions, so the
+# hot sketch operators (operators/dedup.py) assemble their per-hash /
+# per-band expression families as SQL text. Each _sql twin returns the
+# exact SQL spelling of its Column sibling (same functions, same
+# literal types — integer literals parse as INT exactly as Python ints
+# lit to; never write a bare float literal in SQL text, it parses as
+# DECIMAL, use the ``D`` suffix); the portable-hash results stay pinned
+# bit-for-bit by the DuckDB oracles either way.
+# --------------------------------------------------------------------------
+
+
+def tokens_sql(text: str) -> str:
+    """SQL twin of :func:`tokens` over a column NAME."""
+    return f"split({text}, ' ')"
+
+
+def shingles_sql(words: str, n: int = 3) -> str:
+    """SQL twin of :func:`shingles` over an array-expression string."""
+    parts = ", ".join(
+        f"try_element_at({words}, i + {k + 1})" for k in range(n)
+    )
+    return (
+        f"array_distinct(transform(sequence(0, greatest(size({words})"
+        f" - {n}, 0)), i -> concat_ws(' ', {parts})))"
+    )
+
+
+def rolling_fingerprint_sql(
+    col: str, base: int = FNV_BASE, finish: str | None = None
+) -> str:
+    """SQL twin of :func:`rolling_fingerprint` over a column NAME.
+
+    ``finish`` is a SQL lambda-body template over the accumulator
+    variable spelled ``{acc}`` (e.g. the avalanche in operators/dedup);
+    like the Column form's finish lambda, the variable is a slot
+    re-read, never a fold re-evaluation.
+    """
+    fold = (
+        f"aggregate(transform(split({col}, ''),"
+        " ch -> CAST(ascii(ch) AS BIGINT)), CAST(0 AS BIGINT),"
+        f" (acc, code) -> (acc * {base} + code) % {FNV_MOD}"
+    )
+    if finish is not None:
+        return fold + f", acc -> {finish.format(acc='acc')})"
+    return fold + ")"
+
+
 def shingles(words: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a token array (array-side, no explode)."""
     return F.array_distinct(
@@ -93,3 +148,12 @@ def stopword_hits(words: Column, stopwords: tuple[str, ...]) -> Column:
     """Count of tokens that are in the given stopword list."""
     arr = F.array(*[F.lit(w) for w in stopwords])
     return F.size(F.filter(words, lambda w: F.array_contains(arr, w))).cast("bigint")
+
+
+def stopword_hits_sql(words: str, stopwords: tuple[str, ...]) -> str:
+    """SQL twin of :func:`stopword_hits` (ASCII stopword literals only)."""
+    arr = ", ".join(f"'{w}'" for w in stopwords)
+    return (
+        f"CAST(size(filter({words}, w -> array_contains(array({arr}), w)))"
+        " AS BIGINT)"
+    )

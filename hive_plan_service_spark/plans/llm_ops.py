@@ -21,8 +21,11 @@ from hive_plan_service_spark.operators import vectors as vx
 from hive_plan_service_spark.operators.textops import (
     LANG_STOPWORDS,
     rolling_fingerprint,
+    rolling_fingerprint_sql,
     stopword_hits,
+    stopword_hits_sql,
     tokens,
+    tokens_sql,
 )
 from hive_plan_service_spark.plans.curation_ops import DUCK_STRIP_CTES
 from hive_plan_service_spark.plans.registry import register
@@ -752,21 +755,27 @@ def llm_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 2.67 → 2.47 s at sf0.1, one fewer shuffle at any scale;
         # doc_b multiplicity is pair-bounded, never corpus-squared)
     )
-    base = docs.select("doc_id", "text", tokens("text").alias("ws"))
-    gated = base.filter(F.size("ws").between(20, 400))
+    # SQL-text construction (r12): this select was ~0.3 s of py4j
+    # round trips per invocation (3 stopword-filter lambdas + the
+    # per-char fingerprint fold built via F.* Columns) — selectExpr
+    # parses the identical expressions JVM-side in one trip
+    # (operators/textops.py's _sql-twin note).
+    base = docs.selectExpr(
+        "doc_id", "text", f"{tokens_sql('text')} AS ws"
+    )
+    gated = base.filter("size(ws) BETWEEN 20 AND 400")
     survivors = gated.join(losers, "doc_id", "left_anti")
     h = {
-        code: stopword_hits(F.col("ws"), words)
+        code: stopword_hits_sql("ws", words)
         for code, words in LANG_STOPWORDS.items()
     }
-    return survivors.select(
+    return survivors.selectExpr(
         "doc_id",
-        F.size("ws").cast("bigint").alias("n_words"),
-        F.when((h["en"] >= h["es"]) & (h["en"] >= h["de"]), "en")
-        .when(h["es"] >= h["de"], "es")
-        .otherwise("de")
-        .alias("predicted_lang"),
-        rolling_fingerprint("text").alias("fingerprint"),
+        "CAST(size(ws) AS BIGINT) AS n_words",
+        f"CASE WHEN {h['en']} >= {h['es']} AND {h['en']} >= {h['de']}"
+        f" THEN 'en' WHEN {h['es']} >= {h['de']} THEN 'es' ELSE 'de' END"
+        " AS predicted_lang",
+        f"{rolling_fingerprint_sql('text')} AS fingerprint",
     )
 
 
