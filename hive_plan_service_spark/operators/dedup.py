@@ -529,29 +529,32 @@ def embedding_dup_pairs(
     the pair expression each row of a B-row block would re-fold its
     norm B times (the r4 cosine_topk fix, applied family-wide).
     """
-    from hive_plan_service_spark.operators.vectors import cos_div, dot, norm
-
-    a = embeddings.select(
-        F.col(id_col).alias("vec_a"),
-        F.col(vec_col).alias("_va"),
-        norm(F.col(vec_col)).alias("_na"),
-        F.col(block_col).alias("_block"),
+    from hive_plan_service_spark.operators.vectors import (
+        cos_div_sql,
+        dot_sql,
+        norm_sql,
     )
-    b = embeddings.select(
-        F.col(id_col).alias("vec_b"),
-        F.col(vec_col).alias("_vb"),
-        norm(F.col(vec_col)).alias("_nb"),
-        F.col(block_col).alias("_block"),
+
+    a = embeddings.selectExpr(
+        f"{id_col} AS vec_a",
+        f"{vec_col} AS `_va`",
+        f"{norm_sql(vec_col)} AS `_na`",
+        f"{block_col} AS `_block`",
+    )
+    b = embeddings.selectExpr(
+        f"{id_col} AS vec_b",
+        f"{vec_col} AS `_vb`",
+        f"{norm_sql(vec_col)} AS `_nb`",
+        f"{block_col} AS `_block`",
     )
     return (
         a.join(b, "_block")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
+        .selectExpr(
             "vec_a",
             "vec_b",
-            cos_div(
-                    dot(F.col("_va"), F.col("_vb")), F.col("_na"), F.col("_nb")
-            ).alias("cos"),
+            f"{cos_div_sql(dot_sql('`_va`', '`_vb`'), '`_na`', '`_nb`')}"
+            " AS cos",
         )
         .filter(F.col("cos") >= threshold)
     )

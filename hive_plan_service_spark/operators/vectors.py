@@ -41,6 +41,41 @@ def norm(a: Column) -> Column:
     )
 
 
+# SQL-text twins (r12 optimization round, see operators/textops.py's
+# _sql-twin note): the fold lambdas cost several py4j round trips per
+# F.* call at query-construction time; one expr string parses JVM-side
+# to the same Catalyst expressions. `D` suffix = DOUBLE literal
+# (matching F.lit(0.0) — a bare SQL float parses DECIMAL). Used by the
+# hot per-pair score projections; Column forms stay for composed-
+# expression call sites.
+
+
+def dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b},"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def norm_sql(a: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({a},"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " 0.0D, (acc, v) -> acc + v))"
+    )
+
+
+def cos_div_sql(num: str, n1: str, n2: str) -> str:
+    """SQL twin of :func:`cos_div` — the total zero-norm-scores-0.0
+    rule, spelled with the same den-tree duplication as the Column form
+    (lazy CASE, no reachable ANSI divide-by-zero)."""
+    return (
+        f"CASE WHEN ({n1} * {n2}) = 0.0D THEN 0.0D"
+        f" ELSE {num} / ({n1} * {n2}) END"
+    )
+
+
 def cos_div(num: Column, n1: Column, n2: Column) -> Column:
     """Total cosine division: a ZERO-NORM operand yields 0.0.
 
@@ -82,26 +117,25 @@ def cosine_topk(
     # of 1 on the q×n hot path. The arithmetic is unchanged
     # (dot / (qn · cn), each factor the same sequential fold), so the
     # float results — and the value-hash oracle — are identical.
-    q = queries.select(
-        F.col(query_id).alias("query_id"),
-        F.col(vec).alias("_qvec"),
-        norm(F.col(vec)).alias("_qn"),
+    q = queries.selectExpr(
+        f"{query_id} AS query_id",
+        f"{vec} AS `_qvec`",
+        f"{norm_sql(vec)} AS `_qn`",
     )
-    c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"),
-        F.col(vec).alias("_cvec"),
-        norm(F.col(vec)).alias("_cn"),
+    c = corpus.selectExpr(
+        f"{corpus_id} AS neighbor_id",
+        f"{vec} AS `_cvec`",
+        f"{norm_sql(vec)} AS `_cn`",
     )
     pairs = c.crossJoin(F.broadcast(q))
     if exclude_self:
         pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = (
-        pairs.select(
+        pairs.selectExpr(
             "query_id",
             "neighbor_id",
-            cos_div(
-                    dot(F.col("_qvec"), F.col("_cvec")), F.col("_qn"), F.col("_cn")
-            ).alias("cos"),
+            f"{cos_div_sql(dot_sql('`_qvec`', '`_cvec`'), '`_qn`', '`_cn`')}"
+            " AS cos",
         )
     )
     w = W.partitionBy("query_id").orderBy(
@@ -136,20 +170,19 @@ def ivf_assign(
     # arithmetic as cosine(), so scores are bit-identical) — as a pair
     # expression each of the O(n·K) assignment rows would re-fold the
     # row norm K× and the centroid norm n× (cosine_topk's r4 fix)
-    c = centroids.select(
-        F.col(centroid_id).alias("_cid"),
-        F.col(vec).alias("_centroid"),
-        norm(F.col(vec)).alias("_kn"),
+    c = centroids.selectExpr(
+        f"{centroid_id} AS `_cid`",
+        f"{vec} AS `_centroid`",
+        f"{norm_sql(vec)} AS `_kn`",
     )
     scored = (
-        corpus.withColumn("_vn", norm(F.col(vec)))
+        corpus.selectExpr("*", f"{norm_sql(vec)} AS `_vn`")
         .crossJoin(F.broadcast(c))
-        .select(
+        .selectExpr(
             *corpus.columns,
-            F.col("_cid"),
-            cos_div(
-                    dot(F.col(vec), F.col("_centroid")), F.col("_vn"), F.col("_kn")
-            ).alias("_cos"),
+            "`_cid`",
+            f"{cos_div_sql(dot_sql(vec, '`_centroid`'), '`_vn`', '`_kn`')}"
+            " AS `_cos`",
         )
     )
     best = (
@@ -412,12 +445,11 @@ def ivf_topk(
         .join(F.broadcast(probe), "centroid_id")
         .join(F.broadcast(q), "query_id")
         .filter(F.col(id_col) != F.col("query_id"))
-        .select(
+        .selectExpr(
             "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            cos_div(
-                    dot(F.col("_qvec"), F.col(vec)), F.col("_qn"), F.col("_cn")
-            ).alias("cos"),
+            f"{id_col} AS neighbor_id",
+            f"{cos_div_sql(dot_sql('`_qvec`', vec), '`_qn`', '`_cn`')}"
+            " AS cos",
         )
     )
     w = W.partitionBy("query_id").orderBy(
@@ -515,12 +547,11 @@ def lsh_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "_qvec", "_qn", "_cvec", "_cn")
         .dropDuplicates(["query_id", "neighbor_id"])
-        .select(
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            cos_div(
-                    dot(F.col("_qvec"), F.col("_cvec")), F.col("_qn"), F.col("_cn")
-            ).alias("cos"),
+            f"{cos_div_sql(dot_sql('`_qvec`', '`_cvec`'), '`_qn`', '`_cn`')}"
+            " AS cos",
         )
     )
     w = W.partitionBy("query_id").orderBy(
@@ -986,12 +1017,11 @@ def pq_topk_refined(
     rer = (
         short.join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
-        .select(
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            cos_div(
-                    dot(F.col("_qvec"), F.col("_cvec")), F.col("_qn"), F.col("_cn")
-            ).alias("cos"),
+            f"{cos_div_sql(dot_sql('`_qvec`', '`_cvec`'), '`_qn`', '`_cn`')}"
+            " AS cos",
         )
     )
     w = W.partitionBy("query_id").orderBy(
