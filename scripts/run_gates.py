@@ -291,14 +291,12 @@ GATES: dict[str, list[str]] = {
     # queries timed at a layout-matched 1x and 40x in one session with
     # the sf1 knee assertion — 4x past the sf1 gate's linearity ceiling
     # without the cost of a full sweep.
-    # NOTE (r12): temporarily NOT in the matrix — the r12 build was
-    # interrupted between adding this gate and running the `--round 12`
-    # stamp, so the newest checked-in artifact (GATES_r11.json) predates
-    # it and test_latest_gates_artifact_covers_every_defined_gate fails
-    # on the lag. The artifact pin expects define+stamp in one session:
-    # re-add the line below immediately before the r12 round-close
-    # stamp, whose GATES_r12.json then carries the gate.
-    # "scalespot": [sys.executable, "scripts/scale_spot_probe.py"],
+    # (re-added at the r12 round-close stamp, whose GATES_r12.json
+    # carries the gate — the define+stamp-in-one-session flow the
+    # artifact pin expects; it was briefly commented out mid-r12 after
+    # the build session was interrupted between defining the gate and
+    # stamping it.)
+    "scalespot": [sys.executable, "scripts/scale_spot_probe.py"],
     # stacked-regime axis (r8): every conf-hostility axis AT ONCE —
     # Kryo + off-heap Tungsten + codegen off/interpreted + Arrow
     # batch=7 + 1 MiB scan splits + 7 cores + broadcasts off, under
