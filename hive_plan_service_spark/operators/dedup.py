@@ -342,6 +342,12 @@ def minhash_lsh_pairs(
     ``num_hashes // bands`` rows; docs colliding on any full band are
     candidates; the signature-agreement fraction estimates Jaccard.
 
+    Output schema: ``(doc_a, doc_b, est_jaccard)`` — except when
+    ``est_threshold <= 0.0`` (the high-recall cluster setting), where
+    the estimate is provably a no-op filter and is skipped entirely so
+    the signature arrays never cross the banding exchange; the output
+    is then ``(doc_a, doc_b)`` only (see the inline note).
+
     ``max_bucket`` is the 100 TB degenerate-bucket guard: a band
     signature shared by B documents (corpus-wide boilerplate, empty
     docs, common templates) yields B² candidate pairs from that bucket
@@ -364,6 +370,23 @@ def minhash_lsh_pairs(
     banded = banded_signatures(
         sigs, num_hashes=num_hashes, bands=bands, hash_fn=hash_fn
     )
+    # est_jaccard = size(filter(zip_with(sig_a, sig_b, =)))/num_hashes is
+    # a total function into [0, 1] (both sig arrays are non-null arrays
+    # of non-null longs), so an est_threshold ≤ 0 filter passes EVERY
+    # pair — the high-recall setting the cluster compositions use. Skip
+    # the estimate there and do not carry the signature arrays past the
+    # banding projection (guide §2.3, shuffle fewer bytes): with 64
+    # hashes × 32 bands each doc otherwise ships bands×num_hashes = 2048
+    # sig longs through the (band, bucket) exchange, the max_bucket
+    # window sort, AND pays the 2×64-element zip_with per bucket
+    # collision that Catalyst inlines into the join condition (the
+    # ≥ 0.0 filter is not provably true to the optimizer, so it cannot
+    # prune any of this itself). Result-identical: same (doc_a, doc_b)
+    # set, minus the est_jaccard column no est_threshold ≤ 0 consumer
+    # reads (the cluster compositions immediately project it away).
+    keep_est = est_threshold > 0.0
+    if not keep_est:
+        banded = banded.select("doc_id_", "band", "bucket")
     if max_bucket is not None:
         # Bucket-size cap as a WINDOW count over the same (band, bucket)
         # key the pair join shuffles on: one pass, one exchange (reused
@@ -378,6 +401,15 @@ def minhash_lsh_pairs(
             banded.withColumn("_bn", F.count(F.lit(1)).over(w))
             .filter(F.col("_bn") <= max_bucket)
             .drop("_bn")
+        )
+    if not keep_est:
+        l = banded.select(F.col("doc_id_").alias("doc_a"), "band", "bucket")
+        r = banded.select(F.col("doc_id_").alias("doc_b"), "band", "bucket")
+        return (
+            l.join(r, ["band", "bucket"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .dropDuplicates(["doc_a", "doc_b"])
         )
     l = banded.select(
         F.col("doc_id_").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bucket"
