@@ -155,8 +155,8 @@ def jaccard_verify_pairs(
 
     The scale shape for exact-threshold dedup: a high-recall LSH pass
     proposes pairs, then this verifies each against the true shingle
-    sets. The candidate relation is referenced three times (pairs +
-    both legs of the candidate-id semi-join), all reading ONE shared
+    sets. The candidate relation is referenced twice (pairs + the
+    exploded candidate-id semi-join side), both reading ONE shared
     exchange — the LSH pipeline ends in its dedup shuffle, so Spark's
     ReusedExchange serves every reference; the multi-stage candidate
     job still executes once. Shingle sets are built per candidate DOC
@@ -184,10 +184,18 @@ def jaccard_verify_pairs(
     # array-intersect over materialized arrays can be inlined into the
     # join condition. The semi-join keeps the array build O(candidate
     # docs), not O(corpus) — at 100 TB candidates are the small side.
+    # explode, not union-of-two-projections: the union form spelled the
+    # whole candidate subtree TWICE more in the plan (three references
+    # total with `pairs` below) — AQE's ReusedExchange dedups the
+    # execution either way, but the optimizer/planner walks every
+    # spelling (~0.2 s planning on the 150-node corpus-clean tree, r12
+    # measurement), and the explode form reads the candidate exchange
+    # once instead of twice. Same id set: explode(array(a, b)) ∪-dedups
+    # to exactly union(a) ∪ union(b).
     cand_ids = (
-        pairs.select(F.col("doc_a").alias(id_col))
-        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
-        .distinct()
+        pairs.select(
+            F.explode(F.array("doc_a", "doc_b")).alias(id_col)
+        ).distinct()
     )
     sh = (
         docs.join(cand_ids, id_col, "left_semi")
