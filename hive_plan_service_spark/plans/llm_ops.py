@@ -743,9 +743,20 @@ def b30_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
     docs = spark.table("documents")
+    # Eager checkpoint of the candidate pairs (invariant 24 trade — the
+    # BUILDER runs the LSH job): candidates feed the verify pass twice
+    # (pairs + the exploded id semi-join), and unmaterialized the
+    # optimizer walks the whole LSH subtree per reference while the
+    # verify/anti-join planning and AQE re-optimization chain sit on a
+    # ~150-node tree (~0.2 s planning per invocation, r12 measurement).
+    # Checkpointed, the downstream plan sees a tiny exact-sized leaf:
+    # interleaved A/B 2.33 -> 1.49 s at sf0.1 (r13, comparable
+    # calibrations). Failure semantics: lost checkpoint blocks fail
+    # LOUDLY and the orchestrator retries the job (the execloss
+    # certification's contract, scripts/executor_loss_probe.py).
     candidates = dd.minhash_lsh_pairs(
         docs, num_hashes=16, bands=8, est_threshold=0.5
-    )
+    ).localCheckpoint(eager=True)
     losers = (
         dd.jaccard_verify_pairs(docs, candidates, threshold=0.9)
         .select(F.col("doc_b").alias("doc_id"))
@@ -1352,6 +1363,12 @@ def dedup_clusters_production(
         est_threshold=0.0,
         max_bucket=max_bucket,
     )
+    # Eager checkpoint of the candidate pairs too (invariant 24 trade,
+    # r13): the verify pass references them twice and the 64-hash LSH
+    # subtree dominates the edge plan's optimizer work; checkpointed,
+    # the verify join plans against a small exact-sized leaf (same
+    # measurement story as llm_corpus_clean_pipeline's candidates).
+    cands = cands.localCheckpoint(eager=True)
     pairs = dd.jaccard_verify_pairs(stripped, cands, threshold=0.5)
     comps = connected_components(pairs, src="doc_a", dst="doc_b")
     return comps.select(F.col("vertex").alias("doc_id"), "component")
