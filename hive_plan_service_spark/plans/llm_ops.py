@@ -1316,7 +1316,11 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_tables(spark, sf_dir)
     docs = spark.table("documents")
-    cands = dd.minhash_lsh_pairs(docs, num_hashes=64, bands=32, est_threshold=0.0)
+    # Eager checkpoint (invariant 24 trade, r13): verify references the
+    # candidates twice — same plan-truncation win as the capped twin.
+    cands = dd.minhash_lsh_pairs(
+        docs, num_hashes=64, bands=32, est_threshold=0.0
+    ).localCheckpoint(eager=True)
     pairs = dd.jaccard_verify_pairs(docs, cands, threshold=0.5)
     comps = connected_components(pairs, src="doc_a", dst="doc_b")
     return comps.select(F.col("vertex").alias("doc_id"), "component")
