@@ -12,6 +12,7 @@ from __future__ import annotations
 import atexit
 import os
 import re
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -365,8 +366,46 @@ def conf_overrides() -> dict[str, str]:
     return out
 
 
-def tune(spark: SparkSession) -> SparkSession:
+#: tune() memo: session -> the override-env token its conf was applied
+#: under. tune() runs on EVERY query construction (register_tables,
+#: streaming sources, foreachBatch refreshes) and its ~12 conf.set round
+#: trips cost ~40 ms per invocation at observed py4j latency (r13
+#: cProfile: 75 ms of each b04 construction was tune+register_tables).
+#: Re-applying identical values is a no-op semantically, so a session
+#: already tuned under the SAME override token skips straight out; any
+#: change to SPARK_GRAFT_CONF_OVERRIDES (or a new session) re-tunes in
+#: full, preserving the invariance-gate contract that overrides win on
+#: every application. WeakKeyDictionary: dropped sessions don't leak.
+_TUNE_TOKENS: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _tune_token() -> str:
+    return os.environ.get("SPARK_GRAFT_CONF_OVERRIDES", "") + "\x00" + str(
+        shuffle_partitions()
+    )
+
+
+def tune(spark: SparkSession, *, force: bool = False) -> SparkSession:
     """Apply runtime conf to a session we did not necessarily build."""
+    # Always (memo or not): clear PySpark's process-global cache of the
+    # dataFrameDebugging flag — pure Python, no round trip; a poisoned
+    # cache (Columns built before the first tune) must never survive a
+    # tune() call (tests/test_debugging_conf_pin.py).
+    try:
+        import pyspark.errors.utils as _eu
+
+        _eu._enable_debugging_cache = None
+    except Exception:
+        pass
+    token = _tune_token()
+    if not force:
+        try:
+            if _TUNE_TOKENS.get(spark) == token:
+                return spark
+        except TypeError:
+            pass  # unhashable/weakref-less session stub: tune in full
     # Pin the JVM default locale: Spark's upper/lower/initcap take an
     # ASCII fast path but fall back to String.toUpperCase(Locale
     # .getDefault()) the moment a value contains ANY non-ASCII char —
@@ -397,16 +436,11 @@ def tune(spark: SparkSession) -> SparkSession:
         )
     except Exception:
         pass
-    # PySpark caches dataFrameDebugging.enabled in a process-global on
-    # the FIRST wrapped API call — any Column built before tune() ran
-    # (imports, an earlier session) would lock the default in. Reset the
-    # cache so the next call re-reads the conf just set above; purely a
-    # Python-side cache clear, honors overrides either way.
+    # (the dataFrameDebugging cache reset happens unconditionally at the
+    # top of tune() — see the memo note)
     try:
-        import pyspark.errors.utils as _eu
-
-        _eu._enable_debugging_cache = None
-    except Exception:
+        _TUNE_TOKENS[spark] = token
+    except TypeError:
         pass
     return spark
 
