@@ -280,14 +280,18 @@ def minhash_signatures(
         base_sql = "xxhash64(sh)"
         rehash_sql = lambda h, i: f"xxhash64({h}, {i})"  # noqa: E731
     hashed = sh.selectExpr("doc_id_", f"{base_sql} AS h")
-    mins = hashed.groupBy("doc_id_").agg(
-        *[
-            F.expr(f"min({rehash_sql('h', i)}) AS `_m{i}`")
-            for i in range(num_hashes)
-        ]
+    # ONE agg expression (r13): array(min(...), ...) parses in a single
+    # py4j trip where the per-hash F.expr list paid ~2 trips per hash
+    # (128 at num_hashes=64). Catalyst splits it identically: the mins
+    # stay partial/final hash aggregates (map-side combine, invariant 4),
+    # the array assembly lands in the post-agg result projection exactly
+    # where the separate selectExpr used to put it.
+    mins_arr = ", ".join(
+        f"min({rehash_sql('h', i)})" for i in range(num_hashes)
     )
-    arr = ", ".join(f"`_m{i}`" for i in range(num_hashes))
-    return mins.selectExpr("doc_id_", f"array({arr}) AS sig")
+    return hashed.groupBy("doc_id_").agg(
+        F.expr(f"array({mins_arr}) AS sig")
+    )
 
 
 def banded_signatures(
@@ -487,16 +491,26 @@ def simhash_sketches(
     else:
         h = ex.selectExpr("doc_id_", "xxhash64(w) AS ha")
         halves = [("ha", 64, 0)]
-    votes = h.groupBy("doc_id_").agg(
-        F.expr("count(1) AS `_n`"),
-        *[
-            F.expr(f"sum(shiftright({col}, {b}) & 1) AS `_o{off + b}`")
+    # ONE agg expression (r13, same rationale as minhash_signatures):
+    # the per-bit F.expr list paid ~2 py4j trips per vote aggregate
+    # (63 aggregates at 62 bits + count). named_struct over the votes
+    # parses in a single trip; the aggregates underneath stay partial/
+    # final map-side-combined (invariant 4), and the struct assembly is
+    # post-agg projection work CollapseProject fuses with the bit
+    # recombine below.
+    vote_fields = ", ".join(
+        ["'n', count(1)"]
+        + [
+            f"'o{off + b}', sum(shiftright({col}, {b}) & 1)"
             for col, nbits, off in halves
             for b in range(nbits)
-        ],
+        ]
+    )
+    votes = h.groupBy("doc_id_").agg(
+        F.expr(f"named_struct({vote_fields}) AS v")
     )
     bits = " + ".join(
-        f"(CASE WHEN 2 * `_o{off + b}` > `_n`"
+        f"(CASE WHEN 2 * v.o{off + b} > v.n"
         f" THEN shiftleft(CAST(1 AS BIGINT), {off + b})"
         " ELSE CAST(0 AS BIGINT) END)"
         for _, nbits, off in halves
@@ -626,27 +640,34 @@ def centroid_blocked_dup_pairs(
     """
     from pyspark.sql import Window as W
 
-    from hive_plan_service_spark.operators.vectors import cos_div, dot, norm
+    from hive_plan_service_spark.operators.vectors import (
+        cos_div_sql,
+        dot_sql,
+        norm_sql,
+    )
 
+    # SQL-text construction (r13, the last Column-form score family —
+    # see textops.py's _sql-twin note); identifiers are backtick-quoted
+    # so a keyword/special-char column name still resolves (r12 ADVICE).
+    idq, vecq = f"`{id_col}`", f"`{vec_col}`"
     # per-side norm precompute (bit-identical scores — see
     # embedding_dup_pairs); `_n` rides along the assignment so the
     # verify stage reuses it instead of re-folding per pair
-    c = centroids.select(
-        F.col("centroid_id").alias("_cid"),
-        F.col(vec_col).alias("_centroid"),
-        norm(F.col(vec_col)).alias("_kn"),
+    c = centroids.selectExpr(
+        "centroid_id AS _cid",
+        f"{vecq} AS _centroid",
+        f"{norm_sql(vecq)} AS _kn",
     )
     scored = (
-        embeddings.withColumn("_n", norm(F.col(vec_col)))
+        embeddings.selectExpr(idq, vecq, f"{norm_sql(vecq)} AS _n")
         .crossJoin(F.broadcast(c))
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.col("_n"),
-            F.col("_cid"),
-            cos_div(
-                    dot(F.col(vec_col), F.col("_centroid")), F.col("_n"), F.col("_kn")
-            ).alias("_cos"),
+        .selectExpr(
+            idq,
+            vecq,
+            "_n",
+            "_cid",
+            f"{cos_div_sql(dot_sql(vecq, '_centroid'), '_n', '_kn')}"
+            " AS _cos",
         )
     )
     w = W.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("_cid"))
@@ -655,27 +676,19 @@ def centroid_blocked_dup_pairs(
         .filter(F.col("_rk") <= nprobe)
         .select(id_col, vec_col, "_n", F.col("_cid").alias("centroid_id"))
     )
-    a = assigned.select(
-        F.col(id_col).alias("vec_a"),
-        F.col(vec_col).alias("_va"),
-        F.col("_n").alias("_na"),
-        "centroid_id",
+    a = assigned.selectExpr(
+        f"{idq} AS vec_a", f"{vecq} AS _va", "_n AS _na", "centroid_id"
     )
-    b = assigned.select(
-        F.col(id_col).alias("vec_b"),
-        F.col(vec_col).alias("_vb"),
-        F.col("_n").alias("_nb"),
-        "centroid_id",
+    b = assigned.selectExpr(
+        f"{idq} AS vec_b", f"{vecq} AS _vb", "_n AS _nb", "centroid_id"
     )
     return (
         a.join(b, "centroid_id")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
+        .selectExpr(
             "vec_a",
             "vec_b",
-            cos_div(
-                    dot(F.col("_va"), F.col("_vb")), F.col("_na"), F.col("_nb")
-            ).alias("cos"),
+            f"{cos_div_sql(dot_sql('_va', '_vb'), '_na', '_nb')} AS cos",
         )
         .filter(F.col("cos") >= threshold)  # verify BEFORE pair dedup
         .dropDuplicates(["vec_a", "vec_b"])
