@@ -201,8 +201,8 @@ def jaccard_verify_pairs(
         docs.join(cand_ids, id_col, "left_semi")
         .repartition(default_parallelism(), id_col)
         .selectExpr(
-            id_col,
-            f"{shingles_sql(tokens_sql(text_col), n)} AS `_sh`",
+            f"`{id_col}`",
+            f"{shingles_sql(tokens_sql(f'`{text_col}`'), n)} AS `_sh`",
         )
     )
     # merge hints: BOTH relations here are SF-proportional (invariant
@@ -270,8 +270,8 @@ def minhash_signatures(
     # selectExpr/expr string parses JVM-side in a single trip to the
     # same Catalyst expressions (see textops.py's _sql-twin note).
     sh = _spread(docs, id_col).selectExpr(
-        f"{id_col} AS doc_id_",
-        f"explode({shingles_sql(tokens_sql(text_col), n)}) AS sh",
+        f"`{id_col}` AS doc_id_",
+        f"explode({shingles_sql(tokens_sql(f'`{text_col}`'), n)}) AS sh",
     )
     if hash_fn == "portable":
         base_sql = rolling_fingerprint_sql("sh")
@@ -475,7 +475,7 @@ def simhash_sketches(
     # vote aggregates and the bit-recombine chain are the heaviest
     # expression families in the engine (62 aggregates + a 62-term sum).
     ex = _spread(docs, id_col).selectExpr(
-        f"{id_col} AS doc_id_", f"explode({tokens_sql(text_col)}) AS w"
+        f"`{id_col}` AS doc_id_", f"explode({tokens_sql(f'`{text_col}`')}) AS w"
     )
     if hash_fn == "portable":
         # one projection computes both halves; aggregates reference the
@@ -589,17 +589,18 @@ def embedding_dup_pairs(
         norm_sql,
     )
 
+    idq, vecq, blockq = f"`{id_col}`", f"`{vec_col}`", f"`{block_col}`"
     a = embeddings.selectExpr(
-        f"{id_col} AS vec_a",
-        f"{vec_col} AS `_va`",
-        f"{norm_sql(vec_col)} AS `_na`",
-        f"{block_col} AS `_block`",
+        f"{idq} AS vec_a",
+        f"{vecq} AS `_va`",
+        f"{norm_sql(vecq)} AS `_na`",
+        f"{blockq} AS `_block`",
     )
     b = embeddings.selectExpr(
-        f"{id_col} AS vec_b",
-        f"{vec_col} AS `_vb`",
-        f"{norm_sql(vec_col)} AS `_nb`",
-        f"{block_col} AS `_block`",
+        f"{idq} AS vec_b",
+        f"{vecq} AS `_vb`",
+        f"{norm_sql(vecq)} AS `_nb`",
+        f"{blockq} AS `_block`",
     )
     return (
         a.join(b, "_block")

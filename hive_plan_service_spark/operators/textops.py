@@ -151,8 +151,10 @@ def stopword_hits(words: Column, stopwords: tuple[str, ...]) -> Column:
 
 
 def stopword_hits_sql(words: str, stopwords: tuple[str, ...]) -> str:
-    """SQL twin of :func:`stopword_hits` (ASCII stopword literals only)."""
-    arr = ", ".join(f"'{w}'" for w in stopwords)
+    """SQL twin of :func:`stopword_hits`. Single quotes in stopwords are
+    SQL-escaped ('' — r12 ADVICE: a future apostrophe word like "l'"
+    must not produce a parse error or silently different SQL)."""
+    arr = ", ".join("'{}'".format(w.replace("'", "''")) for w in stopwords)
     return (
         f"CAST(size(filter({words}, w -> array_contains(array({arr}), w)))"
         " AS BIGINT)"
