@@ -184,8 +184,18 @@ class RacingReader:
     are counted, not failed; any non-missing-file error fails the probe.
     """
 
+    # UNABLE_TO_INFER_SCHEMA is the same racing-delete contract surfacing
+    # one step earlier (r13 stamp find, 1 in 645 reads): _read_live
+    # guards each store half with _has_parquet, but a GC pass that
+    # empties the dir BETWEEN that glob and read.parquet's own schema
+    # inference leaves a file-less dir, which throws at inference time
+    # instead of scan time. The certified response is identical — re-run
+    # the read rule from a fresh listing, which sees the covering base —
+    # and distinct from the silently-wrong ignoreMissingFiles shortcut
+    # (this retry re-LISTS; it never scans past a vanished file).
     _MISSING = ("FileNotFoundException", "FILE_NOT_EXIST",
-                "does not exist", "FileDeletionException")
+                "does not exist", "FileDeletionException",
+                "UNABLE_TO_INFER_SCHEMA")
 
     def __init__(self, spark, m):
         self.spark = spark
